@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship feature pipeline on sf0.001 transcripts.
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB-runnable ANSI SQL equivalents.
+
+Column names are aliased identically on both sides; floats are rounded
+identically on both sides (the driver hash-compares values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.datagen import transcripts_from_events
+from hipipe_spark.functions.casts import string_to_bool
+from hipipe_spark.functions.hashing import det_hash01, det_hash01_sql, det_hash_i64, det_hash_i64_sql
+from hipipe_spark.functions.text import (
+    fingerprint, punct_ratio, token_count, tokens,
+)
+from hipipe_spark.operators.asof import asof_join
+from hipipe_spark.operators.core import Filter, Pad, Transform
+from hipipe_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+)
+from hipipe_spark.operators.flagship import featurize
+from hipipe_spark.operators.groups import (
+    build_index_mapper, encode, fixed_groups, generate_groups,
+)
+from hipipe_spark.operators.similarity import brute_force_topk, lsh_topk
+from hipipe_spark.operators.temporal import (
+    Backfill, LagLead, RollingAgg, Sessionize, TimeSincePrev, ts_seconds,
+)
+from hipipe_spark.sources.multimodal import extract_features, gen_fake_media
+
+GAP_SEC = 1800
+
+# DuckDB view of the transcripts derived from `events` — must mirror
+# hipipe_spark.datagen.transcripts_from_events exactly.
+_T = f"""
+  SELECT 'conv_' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         (CASE ({det_hash_i64_sql('event_id', 7)}) % 4
+            WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            WHEN 2 THEN 'system' ELSE 'tool' END) AS role,
+         COALESCE(props, '') AS text,
+         COALESCE(event_type, '') AS tool,
+         ts
+  FROM events
+"""
+
+# left/right split of events for as-of joins: odd event_ids are the
+# probe side, even event_ids carry the value to merge point-in-time.
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", F.round("value", 4).alias("val")
+    )
+    return left, right
+
+
+_ASOF_ORACLE = """
+  WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+       r AS (SELECT user_id, ts, round(value, 4) AS val FROM events WHERE event_id % 2 = 0)
+  SELECT l.event_id, l.user_id, l.ts, r.val
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+# --------------------------------------------------------------- queries
+def q_sessionize(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    out = Sessionize(gap="30 minutes")(t)
+    return out.select("conv_id", "turn_idx", "ts", "session_seq", "session_id")
+
+
+def q_lag_lead(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    out = LagLead("role", lags=[1], leads=[1])(TimeSincePrev()(t))
+    return out.select(
+        "conv_id", "turn_idx", "secs_since_prev",
+        "role_lag_1", F.col("role_lead_1_label").alias("role_lead_1"),
+    )
+
+
+def q_backfill(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    out = Backfill("tool", sentinel="", lookback=None)(t)
+    return out.select("conv_id", "turn_idx", "tool_filled")
+
+
+def q_rolling(spark, sf_dir):
+    t = _transcripts(spark, sf_dir).withColumn("text_len", F.length("text").cast("int"))
+    out = RollingAgg(
+        {
+            "assistant_turns_10": (F.sum, F.when(F.col("role") == "assistant", 1).otherwise(0)),
+            "mean_text_len_10": (F.avg, F.col("text_len")),
+        },
+        lookback=10,
+    )(t)
+    return out.select(
+        "conv_id", "turn_idx", "assistant_turns_10",
+        F.round("mean_text_len_10", 4).alias("mean_text_len_10"),
+    )
+
+
+def q_session_agg(spark, sf_dir):
+    t = Sessionize(gap="30 minutes")(_transcripts(spark, sf_dir))
+    return (
+        t.groupBy("conv_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(
+                F.max(ts_seconds(F.col("ts"))) - F.min(ts_seconds(F.col("ts"))), 6
+            ).alias("span_sec"),
+        )
+    )
+
+
+def q_asof_union(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="union")
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_asof_broadcast(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="broadcast")
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_asof_cogroup(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="cogroup")
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_filter_dim1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = Filter(["l_quantity", "l_discount"],
+                 lambda q, d: (q > 30) & (d < 0.05))(li)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def q_filter_dim2(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = Filter("embedding", lambda x: x > 0, dim=2)(em)
+    return out.select("vec_id", F.size("embedding").alias("n_pos"))
+
+
+def q_transform_map(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # decimal math: inputs have ≤2 decimals; decimal arithmetic is exact
+    # in both engines, so results are bit-identical (doubles are not).
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = Transform(
+        ["l_extendedprice", "l_discount", "l_tax"],
+        ["revenue", "charged"],
+        lambda p, d, t: (
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(18,4)").cast("double"),
+            F.round(dec("l_extendedprice") * (1 - dec("l_discount")) * (1 + dec("l_tax")), 4).cast("double"),
+        ),
+    )(li)
+    return out.select("l_orderkey", "l_linenumber", "revenue", "charged")
+
+
+def q_transform_dim2(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = em.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = Transform("embedding", "embedding", lambda x: x * x, dim=2)(em)
+    return out.select(
+        "vec_id",
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias("sq_norm"),
+    )
+
+
+def q_transform_cond(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.withColumn("prio_u", F.col("o_orderpriority"))
+    out = Transform(
+        "o_orderpriority", "prio_u", lambda p: F.upper(F.reverse(p)),
+        cond=(F.col("o_orderstatus") == "F"),
+    )(o)
+    return out.select("o_orderkey", "prio_u")
+
+
+def q_transform_prob(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.withColumn("status2", F.col("o_orderstatus"))
+    out = Transform(
+        "o_orderstatus", "status2", lambda s: F.lower(s),
+        prob=0.3, key="o_orderkey", seed=11,
+    )(o)
+    return out.select("o_orderkey", "status2")
+
+
+def q_random_fill(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        F.round(det_hash01(F.col("o_orderkey"), 5), 9).alias("u"),
+    )
+
+
+def q_string_to_bool(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    parsed = string_to_bool(F.lower(F.col("l_returnflag")))
+    return (
+        li.select(
+            F.coalesce(parsed.cast("string"), F.lit("unparsed")).alias("flag")
+        )
+        .groupBy("flag").agg(F.count("*").alias("n"))
+    )
+
+
+def q_base64(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Spark's base64 is MIME-chunked (76-char lines); strip the newlines
+    # to get canonical RFC 4648 output comparable with DuckDB's.
+    enc = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\r\n]", "")
+    return d.select(
+        "doc_id",
+        F.length(enc).cast("int").alias("b64_len"),
+        F.substring(enc, 1, 16).alias("b64_prefix"),
+    )
+
+
+def q_index_mapper(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mapper = build_index_mapper(o, "o_orderpriority")
+    return encode(o, "o_orderpriority", mapper).select(
+        "o_orderkey", F.col("o_orderpriority_idx").alias("prio_idx")
+    )
+
+
+def q_generate_groups(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = generate_groups(o, "o_orderkey", [2, 2, 6], seed=3)
+    return out.groupBy("group").agg(F.count("*").alias("n"))
+
+
+def q_fixed_groups(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = fixed_groups(o, "o_orderkey", 5, seed=3)
+    return out.groupBy("group").agg(F.count("*").alias("n"))
+
+
+def q_pad_mask(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.withColumn("toks", tokens(F.col("text")))
+    out = Pad("toks", value="<pad>")(d)
+    return out.select(
+        "doc_id",
+        F.size("toks").alias("padded_len"),
+        F.size(F.filter("toks_mask", lambda m: m)).alias("n_real"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_exact"),
+        fingerprint(F.col("text")).alias("fp_bag"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)\
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", shingle="word", shingle_k=1,
+        n_hashes=32, bands=16, jaccard_threshold=0.5,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+def q_embedding_topk(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(em, q, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_media_features(spark, sf_dir):
+    media = gen_fake_media(spark, n=128)
+    return extract_features(media)
+
+
+def q_flagship(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    out = featurize(t, profiles=None)
+    return out.select(
+        "conv_id", "turn_idx", "ts", "session_seq", "secs_since_prev",
+        "role_lag_1", "text_len_lag_1", "assistant_turns_10",
+        F.round("mean_text_len_10", 4).alias("mean_text_len_10"), "tool_filled",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = _transcripts(spark, sf_dir)
+    left, right = _asof_sides(spark, sf_dir)
+    prof = right.select(
+        F.concat(F.lit("conv_"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("conv_id"),
+        "ts", F.col("val").alias("temperature"),
+    )
+    return featurize(t, profiles=prof)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
+        "rolling": q_rolling,
+        "session_agg": q_session_agg,
+        "asof_union": q_asof_union,
+        "asof_broadcast": q_asof_broadcast,
+        "asof_cogroup": q_asof_cogroup,
+        "filter_dim1": q_filter_dim1,
+        "filter_dim2": q_filter_dim2,
+        "transform_map": q_transform_map,
+        "transform_dim2": q_transform_dim2,
+        "transform_cond": q_transform_cond,
+        "transform_prob": q_transform_prob,
+        "random_fill": q_random_fill,
+        "string_to_bool": q_string_to_bool,
+        "base64": q_base64,
+        "index_mapper": q_index_mapper,
+        "generate_groups": q_generate_groups,
+        "fixed_groups": q_fixed_groups,
+        "pad_mask": q_pad_mask,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "media_features": q_media_features,
+        "flagship": q_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lcg_ok = det_hash_i64_sql("o_orderkey", 3)
+    return {
+        "sessionize": f"""
+          WITH t AS ({_T}),
+          g AS (SELECT conv_id, turn_idx, ts,
+                       lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+                FROM t)
+          SELECT conv_id, turn_idx, ts,
+                 CAST(sum(CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq,
+                 conv_id || '#' ||
+                 CAST(CAST(sum(CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS VARCHAR) AS session_id
+          FROM g
+        """,
+        "lag_lead": f"""
+          WITH t AS ({_T})
+          SELECT conv_id, turn_idx,
+                 round(epoch(ts) - epoch(lag(ts) OVER w), 6) AS secs_since_prev,
+                 lag(role) OVER w AS role_lag_1,
+                 lead(role) OVER w AS role_lead_1
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        """,
+        "backfill": f"""
+          WITH t AS ({_T})
+          SELECT conv_id, turn_idx,
+                 last_value(CASE WHEN tool <> '' THEN tool END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS tool_filled
+          FROM t
+        """,
+        "rolling": f"""
+          WITH t AS ({_T})
+          SELECT conv_id, turn_idx,
+                 CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS BIGINT) AS assistant_turns_10,
+                 round(avg(length(text))
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 4) AS mean_text_len_10
+          FROM t
+        """,
+        "session_agg": f"""
+          WITH t AS ({_T}),
+          g AS (SELECT conv_id, turn_idx, ts,
+                       lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+                FROM t),
+          s AS (SELECT conv_id, ts,
+                       CAST(sum(CASE WHEN prev_ts IS NULL
+                                     OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                                THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq
+                FROM g)
+          SELECT conv_id, session_seq, count(*) AS n_turns,
+                 round(max(epoch(ts)) - min(epoch(ts)), 6) AS span_sec
+          FROM s GROUP BY conv_id, session_seq
+        """,
+        "asof_union": _ASOF_ORACLE,
+        "asof_broadcast": _ASOF_ORACLE,
+        "asof_cogroup": _ASOF_ORACLE,
+        "filter_dim1": """
+          SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+          FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
+        """,
+        "filter_dim2": """
+          SELECT vec_id,
+                 CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+          FROM embeddings
+        """,
+        "transform_map": """
+          SELECT l_orderkey, l_linenumber,
+                 CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+                 CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                      (1 + CAST(l_tax AS DECIMAL(18,2))), 4) AS DOUBLE) AS charged
+          FROM lineitem
+        """,
+        "transform_dim2": """
+          SELECT vec_id,
+                 round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> x * x)), 6) AS sq_norm
+          FROM embeddings
+        """,
+        "transform_cond": """
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'F' THEN upper(reverse(o_orderpriority))
+                      ELSE o_orderpriority END AS prio_u
+          FROM orders
+        """,
+        "transform_prob": f"""
+          SELECT o_orderkey,
+                 CASE WHEN {det_hash01_sql('o_orderkey', 11)} < 0.3
+                      THEN lower(o_orderstatus) ELSE o_orderstatus END AS status2
+          FROM orders
+        """,
+        "random_fill": f"""
+          SELECT o_orderkey, round({det_hash01_sql('o_orderkey', 5)}, 9) AS u
+          FROM orders
+        """,
+        "string_to_bool": """
+          SELECT CASE WHEN lower(l_returnflag) IN ('true','1','y','yes','on') THEN 'true'
+                      WHEN lower(l_returnflag) IN ('false','0','n','no','off') THEN 'false'
+                      ELSE 'unparsed' END AS flag,
+                 count(*) AS n
+          FROM lineitem GROUP BY 1
+        """,
+        "base64": """
+          SELECT doc_id,
+                 CAST(length(base64(CAST(text AS BLOB))) AS INTEGER) AS b64_len,
+                 substring(base64(CAST(text AS BLOB)), 1, 16) AS b64_prefix
+          FROM documents
+        """,
+        "index_mapper": """
+          WITH m AS (
+            SELECT o_orderpriority,
+                   row_number() OVER (ORDER BY o_orderpriority) - 1 AS prio_idx
+            FROM (SELECT DISTINCT o_orderpriority FROM orders)
+          )
+          SELECT o.o_orderkey, m.prio_idx
+          FROM orders o JOIN m USING (o_orderpriority)
+        """,
+        "generate_groups": f"""
+          WITH n AS (SELECT count(*) AS c FROM orders),
+          r AS (SELECT o_orderkey,
+                       row_number() OVER (ORDER BY {lcg_ok}, o_orderkey) AS rn
+                FROM orders)
+          SELECT CAST(CASE WHEN rn <= floor(c * 0.2) THEN 0
+                      WHEN rn <= 2 * floor(c * 0.2) THEN 1
+                      ELSE 2 END AS INTEGER) AS "group",
+                 count(*) AS n
+          FROM r, n GROUP BY 1
+        """,
+        "fixed_groups": f"""
+          SELECT CAST(({det_hash_i64_sql('o_orderkey', 3)}) % 5 AS INTEGER) AS "group",
+                 count(*) AS n
+          FROM orders GROUP BY 1
+        """,
+        "pad_mask": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+            FROM documents),
+          m AS (SELECT max(n_tok) AS mx FROM d)
+          SELECT doc_id, CAST(mx AS INTEGER) AS padded_len,
+                 CAST(n_tok AS INTEGER) AS n_real
+          FROM d, m
+        """,
+        "token_stats": r"""
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+                 CAST(length(text) AS INTEGER) AS n_chars_calc,
+                 round(CASE WHEN length(text) > 0 THEN
+                   CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END, 6) AS punct_ratio
+          FROM documents
+        """,
+        "fingerprint": r"""
+          SELECT doc_id,
+                 md5(text) AS fp_exact,
+                 md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp_bag
+          FROM documents
+        """,
+        "exact_dedup": """
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": r"""
+          WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS g
+            FROM d WHERE trim(text) <> ''),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "embedding_topk": """
+          WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN list_sum(list_transform(q.v, x -> x * x)) > 0
+                         AND list_sum(list_transform(c.v, x -> x * x)) > 0
+                   THEN list_dot_product(q.v, c.v) /
+                        (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                         sqrt(list_sum(list_transform(c.v, x -> x * x))))
+                   ELSE 0.0 END AS cos_raw
+            FROM c, q WHERE c.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM scored)
+          WHERE rank <= 5
+        """,
+        # minhash_lsh / simhash / embedding_lsh_topk use xxhash64 (not
+        # reproducible in DuckDB) -> rows-only checks.
+        # media_features is generated data -> rows-only check.
+        "flagship": f"""
+          WITH t AS ({_T}),
+          b AS (SELECT conv_id, turn_idx, ts, role, tool,
+                       length(text) AS text_len,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(role, 1) OVER w AS role_lag_1,
+                       CAST(lag(length(text), 1) OVER w AS INTEGER) AS text_len_lag_1,
+                       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                         OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS BIGINT) AS assistant_turns_10,
+                       round(avg(length(text))
+                         OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 4) AS mean_text_len_10,
+                       last_value(CASE WHEN tool <> '' THEN tool END IGNORE NULLS)
+                         OVER (w ROWS UNBOUNDED PRECEDING) AS tool_filled
+                FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+          SELECT conv_id, turn_idx, ts,
+                 CAST(sum(CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                          THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq,
+                 round(epoch(ts) - epoch(prev_ts), 6) AS secs_since_prev,
+                 role_lag_1, text_len_lag_1, assistant_turns_10,
+                 mean_text_len_10, tool_filled
+          FROM b
+        """,
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the flagship
+feature pipeline over a deterministic synthetic transcript corpus
+(~600k turns incl. hot-conversation skew). Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "flagship", "sessionize", "asof_union", "asof_broadcast", "rolling",
+    "backfill", "transform_map", "filter_dim1", "exact_dedup",
+    "minhash_lsh", "token_stats", "fingerprint", "embedding_topk",
+    "generate_groups", "index_mapper",
+]
+
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "20000"))
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from hipipe_spark.datagen import gen_profile_updates, gen_transcripts
+    from hipipe_spark.operators.flagship import featurize
+    from hipipe_spark.session import get_spark
+
+    spark = get_spark(app_name="hipipe_spark_bench")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # headline driver queries at SF_DIR
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # synthetic-transcript throughput (the north-rule metric: turns/sec
+    # end-to-end through sessionize+lag/lead+rolling+backfill+as-of)
+    turns = gen_transcripts(spark, n_convs=N_CONVS, avg_turns=20,
+                            hot_frac=0.01, hot_mult=50)
+    profiles = gen_profile_updates(spark, n_convs=N_CONVS)
+    turns = turns.persist()
+    n_turns = turns.count()  # materialize input so we time the pipeline
+    t0 = time.time()
+    out_rows = featurize(turns, profiles).count()
+    pipe_sec = time.time() - t0
+    turns.unpersist()
+    timings["flagship_synthetic"] = round(pipe_sec, 3)
+    total += pipe_sec
+    assert out_rows == n_turns, (out_rows, n_turns)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / pipe_sec, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Deterministic, cross-engine pseudo-randomness.
+
+The reference's randomness (``include/hipipe/core/utility/random.hpp:21``
+— a thread-local mt19937 seeded from ``random_device``) is irreproducible
+by design. This engine upgrades it to *key-derived* determinism so results
+are identical across cluster sizes and checkable against a SQL oracle:
+every "random" draw is a pure function of (key columns, op seed).
+
+Two hash families:
+
+- :func:`det_hash01` / :func:`det_hash01_sql` — a double-round LCG kept
+  inside 62-bit intermediates so the SAME arithmetic is exact in Spark
+  (Java long) and DuckDB (BIGINT, which raises on overflow). Used wherever
+  a DuckDB oracle must reproduce the draw bit-for-bit.
+- ``F.xxhash64`` — Spark's native 64-bit hash, used for salts and
+  bucketing where no SQL oracle needs to reproduce the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Classic glibc LCG constants; two rounds for mixing. All intermediates
+# fit in 62 bits provided the input is < 2^31 (we mod inputs first).
+_A = 1103515245
+_C = 12345
+_M = 2147483648  # 2^31
+
+
+def det_hash_i64(key: Column, seed: int = 0) -> Column:
+    """Deterministic integer hash in [0, 2^31) of an integer column."""
+    x = F.pmod(key + F.lit(int(seed)), F.lit(_M))
+    x = F.pmod(x * F.lit(_A) + F.lit(_C), F.lit(_M))
+    x = F.pmod(x * F.lit(_A) + F.lit(_C), F.lit(_M))
+    return x
+
+
+def det_hash01(key: Column, seed: int = 0) -> Column:
+    """Deterministic uniform double in [0, 1) from an integer column."""
+    return det_hash_i64(key, seed) / F.lit(float(_M))
+
+
+def det_hash_i64_sql(key_expr: str, seed: int = 0) -> str:
+    """ANSI-SQL (DuckDB-runnable) text of :func:`det_hash_i64`."""
+    x = f"(({key_expr}) + {int(seed)}) % {_M}"
+    x = f"((({x}) % {_M} + {_M}) % {_M})"  # pmod
+    for _ in range(2):
+        x = f"((({x}) * {_A} + {_C}) % {_M})"
+    return x
+
+
+def det_hash01_sql(key_expr: str, seed: int = 0) -> str:
+    """ANSI-SQL text of :func:`det_hash01`."""
+    return f"(CAST({det_hash_i64_sql(key_expr, seed)} AS DOUBLE) / {float(_M)})"
+
+
+def salt_col(key: Column, n_salts: int, extra: Column | None = None) -> Column:
+    """Salt bucket in [0, n_salts) for skew mitigation (xxhash64-based;
+    no oracle needs to reproduce salts — they never change results)."""
+    cols = [key] if extra is None else [key, extra]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")

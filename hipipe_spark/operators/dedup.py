@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference capability (task spec): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, and embedding-cosine near-duplicate detection, all
+expressed as distributed DataFrame plans:
+
+- no pairwise O(n²) anywhere except *within* LSH buckets / candidate
+  groups — the only strategy that survives 100 TB;
+- candidate generation is equi-join on bucket keys (shuffle on a
+  well-distributed hash — AQE handles residual skew);
+- verification (true Jaccard / cosine) only runs on candidate pairs.
+
+All hash seeds are fixed constants → deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.text import exact_fingerprint, fingerprint, tokens
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                canonical: bool = False) -> DataFrame:
+    """Keep one representative row per (byte-exact or canonicalized)
+    text; the representative is the min id (deterministic). One shuffle
+    on the fingerprint (hash-groupBy); at scale the fingerprint is
+    high-cardinality and well distributed."""
+    fp = fingerprint(F.col(text_col)) if canonical else exact_fingerprint(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ------------------------------------------------------------- shingling
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string, JVM-side:
+    transform over an index sequence + substring."""
+    n = F.greatest(F.length(col) - (k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n)  # 1-based substring positions; empty when n=0
+    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(k))))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined)."""
+    toks = tokens(F.lower(col))
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+# --------------------------------------------------------------- MinHash
+def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, i). Pure JVM expressions; n_hashes array_min scans
+    over the shingle array per row."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+          for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float | None = 0.8,
+    shingle: str = "char",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + banded LSH.
+
+    shingle → minhash → band → bucket equi-join → (optional) verify with
+    true shingle-set Jaccard. Output: (id_a, id_b, jaccard) with
+    id_a < id_b. The band join is an equi-join on (band_idx, band_hash):
+    broadcast-free, shuffle on a uniform key — the 100 TB-safe shape.
+    """
+    rows_per_band = n_hashes // bands
+    assert rows_per_band * bands == n_hashes, "bands must divide n_hashes"
+    sh_fn = char_shingles if shingle == "char" else word_ngrams
+    base = df.select(
+        F.col(id_col).alias("id"),
+        sh_fn(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+
+    banded = base.select(
+        "id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bh")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = pairs.withColumn(
+        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    ).select("id_a", "id_b", "jaccard")
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    return out
+
+
+# --------------------------------------------------------------- SimHash
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side: explode tokens, hash
+    each token once (xxhash64), then per bit sum +1/-1 and reassemble.
+    One shuffle (groupBy id). Documents with no tokens get simhash 0."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("t").isNull(), F.lit(0))
+            .when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sh = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(term, i)
+        sh = term if sh is None else sh.bitwiseOR(term)
+    return agg.select(F.col("id").alias(id_col), sh.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
+    the 4-block pigeonhole trick: split the 64-bit hash into 4 16-bit
+    blocks; any pair within distance 3 shares ≥1 exact block → equi-join
+    per block, then verify with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col)
+    blocks = sh.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.blk", "bb.bv")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(b, on=["blk", "bv"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 1,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram-set Jaccard over candidate pairs generated by a
+    shared-ngram inverted-index join (a pair is a candidate iff it shares
+    ≥1 n-gram — exact, no LSH approximation; heavier than MinHash but
+    oracle-expressible in plain SQL). Common-gram hubs are the skew risk
+    at scale; production would drop the top-frequency grams first (doc-
+    frequency filter), which is a straightforward pre-aggregation."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ------------------------------------------------- embedding near-dup
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side:
+    zip_with product + aggregate sums."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         n_planes: int = 8, seed: int = 7,
+                         brute_force: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicates.
+
+    Scale path: random-hyperplane LSH — sign-bit sketch over ``n_planes``
+    fixed hyperplanes (deterministic numpy seed), equi-join on the sketch
+    bucket, cosine-verify within buckets. Only pairs whose angle is small
+    land in the same bucket with high probability.
+
+    ``brute_force=True``: full O(n²) self-join — the small-scale oracle.
+    """
+    import numpy as np
+
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("vec"))
+    if brute_force:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(n_planes, dim)
+        sketch = None
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+            dot = F.aggregate(F.zip_with("vec", plane, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, i)
+            sketch = term if sketch is None else sketch.bitwiseOR(term)
+        v = v.withColumn("bucket", sketch)
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
+    out = pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        cosine_sim(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+    )
+    return out.filter(F.col("cosine") >= threshold)

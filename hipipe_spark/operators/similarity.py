@@ -1,0 +1,104 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Task-spec capability: top-k cosine neighbors for a query set against a
+corpus of ``array<float>`` embeddings.
+
+- :func:`brute_force_topk` — exact baseline: broadcast the (small) query
+  set, JVM-side cosine per (query, corpus) pair, per-query top-k via
+  window row_number. Corpus side never shuffles except the final top-k
+  aggregation; at 100 TB the corpus scan is embarrassingly parallel.
+- :func:`lsh_topk` — scale path: random-hyperplane sign sketches with
+  multi-probe (hamming radius 0/1 bucket expansion) to cut the candidate
+  set, then exact cosine re-rank of candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.dedup import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    qid = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = queries.select(F.col(qid).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_sim(F.col("qvec"), F.col("cvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _sketch(vec_col, planes) -> "F.Column":
+    sketch = None
+    for i, row in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sketch = term if sketch is None else sketch.bitwiseOR(term)
+    return sketch
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    probe_radius: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane sign sketch; probe
+    each query's bucket plus all buckets within Hamming distance
+    ``probe_radius`` (bit-flip expansion of the query sketch); exact
+    cosine re-rank within candidates."""
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    c = c.withColumn("bucket", _sketch(F.col("cvec"), planes))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qvec"))
+    q = q.withColumn("qbucket", _sketch(F.col("qvec"), planes))
+    # multi-probe: bucket ± single-bit flips
+    probes = [F.col("qbucket")]
+    if probe_radius >= 1:
+        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine_sim(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,236 @@
+"""Keyed temporal feature operators: sessionize, lag/lead, backfill,
+rolling aggregates — the Window-function layer of the engine.
+
+hipipe has no window functions; its users implement these with mutable
+stateful lambdas inside ``transform`` (the mutable-counter idiom,
+reference ``test/core/stream/transform1.cpp:156-179``). The north rule
+promotes them to first-class, leakage-safe operators.
+
+**Temporal-leakage contract** (BASELINE.md "Temporal integrity"): every
+feature frame must end at or before the current row. :class:`FrameSpec`
+is the single place frames are constructed; it refuses frames that can
+read ``ts' > ts``. Features needing strictly-past data end at ``-1``.
+
+**Stable ordering contract**: every window orders by
+``(ts, turn_idx)`` within ``conv_id`` — ties on ``ts`` are broken by
+``turn_idx`` so results are byte-identical at any parallelism.
+
+All operators are pure built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from hipipe_spark.plans.pipeline import Stage
+
+DEFAULT_KEY = "conv_id"
+DEFAULT_ORDER = ("ts", "turn_idx")
+
+
+class LeakageError(ValueError):
+    """A frame would read rows with ts' > ts."""
+
+
+def ts_seconds(col: Column) -> Column:
+    """Epoch seconds (double, microsecond precision) from TIMESTAMP or
+    TIMESTAMP_NTZ (NTZ can't cast to double directly; session tz is UTC
+    so NTZ→TS is identity)."""
+    return col.cast("timestamp").cast("double")
+
+
+class FrameSpec:
+    """Leakage-checked window frame factory.
+
+    ``FrameSpec(lookback=10)`` → rows [-10, -1] (strictly past);
+    ``FrameSpec(lookback=10, include_current=True)`` → rows [-10, 0].
+    A positive ``end`` (future rows) raises :class:`LeakageError` unless
+    ``allow_future=True`` is passed explicitly (e.g. for a *label*
+    column, which is not a feature).
+    """
+
+    def __init__(
+        self,
+        lookback: int | None = None,
+        include_current: bool = False,
+        start: int | None = None,
+        end: int | None = None,
+        allow_future: bool = False,
+    ):
+        if start is None:
+            start = Window.unboundedPreceding if lookback is None else -lookback
+        if end is None:
+            end = 0 if include_current else -1
+        if end > 0 and not allow_future:
+            raise LeakageError(
+                f"frame end {end} reads future rows; pass allow_future=True "
+                "only for label columns, never features"
+            )
+        self.start, self.end = start, end
+
+    def over(self, key: str | Sequence[str] = DEFAULT_KEY,
+             order: Sequence[str] = DEFAULT_ORDER) -> WindowSpec:
+        keys = [key] if isinstance(key, str) else list(key)
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order])
+            .rowsBetween(self.start, self.end)
+        )
+
+
+def ordered_window(key: str | Sequence[str] = DEFAULT_KEY,
+                   order: Sequence[str] = DEFAULT_ORDER) -> WindowSpec:
+    keys = [key] if isinstance(key, str) else list(key)
+    return Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+
+
+class Sessionize(Stage):
+    """Gap-based sessionization: a new session starts when the time since
+    the previous turn exceeds ``gap``. Emits ``session_id`` (string,
+    ``<conv_id>#<n>``) and ``session_seq`` (int, 0-based within conv).
+
+    Composition of built-ins: lag(ts) → gap>threshold flag → running sum
+    (the classic cumsum trick; hipipe users did this in a stateful
+    ``transform(dim<0>)`` — reference §2.3).
+
+    lag() reads the *previous* row only (ts' < ts): leakage-free.
+    """
+
+    def __init__(self, gap: str = "30 minutes", key: str = DEFAULT_KEY,
+                 ts_col: str = "ts", order: Sequence[str] = DEFAULT_ORDER):
+        super().__init__(f"sessionize({gap})")
+        self.gap_sec = _interval_seconds(gap)
+        self.key, self.ts_col, self.order = key, ts_col, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = ordered_window(self.key, self.order)
+        prev_ts = F.lag(F.col(self.ts_col)).over(w)
+        # epoch double keeps sub-second precision (unix_timestamp truncates)
+        gap = ts_seconds(F.col(self.ts_col)) - ts_seconds(prev_ts)
+        new_sess = F.when(
+            prev_ts.isNull() | (gap > float(self.gap_sec)), F.lit(1)
+        ).otherwise(F.lit(0))
+        df = df.withColumn(
+            "session_seq",
+            (F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"),
+        )
+        return df.withColumn(
+            "session_id", F.concat(F.col(self.key), F.lit("#"), F.col("session_seq"))
+        )
+
+
+class LagLead(Stage):
+    """lag/lead features over the stable per-conversation order.
+
+    ``LagLead("role", lags=[1,2])`` → ``role_lag_1``, ``role_lag_2``.
+    Leads read future rows — they are **labels**, not features, and are
+    emitted with a ``_label`` suffix to keep the leakage contract visible.
+    """
+
+    def __init__(self, cols: str | Sequence[str], lags: Sequence[int] = (1,),
+                 leads: Sequence[int] = (), key: str = DEFAULT_KEY,
+                 order: Sequence[str] = DEFAULT_ORDER):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"lag_lead({','.join(self.cols)})")
+        self.lags, self.leads = list(lags), list(leads)
+        self.key, self.order = key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = ordered_window(self.key, self.order)
+        for c in self.cols:
+            for k in self.lags:
+                df = df.withColumn(f"{c}_lag_{k}", F.lag(c, k).over(w))
+            for k in self.leads:
+                df = df.withColumn(f"{c}_lead_{k}_label", F.lead(c, k).over(w))
+        return df
+
+
+class TimeSincePrev(Stage):
+    """Seconds since the previous turn (null on the first turn)."""
+
+    def __init__(self, ts_col: str = "ts", out: str = "secs_since_prev",
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER):
+        super().__init__("time_since_prev")
+        self.ts_col, self.out, self.key, self.order = ts_col, out, key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = ordered_window(self.key, self.order)
+        prev = F.lag(F.col(self.ts_col)).over(w)
+        return df.withColumn(
+            self.out,
+            F.round(ts_seconds(F.col(self.ts_col)) - ts_seconds(prev), 6),
+        )
+
+
+class Backfill(Stage):
+    """Sliding-window backfill: fill nulls (or a sentinel) with the most
+    recent non-null value within ``lookback`` prior rows (None =
+    unbounded). ``last(x, ignorenulls=True)`` over a bounded frame — the
+    Spark-native analog of hipipe's pad+mask (reference ``pad.hpp:82-96``)
+    read along time instead of along a batch.
+
+    ``include_current=True`` (default) means the current row's own value
+    wins when present — standard forward-fill. Frames never extend past
+    row 0: leakage-free by construction (FrameSpec-checked).
+    """
+
+    def __init__(self, cols: str | Sequence[str], lookback: int | None = None,
+                 sentinel=None, include_current: bool = True,
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER,
+                 suffix: str = "_filled"):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"backfill({','.join(self.cols)})")
+        self.frame = FrameSpec(lookback=lookback, include_current=include_current)
+        self.sentinel = sentinel
+        self.key, self.order, self.suffix = key, order, suffix
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = self.frame.over(self.key, self.order)
+        for c in self.cols:
+            v = F.col(c)
+            if self.sentinel is not None:
+                v = F.when(v != F.lit(self.sentinel), v)  # sentinel → null
+            df = df.withColumn(f"{c}{self.suffix}", F.last(v, ignorenulls=True).over(w))
+        return df
+
+
+class RollingAgg(Stage):
+    """Rolling aggregate over the last ``lookback`` rows (strictly past by
+    default — set ``include_current=True`` to include the current row).
+
+    ``RollingAgg({"assistant_turns_10": (F.sum, when_assistant)}, 10)``
+    style: values are (agg_fn, source Column) pairs.
+    """
+
+    def __init__(self, aggs: dict[str, tuple], lookback: int | None,
+                 include_current: bool = False, key: str = DEFAULT_KEY,
+                 order: Sequence[str] = DEFAULT_ORDER):
+        super().__init__(f"rolling({','.join(aggs)})")
+        self.aggs = aggs
+        self.frame = FrameSpec(lookback=lookback, include_current=include_current)
+        self.key, self.order = key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = self.frame.over(self.key, self.order)
+        for out, (fn, col) in self.aggs.items():
+            df = df.withColumn(out, fn(col).over(w))
+        return df
+
+
+def _interval_seconds(text: str) -> int:
+    """Parse '30 minutes' / '45s' / '2 hours' into seconds."""
+    parts = text.strip().split()
+    if len(parts) == 1:
+        num = "".join(ch for ch in parts[0] if ch.isdigit() or ch == ".")
+        unit = parts[0][len(num):] or "s"
+    else:
+        num, unit = parts[0], parts[1]
+    mult = {"s": 1, "sec": 1, "second": 1, "seconds": 1,
+            "m": 60, "min": 60, "minute": 60, "minutes": 60,
+            "h": 3600, "hour": 3600, "hours": 3600,
+            "d": 86400, "day": 86400, "days": 86400}[unit.lower()]
+    return int(float(num) * mult)
