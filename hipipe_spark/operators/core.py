@@ -346,15 +346,19 @@ def unpack(df: DataFrame, cols: str | Sequence[str], dim: int = 1):
     use only as the terminal stage (like the reference)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     pdf = df.select(*cols).toPandas()
+
+    def _pyval(x):
+        return x.tolist() if hasattr(x, "tolist") else x
+
     outs = []
     for c in cols:
         s = pdf[c]
         if dim == 2:
-            outs.append([x for arr in s for x in (arr if arr is not None else [])])
-        elif dim == 0:
-            outs.append(s.tolist())
-        else:
-            outs.append(s.tolist())
+            outs.append(
+                [_pyval(x) for arr in s if arr is not None for x in arr]
+            )
+        else:  # dim 0/1: one value per row (arrays come back as lists)
+            outs.append([_pyval(x) for x in s])
     return outs[0] if len(outs) == 1 else tuple(outs)
 
 

@@ -1,0 +1,89 @@
+"""As-of join: all three strategies vs pandas merge_asof, all option
+combinations, skewed keys, empty right side."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from hipipe_spark.operators.asof import asof_join
+
+STRATEGIES = ["union", "cogroup", "broadcast"]
+
+
+def _mk(spark, transcripts, profiles):
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = profiles
+    lpdf, rpdf = left.toPandas(), right.toPandas()
+    return left, right, lpdf, rpdf
+
+
+def _oracle(lpdf, rpdf, direction="backward", exact=True, tol=None):
+    l = lpdf.sort_values("ts", kind="mergesort")
+    r = rpdf.sort_values("ts", kind="mergesort")
+    return pd.merge_asof(
+        l, r, on="ts", by="conv_id", direction=direction,
+        allow_exact_matches=exact,
+        tolerance=pd.Timedelta(seconds=tol) if tol else None,
+    )
+
+
+def _compare(out, oracle, cols=("model", "temperature")):
+    a = out.toPandas().sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    b = oracle.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av = a[c].fillna("<N>").tolist() if a[c].dtype == object else a[c].fillna(-9e9).tolist()
+        bv = b[c].fillna("<N>").tolist() if b[c].dtype == object else b[c].fillna(-9e9).tolist()
+        assert av == bv, c
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_backward_exact(spark, transcripts, profiles, strategy):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy)
+    _compare(out, _oracle(lpdf, rpdf))
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_backward_strict(spark, transcripts, profiles, strategy):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy, allow_exact_matches=False)
+    _compare(out, _oracle(lpdf, rpdf, exact=False))
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_forward(spark, transcripts, profiles, strategy):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy, direction="forward")
+    _compare(out, _oracle(lpdf, rpdf, direction="forward"))
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_tolerance(spark, transcripts, profiles, strategy):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy, tolerance_sec=900)
+    _compare(out, _oracle(lpdf, rpdf, tol=900))
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_empty_right(spark, transcripts, profiles, strategy):
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    right = profiles.filter("1=0")
+    out = asof_join(left, right, strategy=strategy)
+    pdf = out.toPandas()
+    assert len(pdf) == left.count()
+    assert pdf["model"].isna().all()
+
+
+def test_no_right_rows_for_some_keys(spark):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", base), ("b", base)], "conv_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", base - dt.timedelta(60), 1.0)], "conv_id string, ts timestamp, v double"
+    )
+    for s in STRATEGIES:
+        rows = {r.conv_id: r.v for r in asof_join(left, right, strategy=s).collect()}
+        assert rows == {"a": 1.0, "b": None}
