@@ -333,6 +333,111 @@ def q_media_features(spark, sf_dir):
     return extract_features(media)
 
 
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # dims broadcast; fact side shuffles once for the agg
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("total"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        )
+    )
+
+
+def q_asof_tolerance(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="union",
+                    tolerance_sec=600)
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_backfill_bounded(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    out = Backfill("tool", sentinel="", lookback=5, include_current=True)(t)
+    return out.select("conv_id", "turn_idx", "tool_filled")
+
+
+def q_rolling_range(spark, sf_dir):
+    # time-based range frame: events per user in the trailing 10 minutes
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_seconds(F.col("ts")))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), 4).alias("sum_10min"),
+    )
+
+
+def q_distinct_count(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_quality_lang(spark, sf_dir):
+    from hipipe_spark.functions.text import lang_id, quality_score
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
 def q_flagship(spark, sf_dir):
     t = _transcripts(spark, sf_dir)
     out = featurize(t, profiles=None)
@@ -387,6 +492,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "media_features": q_media_features,
+        "tpch_q1": q_tpch_q1,
+        "join_agg": q_join_agg,
+        "topk_per_group": q_topk_per_group,
+        "pivot_status": q_pivot_status,
+        "asof_tolerance": q_asof_tolerance,
+        "backfill_bounded": q_backfill_bounded,
+        "rolling_range": q_rolling_range,
+        "distinct_count": q_distinct_count,
+        "quality_lang": q_quality_lang,
         "flagship": q_flagship,
     }
 
@@ -608,6 +722,69 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh / simhash / embedding_lsh_topk use xxhash64 (not
         # reproducible in DuckDB) -> rows-only checks.
         # media_features is generated data -> rows-only check.
+        # quality_lang: heuristic scoring, rows-only.
+        "tpch_q1": """
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_agg": """
+          SELECT n_name, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        """,
+        "topk_per_group": """
+          SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+          FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                FROM orders)
+          WHERE rk <= 3
+        """,
+        "pivot_status": """
+          SELECT l_returnflag,
+                 CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                 CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+          FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_tolerance": """
+          WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+               r AS (SELECT user_id, ts, round(value, 4) AS val FROM events WHERE event_id % 2 = 0)
+          SELECT l.event_id, l.user_id, l.ts,
+                 CASE WHEN r.ts IS NOT NULL
+                       AND epoch(l.ts) - epoch(r.ts) <= 600 THEN r.val END AS val
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "backfill_bounded": f"""
+          WITH t AS ({_T})
+          SELECT conv_id, turn_idx,
+                 last_value(CASE WHEN tool <> '' THEN tool END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tool_filled
+          FROM t
+        """,
+        "rolling_range": """
+          SELECT event_id, user_id,
+                 count(*) OVER w AS n_10min,
+                 round(sum(value) OVER w, 4) AS sum_10min
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        "distinct_count": """
+          SELECT l_returnflag,
+                 count(DISTINCT l_partkey) AS n_parts,
+                 count(DISTINCT l_suppkey) AS n_supps
+          FROM lineitem GROUP BY l_returnflag
+        """,
         "flagship": f"""
           WITH t AS ({_T}),
           b AS (SELECT conv_id, turn_idx, ts, role, tool,

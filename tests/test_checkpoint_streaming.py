@@ -1,0 +1,105 @@
+"""Checkpoint/resume + lineage metrics, and streaming sessionization."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from hipipe_spark.checkpoint import ResumablePipeline, SnapshotStore
+from hipipe_spark.operators.temporal import Sessionize
+
+
+def test_snapshot_commit_and_lineage(spark, transcripts, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    snap = store.commit(transcripts, "turns", meta={"source": "datagen"})
+    man = store.manifest("turns", snap)
+    assert man["rows"] == transcripts.count()
+    assert man["n_partitions"] >= 1
+    assert man["rows_per_sec"] > 0
+    metrics = os.path.join(str(tmp_path / "snaps"), "turns", snap, "metrics.jsonl")
+    recs = [json.loads(l) for l in open(metrics)]
+    assert sum(r["rows"] for r in recs) == man["rows"]
+    back = store.read(spark, "turns")
+    assert back.count() == man["rows"]
+
+
+def test_resume_skips_committed_stages(spark, transcripts, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    calls = []
+
+    def stage_a(df):
+        calls.append("a")
+        return df.withColumn("text_len", F.length("text"))
+
+    def stage_b(df):
+        calls.append("b")
+        return Sessionize()(df)
+
+    pipe = ResumablePipeline(store, [("lenify", stage_a), ("sessionize", stage_b)])
+    out1 = pipe.run(spark, transcripts)
+    assert calls == ["a", "b"]
+    n = out1.count()
+
+    # simulate a crash after stage a: remove stage b's snapshot
+    import shutil
+    bdir = os.path.join(str(tmp_path / "snaps"), "run", "01_sessionize")
+    shutil.rmtree(bdir)
+    calls.clear()
+    out2 = pipe.run(spark, transcripts)
+    assert calls == ["b"]          # stage a resumed from snapshot
+    assert out2.count() == n
+    assert "session_id" in out2.columns
+
+    # fully committed -> nothing re-executes
+    calls.clear()
+    out3 = pipe.run(spark, transcripts)
+    assert calls == []
+    assert out3.count() == n
+
+
+def test_streaming_session_aggregates(spark, transcripts, tmp_path):
+    from hipipe_spark.streaming.session_stream import session_aggregates_stream
+
+    src = str(tmp_path / "stream_src")
+    transcripts.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(transcripts.schema).parquet(src)
+    )
+    agg = session_aggregates_stream(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_out")
+    # append mode only emits watermark-closed sessions; the batch oracle
+    # (Sessionize + groupBy) must agree on those sessions' turn counts.
+    batch = (
+        Sessionize(gap="30 minutes")(transcripts)
+        .groupBy("conv_id", "session_seq")
+        .agg(F.count("*").alias("n_turns"), F.min("ts").alias("session_start"))
+    )
+    got = {(r["conv_id"], r["session_start"]): r["n_turns"] for r in out.collect()}
+    want = {(r["conv_id"], r["session_start"]): r["n_turns"] for r in batch.collect()}
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v, k
+
+
+def test_streaming_featurize_batches(spark, transcripts, tmp_path):
+    from hipipe_spark.streaming.session_stream import featurize_stream
+
+    src = str(tmp_path / "fsrc")
+    transcripts.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(transcripts.schema).parquet(src)
+    q = featurize_stream(
+        stream, out_path=str(tmp_path / "fout"),
+        checkpoint_path=str(tmp_path / "fckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "fout"))
+    assert out.count() == transcripts.count()
+    assert "session_id" in out.columns and "tool_filled" in out.columns

@@ -18,11 +18,12 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys, time
+import json, shutil, sys, tempfile, time
 sys.path.insert(0, %(repo)r)
 from hipipe_spark.session import get_spark
 from hipipe_spark.datagen import gen_profile_updates, gen_transcripts
 from hipipe_spark.operators.flagship import featurize
+from pyspark.sql import functions as F
 
 cores = int(sys.argv[1])
 n_convs = int(sys.argv[2])
@@ -32,12 +33,39 @@ turns = gen_transcripts(spark, n_convs=n_convs, avg_turns=20,
                         hot_frac=0.01, hot_mult=50).persist()
 profiles = gen_profile_updates(spark, n_convs=n_convs)
 n = turns.count()
-t0 = time.time()
-rows = featurize(turns, profiles).count()
-dt = time.time() - t0
-assert rows == n
-print(json.dumps({"cores": cores, "n_turns": n, "sec": round(dt, 3),
-                  "turns_per_sec": round(n / dt, 1)}))
+out_dir = tempfile.mkdtemp(prefix=f"scaling_{cores}_")
+
+def checksum(df):
+    # forces EVERY output column (count() would let Catalyst prune the
+    # feature columns away and time nothing)
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))
+    df.select(F.count(F.lit(1)), F.sum(h)).collect()
+
+# One warm-up run amortizes JIT/codegen compilation (which otherwise
+# dominates a cold JVM's first execution ~10x); report best of 3
+# steady-state runs — the number that scales with cluster size.
+checksum(featurize(turns, profiles))
+compute = None
+for i in range(3):
+    t0 = time.time()
+    checksum(featurize(turns, profiles))
+    dt = time.time() - t0
+    compute = dt if compute is None else min(compute, dt)
+
+featurize(turns, profiles).write.mode("overwrite").parquet(out_dir + "/warm")
+e2e = None
+for i in range(3):
+    t0 = time.time()
+    featurize(turns, profiles).write.mode("overwrite").parquet(f"{out_dir}/out{i}")
+    dt = time.time() - t0
+    e2e = dt if e2e is None else min(e2e, dt)
+shutil.rmtree(out_dir, ignore_errors=True)
+print(json.dumps({
+    "cores": cores, "n_turns": n,
+    "compute_sec": round(compute, 3),
+    "compute_turns_per_sec": round(n / compute, 1),
+    "sec": round(e2e, 3), "turns_per_sec": round(n / e2e, 1),
+}))
 """
 
 
@@ -53,8 +81,11 @@ def run(cores: int, n_convs: int) -> dict:
 def main(n: int = 8, n_convs: int = 20000) -> None:
     lo = run(n, n_convs)
     hi = run(n * 4, n_convs)
-    eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
-    result = {"N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
+    eff_c = hi["compute_turns_per_sec"] / (4 * lo["compute_turns_per_sec"])
+    eff_e = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+    result = {"N": lo, "fourN": hi,
+              "compute_scaling_efficiency": round(eff_c, 3),
+              "e2e_scaling_efficiency": round(eff_e, 3),
               "date": datetime.now(timezone.utc).isoformat(timespec="seconds")}
     print(json.dumps(result))
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -67,15 +98,25 @@ def main(n: int = 8, n_convs: int = 20000) -> None:
                 "Flagship feature pipeline (sessionize + lag/lead + rolling +\n"
                 "backfill + as-of profile join) over deterministic synthetic\n"
                 "transcripts with 1% hot conversations holding ~half the rows.\n"
-                "Input persisted before timing; pipeline + count timed.\n\n"
-                "| date | n_turns | local[N] cores | T(N) s | turns/s @N | "
-                "local[4N] cores | T(4N) s | turns/s @4N | efficiency T(4N)/(4·T(N)) |\n"
-                "|---|---|---|---|---|---|---|---|---|\n"
+                "Input persisted before timing. `compute` forces every feature\n"
+                "column via a checksum aggregate; `e2e` additionally writes\n"
+                "parquet (sandbox caveat: ONE local disk serves all threads —\n"
+                "a real cluster writes to a distributed FS that scales with\n"
+                "executors, so compute efficiency is the architecture signal\n"
+                "and e2e efficiency is a single-disk lower bound).\n\n"
+                "| date | n_turns | N cores | compute T(N)/turns-s | e2e T(N)/turns-s | "
+                "4N cores | compute T(4N)/turns-s | e2e T(4N)/turns-s | "
+                "compute eff | e2e eff |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {result['date']} | {lo['n_turns']} | {lo['cores']} | {lo['sec']} "
-            f"| {lo['turns_per_sec']} | {hi['cores']} | {hi['sec']} "
-            f"| {hi['turns_per_sec']} | {result['scaling_efficiency']} |\n"
+            f"| {result['date']} | {lo['n_turns']} | {lo['cores']} "
+            f"| {lo['compute_sec']}s / {lo['compute_turns_per_sec']} "
+            f"| {lo['sec']}s / {lo['turns_per_sec']} | {hi['cores']} "
+            f"| {hi['compute_sec']}s / {hi['compute_turns_per_sec']} "
+            f"| {hi['sec']}s / {hi['turns_per_sec']} "
+            f"| {result['compute_scaling_efficiency']} "
+            f"| {result['e2e_scaling_efficiency']} |\n"
         )
 
 
