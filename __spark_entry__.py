@@ -145,6 +145,13 @@ def q_asof_cogroup(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "val")
 
 
+def q_asof_bucketed(spark, sf_dir):
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="bucketed",
+                    bucket_width_sec=3600)
+    return out.select("event_id", "user_id", "ts", "val")
+
+
 def q_filter_dim1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     out = Filter(["l_quantity", "l_discount"],
@@ -470,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union": q_asof_union,
         "asof_broadcast": q_asof_broadcast,
         "asof_cogroup": q_asof_cogroup,
+        "asof_bucketed": q_asof_bucketed,
         "filter_dim1": q_filter_dim1,
         "filter_dim2": q_filter_dim2,
         "transform_map": q_transform_map,
@@ -573,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_union": _ASOF_ORACLE,
         "asof_broadcast": _ASOF_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
+        "asof_bucketed": _ASOF_ORACLE,
         "filter_dim1": """
           SELECT l_orderkey, l_linenumber, l_quantity, l_discount
           FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05

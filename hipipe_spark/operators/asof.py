@@ -56,10 +56,19 @@ def asof_join(
     tolerance_sec: int | None = None,
     value_cols: Sequence[str] | None = None,
     suffix: str = "",
+    bucket_width_sec: int = 3600,
 ) -> DataFrame:
     """As-of join; see module docstring. ``value_cols`` defaults to all
     right columns except ``on``/``by``. Forward direction reads future
-    rows — allowed for label construction, flagged in the name."""
+    rows — allowed for label construction, flagged in the name.
+
+    ``strategy="bucketed"`` is the hot-key path: both sides are
+    re-keyed by (by, time_bucket) so a single monster conversation is
+    split across ``bucket_width_sec`` slices instead of landing in one
+    window partition; per-bucket results are stitched with a carry-in
+    table (last right value from any earlier bucket), computed on the
+    tiny (by, bucket) grain. Exact same semantics as "union".
+    """
     by = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by}]
@@ -72,6 +81,9 @@ def asof_join(
     if strategy == "broadcast":
         return _asof_broadcast(left, right, on, by, direction, allow_exact_matches,
                                tolerance_sec, value_cols, suffix)
+    if strategy == "bucketed":
+        return _asof_bucketed(left, right, on, by, direction, allow_exact_matches,
+                              tolerance_sec, value_cols, suffix, bucket_width_sec)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -201,3 +213,78 @@ def _pred(e, lt, exact, direction):
     if direction == "backward":
         return (e["t"] <= lt) if exact else (e["t"] < lt)
     return (e["t"] >= lt) if exact else (e["t"] > lt)
+
+
+def _asof_bucketed(left, right, on, by, direction, exact, tol, value_cols,
+                   suffix, width):
+    """Skew-proof backward as-of (module docstring). Three phases:
+
+    1. carry table, tiny grain (by, bucket): the last right value in
+       each bucket, then running-last over STRICTLY earlier buckets per
+       key — the carry-in each bucket starts from. Always ts' < left ts
+       (earlier bucket), so exact/strict doesn't matter for the carry.
+    2. union both sides partitioned by (by, bucket) — a hot key splits
+       into time slices; window last(ignorenulls) within the slice.
+    3. result = within-bucket match, else carry-in; tolerance applied on
+       the matched timestamp either way.
+    """
+    if direction != "backward":
+        raise ValueError("bucketed strategy supports backward as-of only")
+    sec = F.col(on).cast("timestamp").cast("double")
+    bexpr = F.floor(sec / F.lit(float(width))).cast("long")
+    lcols = left.columns
+    rstruct = F.struct(F.col(on).alias("t"),
+                       *[F.col(c).alias(c) for c in value_cols])
+
+    r2 = right.select(*by, F.col(on), rstruct.alias("__r")).withColumn("__b", bexpr)
+    # phase 1: per-bucket last right value (max of (t, values) struct —
+    # struct ordering compares t first), then carry across buckets
+    perb = r2.groupBy(*by, "__b").agg(F.max("__r").alias("__last"))
+    lbuckets = left.select(*by, bexpr.alias("__b")).distinct()
+    grid = lbuckets.unionByName(perb.select(*by, "__b")).distinct()
+    grid = grid.join(perb, on=[*by, "__b"], how="left")
+    wc = (
+        Window.partitionBy(*by).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = grid.select(
+        *by, "__b", F.last("__last", ignorenulls=True).over(wc).alias("__carry")
+    )
+
+    # phase 2: union within buckets
+    right_tag = 0 if exact else 2
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+    ).withColumn("__b", bexpr)
+    r3 = r2.select(
+        *[
+            (F.col(c) if c in {on, *by} else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        "__r",
+        F.lit(right_tag).alias("__side"),
+        "__b",
+    )
+    u = l.unionByName(r3)
+    w = (
+        Window.partitionBy(*by, "__b")
+        .orderBy(F.col(on), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("__inb", F.last("__r", ignorenulls=True).over(w)) \
+         .filter(F.col("__side") == 1)
+
+    # phase 3: stitch with carry (broadcast when small — Spark decides
+    # via autoBroadcastJoinThreshold; grain is (key, bucket), tiny
+    # relative to the fact side)
+    out = u.join(carry, on=[*by, "__b"], how="left")
+    match = F.coalesce(F.col("__inb"), F.col("__carry"))
+    if tol is not None:
+        delta = F.abs(sec - match["t"].cast("timestamp").cast("double"))
+        match = F.when(delta <= tol, match)
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[match[c].alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -8,7 +8,7 @@ import pytest
 
 from hipipe_spark.operators.asof import asof_join
 
-STRATEGIES = ["union", "cogroup", "broadcast"]
+STRATEGIES = ["union", "cogroup", "broadcast", "bucketed"]
 
 
 def _mk(spark, transcripts, profiles):
@@ -52,11 +52,25 @@ def test_backward_strict(spark, transcripts, profiles, strategy):
     _compare(out, _oracle(lpdf, rpdf, exact=False))
 
 
-@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "broadcast"])
 def test_forward(spark, transcripts, profiles, strategy):
     left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
     out = asof_join(left, right, strategy=strategy, direction="forward")
     _compare(out, _oracle(lpdf, rpdf, direction="forward"))
+
+
+def test_bucketed_narrow_buckets_hot_key(spark, transcripts, profiles):
+    """Bucketed strategy with deliberately narrow buckets (so carry-in
+    stitching is exercised heavily) must equal the union strategy."""
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    a = asof_join(left, profiles, strategy="union").toPandas()
+    b = asof_join(left, profiles, strategy="bucketed",
+                  bucket_width_sec=120).toPandas()
+    key = ["conv_id", "ts", "turn_idx"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert a["model"].fillna("<N>").tolist() == b["model"].fillna("<N>").tolist()
+    assert a["temperature"].fillna(-1).tolist() == b["temperature"].fillna(-1).tolist()
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
