@@ -142,6 +142,20 @@ def test_csv_dialect(spark, tmp_path):
     assert sorted(unpack(t, "Id")) == [1, 2]
 
 
+def test_csv_write_roundtrip(spark, tmp_path):
+    from hipipe_spark.sources.csv import read_csv, write_csv
+    df = create(
+        spark,
+        [("1", 'needs, quoting'), ("2", 'has "quotes"'), ("3", "plain")],
+        schema="id string, payload string",
+    )
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out)
+    a = {r.id: r.payload for r in back.collect()}
+    assert a == {"1": "needs, quoting", "2": 'has "quotes"', "3": "plain"}
+
+
 def test_multimodal_plumbing(spark):
     from hipipe_spark.sources.multimodal import extract_features, gen_fake_media
     media = gen_fake_media(spark, n=12)
