@@ -114,6 +114,22 @@ def q_rolling(spark, sf_dir):
     )
 
 
+def q_rolling_bucketed(spark, sf_dir):
+    from hipipe_spark.operators.temporal import BucketedRollingAgg
+    t = _transcripts(spark, sf_dir).withColumn("text_len", F.length("text").cast("int"))
+    out = BucketedRollingAgg(
+        {
+            "assistant_turns_10": (F.sum, F.when(F.col("role") == "assistant", 1).otherwise(0)),
+            "mean_text_len_10": (F.avg, F.col("text_len")),
+        },
+        lookback=10, bucket_size=64,
+    )(t)
+    return out.select(
+        "conv_id", "turn_idx", "assistant_turns_10",
+        F.round("mean_text_len_10", 4).alias("mean_text_len_10"),
+    )
+
+
 def q_session_agg(spark, sf_dir):
     t = Sessionize(gap="30 minutes")(_transcripts(spark, sf_dir))
     return (
@@ -473,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "rolling": q_rolling,
+        "rolling_bucketed": q_rolling_bucketed,
         "session_agg": q_session_agg,
         "asof_union": q_asof_union,
         "asof_broadcast": q_asof_broadcast,
@@ -515,6 +532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     lcg_ok = det_hash_i64_sql("o_orderkey", 3)
+    d = _oracle_sql_dict(lcg_ok)
+    d["rolling_bucketed"] = d["rolling"]  # identical semantics by design
+    return d
+
+
+def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
     return {
         "sessionize": f"""
           WITH t AS ({_T}),

@@ -221,6 +221,64 @@ class RollingAgg(Stage):
         return df
 
 
+class BucketedRollingAgg(Stage):
+    """Skew-proof rolling aggregate for monster conversations.
+
+    ``Window.partitionBy(conv_id)`` puts an entire conversation in one
+    task — the one skew AQE cannot fix. When the per-key sequence index
+    (``turn_idx``) is trusted as the canonical order (the input_hint
+    guarantees turn order), a ROWS [-k, -1|0] frame can be computed in
+    bounded partitions instead:
+
+    1. bucket rows by ``turn_idx // bucket_size``;
+    2. replicate each bucket's last ``k`` rows into the NEXT bucket as
+       context rows (k ≤ bucket_size required);
+    3. run the window within (key, bucket) — partitions are bounded by
+       bucket_size + k rows regardless of conversation length;
+    4. drop context rows.
+
+    Exact same results as :class:`RollingAgg` (tested on the hot
+    fixture); the shuffle key (key, bucket) splits hot conversations.
+
+    Requires ``idx_col`` to be DENSE per key (0,1,2,... — the
+    input_hint contract for turn_idx) and consistent with ``order``;
+    apply before any row filtering.
+    """
+
+    def __init__(self, aggs: dict[str, tuple], lookback: int,
+                 bucket_size: int = 4096, include_current: bool = False,
+                 key: str = DEFAULT_KEY, idx_col: str = "turn_idx",
+                 order: Sequence[str] = DEFAULT_ORDER):
+        super().__init__(f"bucketed_rolling({','.join(aggs)})")
+        if lookback > bucket_size:
+            raise ValueError("lookback must be <= bucket_size")
+        self.aggs, self.lookback, self.bucket_size = aggs, lookback, bucket_size
+        self.include_current = include_current
+        self.key, self.idx_col, self.order = key, idx_col, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        B, k = self.bucket_size, self.lookback
+        idx = F.col(self.idx_col)
+        own = df.withColumn("__bkt", F.floor(idx / B).cast("long")) \
+                .withColumn("__ctx", F.lit(False))
+        # context rows: last k turns of the previous bucket, i.e. rows
+        # whose idx mod B >= B - k replicate into bucket+1
+        ctx = (
+            df.filter(F.pmod(idx, F.lit(B)) >= B - k)
+            .withColumn("__bkt", F.floor(idx / B).cast("long") + 1)
+            .withColumn("__ctx", F.lit(True))
+        )
+        u = own.unionByName(ctx)
+        w = (
+            Window.partitionBy(self.key, "__bkt")
+            .orderBy(*[F.col(c) for c in self.order])
+            .rowsBetween(-k, 0 if self.include_current else -1)
+        )
+        for out, (fn, col) in self.aggs.items():
+            u = u.withColumn(out, fn(col).over(w))
+        return u.filter(~F.col("__ctx")).drop("__bkt", "__ctx")
+
+
 def _interval_seconds(text: str) -> int:
     """Parse '30 minutes' / '45s' / '2 hours' into seconds."""
     parts = text.strip().split()

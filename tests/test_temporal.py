@@ -77,6 +77,27 @@ def test_hot_conversation_skew(transcripts, transcripts_pdf):
     assert ri.allclose_frames(a, b, FEATURE_COLS)
 
 
+def test_bucketed_rolling_equals_plain(spark, transcripts):
+    from pyspark.sql import functions as F
+    from hipipe_spark.operators.temporal import BucketedRollingAgg, RollingAgg
+
+    aggs = {
+        "a10": (F.sum, F.when(F.col("role") == "assistant", 1).otherwise(0)),
+        "m10": (F.avg, F.length("text")),
+    }
+    plain = RollingAgg(dict(aggs), lookback=10)(transcripts).toPandas()
+    # bucket_size 16 << hot conversation length -> many stitched buckets
+    bucketed = BucketedRollingAgg(dict(aggs), lookback=10, bucket_size=16)(
+        transcripts
+    ).toPandas()
+    assert ri.allclose_frames(plain, bucketed, ["a10", "m10"])
+    # include_current variant
+    p2 = RollingAgg(dict(aggs), lookback=10, include_current=True)(transcripts).toPandas()
+    b2 = BucketedRollingAgg(dict(aggs), lookback=10, bucket_size=16,
+                            include_current=True)(transcripts).toPandas()
+    assert ri.allclose_frames(p2, b2, ["a10", "m10"])
+
+
 def test_framespec_rejects_future():
     with pytest.raises(LeakageError):
         FrameSpec(start=-5, end=2)
