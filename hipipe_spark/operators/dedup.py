@@ -92,9 +92,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         sh_fn(F.col(text_col), shingle_k).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    base = base.persist()
 
+    # candidate pairs from band buckets ONLY (ids, not shingle arrays —
+    # carrying the arrays through the band explode would shuffle every
+    # shingle set `bands` times)
     banded = base.select(
-        "id", "sh",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -104,20 +108,20 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bh")
-
+    ).select("id", "bb.band", "bb.bh")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on=["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: fetch each side's shingle set once, exact Jaccard
+    sh = base.select("id", "sh")
+    pairs = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
