@@ -451,6 +451,58 @@ def q_distinct_count(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<ALL>")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<ALL>")).alias("ls"),
+            "n",
+        )
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    semi = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", F.lit("has_big_line").alias("tag"))
+    anti = o.join(big, o.o_orderkey == big.l_orderkey, "left_anti").select(
+        "o_orderkey", F.lit("no_big_line").alias("tag"))
+    return semi.unionByName(anti)
+
+
+def q_set_ops(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ordering = o.select(F.col("o_custkey").alias("k")).distinct()
+    known = c.select(F.col("c_custkey").alias("k")).distinct()
+    never_ordered = known.exceptAll(ordering).select("k", F.lit("never_ordered").alias("tag"))
+    both = known.intersect(ordering).select("k", F.lit("ordered").alias("tag"))
+    return never_ordered.unionByName(both)
+
+
+def q_approx_stats(spark, sf_dir):
+    # approximate sketches: the 100TB path (no exact-oracle equivalence
+    # by construction -> rows-only check; values sanity-tested in pytest)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+    )
+
+
 def q_quality_lang(spark, sf_dir):
     from hipipe_spark.functions.text import lang_id, quality_score
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -525,6 +577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_bounded": q_backfill_bounded,
         "rolling_range": q_rolling_range,
         "distinct_count": q_distinct_count,
+        "percentiles": q_percentiles,
+        "rollup_counts": q_rollup_counts,
+        "semi_anti": q_semi_anti,
+        "set_ops": q_set_ops,
+        "approx_stats": q_approx_stats,
         "quality_lang": q_quality_lang,
         "flagship": q_flagship,
     }
@@ -816,6 +873,34 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                  count(DISTINCT l_partkey) AS n_parts,
                  count(DISTINCT l_suppkey) AS n_supps
           FROM lineitem GROUP BY l_returnflag
+        """,
+        "percentiles": """
+          SELECT l_returnflag,
+                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+          FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup_counts": """
+          SELECT COALESCE(l_returnflag, '<ALL>') AS rf,
+                 COALESCE(l_linestatus, '<ALL>') AS ls,
+                 count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "semi_anti": """
+          SELECT o_orderkey,
+                 CASE WHEN EXISTS (SELECT 1 FROM lineitem
+                                   WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+                      THEN 'has_big_line' ELSE 'no_big_line' END AS tag
+          FROM orders
+        """,
+        "set_ops": """
+          WITH ordering AS (SELECT DISTINCT o_custkey AS k FROM orders),
+               known AS (SELECT DISTINCT c_custkey AS k FROM customer)
+          SELECT k, 'never_ordered' AS tag FROM known
+          WHERE k NOT IN (SELECT k FROM ordering)
+          UNION ALL
+          SELECT k, 'ordered' AS tag FROM known
+          WHERE k IN (SELECT k FROM ordering)
         """,
         "flagship": f"""
           WITH t AS ({_T}),

@@ -53,7 +53,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
-    # headline driver queries at SF_DIR
+    # headline driver queries at SF_DIR — one warm pass first so the
+    # recorded numbers are steady-state (cold-JVM codegen/JIT otherwise
+    # dominates the first execution of each operator shape)
+    for name in BENCH_QUERIES:
+        force(qs[name](spark, SF_DIR))
     for name in BENCH_QUERIES:
         t0 = time.time()
         force(qs[name](spark, SF_DIR))
