@@ -345,6 +345,13 @@ def q_embedding_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_embedding_topk_numpy(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(em, q, k=5, impl="numpy")
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = em.filter(F.col("vec_id") < 5)
@@ -567,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_numpy": q_embedding_topk_numpy,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
@@ -590,7 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     lcg_ok = det_hash_i64_sql("o_orderkey", 3)
     d = _oracle_sql_dict(lcg_ok)
-    d["rolling_bucketed"] = d["rolling"]  # identical semantics by design
+    d["rolling_bucketed"] = d["rolling"]          # identical semantics by design
+    d["embedding_topk_numpy"] = d["embedding_topk"]  # same result, BLAS impl
     return d
 
 

@@ -27,9 +27,20 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self-matches).
-    Output: (query_id, neighbor_id, cosine, rank)."""
+    Output: (query_id, neighbor_id, cosine, rank).
+
+    ``impl="jvm"``: whole-stage-codegen expressions (zip_with dot
+    product) — zero Python. ``impl="numpy"``: Arrow-batched mapInPandas
+    with a BLAS matrix product per corpus batch against the broadcast
+    query matrix — the faster path for high-dim embeddings (one matmul
+    per batch instead of per-pair array folds), and a per-batch top-k
+    pre-prune so only batch_size*k candidate rows leave Python."""
+    if impl == "numpy":
+        return _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col,
+                                       query_id_col)
     qid = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
@@ -50,6 +61,52 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    qpdf = queries.select(F.col(qid).alias("qid"),
+                          F.col(vec_col).cast("array<double>").alias("v")).toPandas()
+    q_ids = qpdf["qid"].to_numpy()
+    Q = np.stack(qpdf["v"].to_numpy())
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    spark = corpus.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def batches(it):
+        q_ids_l, Qn_l = b_q.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["v"].to_numpy())
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            sims = Qn_l @ Cn.T  # (n_q, n_batch) — one BLAS call
+            nb_ids = pdf["nid"].to_numpy()
+            # per-batch top-k pre-prune: at most n_q*k rows leave Python
+            kk = min(k + 1, sims.shape[1])  # +1 in case self is in batch
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qi in range(sims.shape[0]):
+                for ci in part[qi]:
+                    if nb_ids[ci] == q_ids_l[qi]:
+                        continue  # self-match
+                    rows["query_id"].append(q_ids_l[qi])
+                    rows["neighbor_id"].append(nb_ids[ci])
+                    rows["cosine"].append(float(sims[qi, ci]))
+            yield pd.DataFrame(rows)
+
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    qid_t = queries.schema[qid].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    cand = c.mapInPandas(
+        batches, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _sketch(vec_col, planes) -> "F.Column":

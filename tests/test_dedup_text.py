@@ -83,6 +83,14 @@ def test_embedding_near_and_topk(spark):
     rows = sorted((r.rank, r.neighbor_id) for r in topk.collect())
     assert rows[0] == (1, 1)  # nearest neighbor of 0 is its perturbed copy
 
+    # numpy (BLAS matmul) impl must agree with the JVM expression impl
+    np_topk = brute_force_topk(df, df.filter("vec_id = 0"), k=2, impl="numpy")
+    np_rows = sorted((r.rank, r.neighbor_id) for r in np_topk.collect())
+    assert np_rows == rows
+    jvm_cos = {r.neighbor_id: round(r.cosine, 9) for r in topk.collect()}
+    np_cos = {r.neighbor_id: round(r.cosine, 9) for r in np_topk.collect()}
+    assert jvm_cos == np_cos
+
     # LSH top-k finds the true nearest with multiprobe on this tiny set
     lshk = lsh_topk(df, df.filter("vec_id = 0"), k=1, n_planes=4)
     assert [r.neighbor_id for r in lshk.collect()] == [1]
