@@ -24,13 +24,14 @@ from hipipe_spark.functions.text import (
 from hipipe_spark.operators.asof import asof_join
 from hipipe_spark.operators.core import Filter, Pad, Transform
 from hipipe_spark.operators.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+    embedding_near_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_near_pairs,
 )
 from hipipe_spark.operators.flagship import featurize
 from hipipe_spark.operators.groups import (
     build_index_mapper, encode, fixed_groups, generate_groups,
 )
-from hipipe_spark.operators.similarity import brute_force_topk, lsh_topk
+from hipipe_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hipipe_spark.operators.temporal import (
     Backfill, LagLead, RollingAgg, Sessionize, TimeSincePrev, ts_seconds,
 )
@@ -358,6 +359,19 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_pairs(em, threshold=0.3, brute_force=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    out = ivf_topk(em, q, k=5, n_cells=16, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_media_features(spark, sf_dir):
     media = gen_fake_media(spark, n=128)
     return extract_features(media)
@@ -576,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_numpy": q_embedding_topk_numpy,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -817,8 +833,24 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                 FROM scored)
           WHERE rank <= 5
         """,
+        "embedding_near_dup": """
+          WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CASE WHEN list_sum(list_transform(a.v, x -> x * x)) > 0
+                         AND list_sum(list_transform(b.v, x -> x * x)) > 0
+                   THEN list_dot_product(a.v, b.v) /
+                        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                         sqrt(list_sum(list_transform(b.v, x -> x * x))))
+                   ELSE 0.0 END AS cos_raw
+            FROM c a JOIN c b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+          FROM scored WHERE cos_raw >= 0.3
+        """,
         # minhash_lsh / simhash / embedding_lsh_topk use xxhash64 (not
         # reproducible in DuckDB) -> rows-only checks.
+        # embedding_ivf_topk: approximate (n_probe < n_cells) -> rows-only;
+        # exactness at n_probe == n_cells is pinned by test_similarity_ivf.
         # media_features is generated data -> rows-only check.
         # quality_lang: heuristic scoring, rows-only.
         "tpch_q1": """

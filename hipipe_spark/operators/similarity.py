@@ -109,6 +109,108 @@ def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search — the
+    coarse-quantizer scale path alongside :func:`lsh_topk`.
+
+    Train: seed centroids are ``n_cells`` corpus vectors chosen by
+    stable hash order (deterministic, cluster-size-invariant), then
+    ``refine_iters`` distributed Lloyd steps (assign via one BLAS
+    matmul per Arrow batch; new centroids via posexplode +
+    groupBy(cell, pos).avg — a pure shuffle-aggregate, no driver loop
+    over data). Index: each corpus vector is assigned to its nearest
+    centroid cell. Search: each query probes its ``n_probe`` nearest
+    cells; candidates are fetched by an equi-join on ``cell`` (query
+    side broadcast) and exactly cosine re-ranked.
+
+    ``n_probe >= n_cells`` probes every cell and reproduces the exact
+    brute-force result — the correctness anchor used in tests. At 100
+    TB the corpus-side work is one narrow map (cell assignment) plus a
+    partition-local candidate join; only ~|corpus|/n_cells·n_probe
+    rows per query are scored.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    # ---- train: hash-sampled seeds, then distributed Lloyd refinement
+    seeds = (c.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+              .limit(n_cells).select("cvec").collect())
+    cents = np.stack([np.array(r["cvec"]) for r in seeds])
+
+    def assigner(cent_matrix):
+        cn = cent_matrix / np.maximum(
+            np.linalg.norm(cent_matrix, axis=1, keepdims=True), 1e-300)
+        b = corpus.sparkSession.sparkContext.broadcast(cn)
+
+        def assign(it):
+            cn_l = b.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["cvec"].to_numpy())
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                    1e-300)
+                pdf = pdf.copy()
+                pdf["cell"] = np.argmax(Vn @ cn_l.T, axis=1).astype("int32")
+                yield pdf
+        return assign
+
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"neighbor_id {nid_t}, cvec array<double>, cell int"
+    for _ in range(refine_iters):
+        assigned = c.mapInPandas(assigner(cents), schema=schema)
+        means = (assigned.select("cell", F.posexplode("cvec").alias("pos", "x"))
+                 .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+                 .select("cell", F.col("ms.m").alias("centroid"))
+                 .collect())
+        for r in means:  # cells may lose all members; keep old centroid then
+            cents[r["cell"]] = np.array(r["centroid"])
+    indexed = c.mapInPandas(assigner(cents), schema=schema)
+
+    # ---- search: driver-side probe list for the (small) query set
+    qpdf = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).cast("array<double>").alias("qvec")
+                          ).toPandas()
+    Q = np.stack(qpdf["qvec"].to_numpy())
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    npb = min(n_probe, n_cells)
+    probes = np.argsort(-(Qn @ cn.T), axis=1)[:, :npb]
+    qprobe = pd.DataFrame({
+        "query_id": qpdf["query_id"].repeat(npb).to_numpy(),
+        "qvec": qpdf["qvec"].repeat(npb).to_numpy(),
+        "cell": probes.reshape(-1).astype("int32"),
+    })
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        qprobe, schema=f"query_id {nid_t}, qvec array<double>, cell int")
+    scored = (
+        indexed.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine_sim(F.col("qvec"), F.col("cvec")).alias("cosine"))
+    )  # each corpus row lives in exactly one cell and probe cells are
+    #    distinct per query, so no dedup shuffle is needed
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _sketch(vec_col, planes) -> "F.Column":
     sketch = None
     for i, row in enumerate(planes):

@@ -45,6 +45,73 @@ def session_aggregates_stream(
     )
 
 
+def stateful_session_stream(
+    turns_stream: DataFrame,
+    gap_seconds: float = 1800.0,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    Spark-native analog of a hipipe stateful ``transform`` with a
+    mutable lambda (reference idiom:
+    ``test/core/stream/transform1.cpp:156-179``), upgraded to
+    fault-tolerant keyed state.
+
+    Per conversation, carries (last event-time, running session index,
+    turns seen) across micro-batches and emits one row per turn with
+    its gap-based ``session_id``, ``time_since_prev`` and cumulative
+    ``turns_seen`` — incrementally, without re-reading history. Rows
+    inside a micro-batch are sorted by (ts, turn_idx); arrival across
+    micro-batches is assumed time-ordered per key (the source is an
+    append log per conversation). State is O(1) per live conversation;
+    at 10^12 turns the state store holds only the live-key frontier,
+    not history.
+    """
+    import pandas as pd
+
+    out_schema = (f"{key} string, turn_idx int, {ts_col} double, "
+                  "session_id bigint, time_since_prev double, "
+                  "turns_seen bigint")
+    state_schema = "last_ts double, session_id bigint, turns_seen bigint"
+
+    def update(key_tuple, pdf_iter, state) -> "pd.DataFrame":
+        if state.exists:
+            last_ts, session_id, turns_seen = state.get
+        else:
+            last_ts, session_id, turns_seen = None, 0, 0
+        import numpy as np
+
+        outs = []
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, "turn_idx"])
+            ts = pdf[ts_col].to_numpy(dtype="float64")
+            prev = np.concatenate(
+                ([np.nan if last_ts is None else last_ts], ts[:-1]))
+            gaps = ts - prev  # NaN on the very first turn of the key
+            sess = session_id + np.cumsum(gaps > gap_seconds)
+            seen = turns_seen + np.arange(1, len(ts) + 1)
+            last_ts = float(ts[-1])
+            session_id = int(sess[-1])
+            turns_seen = int(seen[-1])
+            out = pdf[["turn_idx", ts_col]].copy()
+            out.insert(0, key, key_tuple[0])
+            out["session_id"] = sess
+            out["time_since_prev"] = gaps
+            out["turns_seen"] = seen
+            outs.append(out)
+        state.update((last_ts, session_id, turns_seen))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            columns=[key, "turn_idx", ts_col, "session_id",
+                     "time_since_prev", "turns_seen"])
+
+    return turns_stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        "NoTimeout",
+    )
+
+
 def featurize_stream(
     turns_stream: DataFrame,
     out_path: str,
