@@ -359,6 +359,41 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus pipeline over `documents`: language-ID
+    + quality score -> quality gate -> exact-dedup (keep lowest doc_id
+    per md5 fingerprint) -> token stats. One narrow scan + one
+    fingerprint-partitioned window; fully oracle-checked."""
+    from hipipe_spark.functions.text import (
+        exact_fingerprint, lang_id, quality_score, token_count,
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        exact_fingerprint(F.col("text")).alias("fp"),
+    )
+    good = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (good.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def q_latest_per_key(spark, sf_dir):
+    """Keep-latest dedup: newest event per (user_id, event_type) —
+    the 'latest crawl snapshot per URL' pattern. Single shuffle on the
+    dedup key; at scale this is the canonical row_number()=1 idiom."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id",
+                    F.round("value", 4).alias("value")))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = embedding_near_pairs(em, threshold=0.3, brute_force=True)
@@ -592,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "corpus_pipeline": q_corpus_pipeline,
+        "latest_per_key": q_latest_per_key,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -851,6 +888,81 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # reproducible in DuckDB) -> rows-only checks.
         # embedding_ivf_topk: approximate (n_probe < n_cells) -> rows-only;
         # exactness at n_probe == n_cells is pinned by test_similarity_ivf.
+        "corpus_pipeline": r"""
+          WITH t AS (
+            SELECT doc_id, text,
+              CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+              CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END AS ltoks
+            FROM documents
+          ), m AS (
+            SELECT doc_id, text,
+              len(toks) AS n,
+              CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) / length(text) ELSE 0.0 END AS punct,
+              CASE WHEN len(ltoks) > 0 THEN len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it','a','an','as','at','by','for','on','with'], x))) / len(ltoks) ELSE 0.0 END AS stopr,
+              CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x))) / len(toks) ELSE 0.0 END AS mwl,
+              len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','los','una','por'], x))) AS s_es,
+              len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))) AS s_fr
+            FROM t
+          ), scored AS (
+            SELECT doc_id,
+              CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                   WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_pred,
+              round((least(n / 20.0, 1.0)
+                   + greatest(0.0, 1.0 - punct * 4.0)
+                   + least(stopr * 4.0, 1.0)
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality,
+              CAST(n AS INTEGER) AS n_tokens,
+              md5(text) AS fp
+            FROM m
+          )
+          SELECT doc_id, lang_pred, quality, n_tokens, fp
+          FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM scored WHERE quality >= 0.5)
+          WHERE rn = 1
+        """,
+        "latest_per_key": """
+          SELECT user_id, event_type, event_id, round(value, 4) AS value
+          FROM (SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+          WHERE rn = 1
+        """,
+        "quality_lang": r"""
+          WITH t AS (
+            SELECT doc_id, text,
+              CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks,
+              CASE WHEN trim(lower(text)) = '' THEN [] ELSE string_split_regex(trim(lower(text)), '\s+') END AS ltoks
+            FROM documents
+          ), m AS (
+            SELECT doc_id,
+              len(toks) AS n,
+              CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) / length(text) ELSE 0.0 END AS punct,
+              CASE WHEN len(ltoks) > 0 THEN len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it','a','an','as','at','by','for','on','with'], x))) / len(ltoks) ELSE 0.0 END AS stopr,
+              CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> length(x))) / len(toks) ELSE 0.0 END AS mwl,
+              len(list_filter(ltoks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], x))) AS s_de,
+              len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+              len(list_filter(ltoks, x -> list_contains(['el','la','de','que','y','los','una','por'], x))) AS s_es,
+              len(list_filter(ltoks, x -> list_contains(['le','la','les','des','est','une','dans','que'], x))) AS s_fr
+            FROM t
+          )
+          SELECT doc_id,
+            CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+                 WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+                 WHEN s_fr > 0 THEN 'fr'
+                 ELSE 'und' END AS lang_pred,
+            round((least(n / 20.0, 1.0)
+                 + greatest(0.0, 1.0 - punct * 4.0)
+                 + least(stopr * 4.0, 1.0)
+                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+          FROM m
+        """,
         # media_features is generated data -> rows-only check.
         # quality_lang: heuristic scoring, rows-only.
         "tpch_q1": """

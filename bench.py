@@ -26,7 +26,8 @@ BENCH_QUERIES = [
     "generate_groups", "index_mapper",
 ]
 
-N_CONVS = int(os.environ.get("BENCH_N_CONVS", "20000"))
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
+N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def force(df) -> int:
@@ -59,9 +60,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         force(qs[name](spark, SF_DIR))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        force(qs[name](spark, SF_DIR))
-        dt = time.time() - t0
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.time()
+            force(qs[name](spark, SF_DIR))
+            reps.append(time.time() - t0)
+        dt = sorted(reps)[len(reps) // 2]  # median, see note below
         timings[name] = round(dt, 3)
         total += dt
 
@@ -73,11 +77,18 @@ def main() -> None:
     turns = turns.persist()
     n_turns = turns.count()  # materialize input so we time the pipeline
     force(featurize(turns, profiles))  # warm-up: JIT/codegen compile
-    t0 = time.time()
-    out_rows = force(featurize(turns, profiles))
-    pipe_sec = time.time() - t0
+    # median of N_REPS runs: single-run numbers on this box swing up to
+    # 10x from GC pauses / co-tenant noise, the median is stable
+    reps = []
+    out_rows = None
+    for _ in range(N_REPS):
+        t0 = time.time()
+        out_rows = force(featurize(turns, profiles))
+        reps.append(time.time() - t0)
+    pipe_sec = sorted(reps)[len(reps) // 2]
     turns.unpersist()
     timings["flagship_synthetic"] = round(pipe_sec, 3)
+    flagship_runs = [round(x, 3) for x in reps]
     total += pipe_sec
     assert out_rows == n_turns, (out_rows, n_turns)
 
@@ -90,6 +101,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / pipe_sec, 1),
+        "flagship_runs": flagship_runs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))
 

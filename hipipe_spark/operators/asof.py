@@ -88,6 +88,9 @@ def asof_join(
 
 
 def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
+    if direction == "nearest":
+        return _asof_union_nearest(left, right, on, by, exact, tol,
+                                   value_cols, suffix)
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     lcols = left.columns
@@ -132,6 +135,58 @@ def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
         ]
     else:
         proj = [F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    return out.select(*[F.col(c) for c in lcols], *proj)
+
+
+def _asof_union_nearest(left, right, on, by, exact, tol, value_cols, suffix):
+    """``direction="nearest"`` via one union + two window passes
+    (backward and forward over the same hash partition — one shuffle,
+    two partition-local sorts). pandas semantics: tolerance filters
+    each direction's candidate first, then the closer one wins; ties
+    prefer backward (``pd.merge_asof`` behavior)."""
+    lcols = left.columns
+    right_tag = 0 if exact else 2
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            (F.col(c) if c in {on, *by} else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(right_tag).alias("__side"),
+    )
+    u = l.unionByName(r)
+    wb = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    right_on = F.when(F.col("__side") != 1, F.col(on))
+    sel = ["*"]
+    for c in value_cols:
+        sel.append(F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}"))
+        sel.append(F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}"))
+    sel.append(F.last(right_on, ignorenulls=True).over(wb).alias("__b_ts"))
+    sel.append(F.last(right_on, ignorenulls=True).over(wf).alias("__f_ts"))
+    out = u.select(*sel).filter(F.col("__side") == 1)
+    ts_l = F.unix_timestamp(F.col(on))
+    db = ts_l - F.unix_timestamp(F.col("__b_ts"))
+    df_ = F.unix_timestamp(F.col("__f_ts")) - ts_l
+    b_ok = F.col("__b_ts").isNotNull()
+    f_ok = F.col("__f_ts").isNotNull()
+    if tol is not None:
+        b_ok = b_ok & (db <= tol)
+        f_ok = f_ok & (df_ <= tol)
+    use_b = b_ok & (~f_ok | (db <= df_))
+    proj = [
+        F.when(use_b, F.col(f"__b_{c}"))
+        .when(f_ok, F.col(f"__f_{c}"))
+        .alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
     return out.select(*[F.col(c) for c in lcols], *proj)
 
 

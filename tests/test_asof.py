@@ -101,3 +101,20 @@ def test_no_right_rows_for_some_keys(spark):
     for s in STRATEGIES:
         rows = {r.conv_id: r.v for r in asof_join(left, right, strategy=s).collect()}
         assert rows == {"a": 1.0, "b": None}
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_nearest(spark, transcripts, profiles, strategy, exact):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy, direction="nearest",
+                    allow_exact_matches=exact)
+    _compare(out, _oracle(lpdf, rpdf, direction="nearest", exact=exact))
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_nearest_tolerance(spark, transcripts, profiles, strategy):
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    out = asof_join(left, right, strategy=strategy, direction="nearest",
+                    tolerance_sec=600)
+    _compare(out, _oracle(lpdf, rpdf, direction="nearest", tol=600))
