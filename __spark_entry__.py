@@ -208,6 +208,22 @@ def q_transform_dim2(spark, sf_dir):
     )
 
 
+def q_transform_dim3(spark, sf_dir):
+    """dim-3 transform: sentences -> words (array<array<string>>),
+    upper-case each word 2 levels deep, re-flatten for comparison."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.withColumn(
+        "sent_words",
+        F.transform(F.split(F.col("text"), r"\. "),
+                    lambda s: F.split(s, " ")))
+    out = Transform("sent_words", "sent_words",
+                    lambda w: F.upper(w), dim=3)(d)
+    return out.select(
+        "doc_id",
+        F.array_join(F.flatten("sent_words"), " ").alias("upper_text"),
+    )
+
+
 def q_transform_cond(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o = o.withColumn("prio_u", F.col("o_orderpriority"))
@@ -629,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "corpus_pipeline": q_corpus_pipeline,
         "latest_per_key": q_latest_per_key,
+        "transform_dim3": q_transform_dim3,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -924,6 +941,14 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
           FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
                 FROM scored WHERE quality >= 0.5)
           WHERE rn = 1
+        """,
+        "transform_dim3": r"""
+          SELECT doc_id,
+                 array_to_string(
+                   flatten(list_transform(string_split_regex(text, '\. '),
+                           s -> list_transform(string_split(s, ' '),
+                                w -> upper(w)))), ' ') AS upper_text
+          FROM documents
         """,
         "latest_per_key": """
           SELECT user_id, event_type, event_id, round(value, 4) AS value

@@ -57,6 +57,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     suffix: str = "",
     bucket_width_sec: int = 3600,
+    auto_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """As-of join; see module docstring. ``value_cols`` defaults to all
     right columns except ``on``/``by``. Forward direction reads future
@@ -72,6 +73,14 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by}]
+    if strategy == "auto":
+        # Broadcast when the right side is small enough to pack per-key
+        # (eliminates the second full-width shuffle of the fact side —
+        # on a single-disk node that shuffle is THE bottleneck; on a
+        # cluster it is the biggest network cost). Falls back to the
+        # shuffle-based union path for large right sides.
+        strategy = ("broadcast"
+                    if right.count() <= auto_broadcast_rows else "union")
     if strategy == "union":
         return _asof_union(left, right, on, by, direction, allow_exact_matches,
                            tolerance_sec, value_cols, suffix)

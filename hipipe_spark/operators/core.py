@@ -43,6 +43,16 @@ def create(spark: SparkSession, data, schema, n_partitions: int | None = None) -
 
 
 # ------------------------------------------------------------- transforms
+def _nested_transform(col: Column, fn: Callable[[Column], Column],
+                      depth: int) -> Column:
+    """Apply ``fn`` to array elements ``depth`` levels deep via nested
+    JVM ``F.transform`` — the engine's analog of the reference's
+    per-dimension function wrapping (``transform.hpp:126-159``)."""
+    if depth <= 0:
+        return fn(col)
+    return F.transform(col, lambda x: _nested_transform(x, fn, depth - 1))
+
+
 class Transform(Stage):
     """Vectorized map over columns (reference ``transform``,
     ``include/hipipe/core/stream/transform.hpp:210-235``).
@@ -75,10 +85,13 @@ class Transform(Stage):
 
     def _results(self, df: DataFrame) -> list[Column]:
         ins = [F.col(c) for c in self.from_cols]
-        if self.dim == 2:
+        if self.dim >= 2:
+            # arbitrary depth, mirroring the reference's dim recursion
+            # (transform.hpp:126-159): dim k applies fn to elements k-1
+            # arrays deep, via nested JVM higher-order F.transform
             if len(self.from_cols) != 1 or len(self.to_cols) != 1:
-                raise ValueError("dim=2 transform takes one array column")
-            return [F.transform(ins[0], lambda x: self.fn(x))]
+                raise ValueError("dim>=2 transform takes one array column")
+            return [_nested_transform(ins[0], self.fn, self.dim - 1)]
         out = self.fn(*ins)
         return list(out) if isinstance(out, (tuple, list)) else [out]
 
@@ -172,9 +185,15 @@ class Filter(Stage):
     def apply(self, df: DataFrame) -> DataFrame:
         if self.dim == 1:
             return df.filter(self.pred(*[F.col(c) for c in self.by_cols]))
-        if self.dim == 2:
+        if self.dim >= 2:
             col = self.target or self.by_cols[0]
-            return df.withColumn(col, F.filter(F.col(self.by_cols[0]), lambda x: self.pred(x)))
+            # dim k filters elements k-1 arrays deep: F.filter at the
+            # innermost level, F.transform descending to it
+            def flt(c):
+                return F.filter(c, lambda x: self.pred(x))
+            out = (flt(F.col(self.by_cols[0])) if self.dim == 2 else
+                   _nested_transform(F.col(self.by_cols[0]), flt, self.dim - 2))
+            return df.withColumn(col, out)
         if self.dim == 0:
             pred = self.pred
 

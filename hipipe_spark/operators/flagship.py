@@ -41,11 +41,17 @@ def feature_pipeline(gap: str = "30 minutes") -> Pipeline:
 
 
 def featurize(turns: DataFrame, profiles: DataFrame | None = None,
-              gap: str = "30 minutes") -> DataFrame:
-    """Run the flagship pipeline; optionally as-of join profiles."""
+              gap: str = "30 minutes", asof_strategy: str = "auto") -> DataFrame:
+    """Run the flagship pipeline; optionally as-of join profiles.
+
+    ``asof_strategy="auto"`` broadcasts the packed profile side when it
+    is small (one struct-array per conversation) so the wide feature
+    output is never re-shuffled — the whole pipeline then needs exactly
+    ONE exchange of the fact table; large profile sides fall back to
+    the union+window strategy (second shuffle, but no size limit)."""
     df = turns.withColumn("text_len", F.length("text").cast("int"))
     df = feature_pipeline(gap)(df)
     if profiles is not None:
-        df = asof_join(df, profiles, on="ts", by="conv_id", strategy="union",
-                       suffix="_asof")
+        df = asof_join(df, profiles, on="ts", by="conv_id",
+                       strategy=asof_strategy, suffix="_asof")
     return df

@@ -146,3 +146,18 @@ def test_string_to_bool(spark):
     )
     out = df.select(string_to_bool(F.col("s")).alias("b")).collect()
     assert [r.b for r in out] == [True, True, True, False, False, None, True]
+
+
+def test_transform_filter_dim3(spark):
+    from hipipe_spark.operators.core import Filter, Transform
+
+    df = spark.createDataFrame(
+        [(1, [[1, 2], [3]]), (2, [[4], [5, 6]])],
+        "id int, a array<array<int>>")
+    out = Transform("a", "a", lambda x: x * 10, dim=3)(df)
+    got = {r["id"]: r["a"] for r in out.collect()}
+    assert got == {1: [[10, 20], [30]], 2: [[40], [50, 60]]}
+
+    out2 = Filter("a", lambda x: x % 2 == 0, dim=3)(df)
+    got2 = {r["id"]: r["a"] for r in out2.collect()}
+    assert got2 == {1: [[2], []], 2: [[4], [6]]}
