@@ -48,10 +48,28 @@ def featurize(turns: DataFrame, profiles: DataFrame | None = None,
     is small (one struct-array per conversation) so the wide feature
     output is never re-shuffled — the whole pipeline then needs exactly
     ONE exchange of the fact table; large profile sides fall back to
-    the union+window strategy (second shuffle, but no size limit)."""
+    the union+window strategy (second shuffle, but no size limit).
+
+    Byte discipline: the window block sees only the NARROW columns it
+    reads (conv_id, turn_idx, ts, role, tool, text_len). Wide payload
+    columns (text, ...) skip the window sort entirely and are stitched
+    back by a shuffled-hash join on (conv_id, turn_idx) — the wide side
+    is exchanged once but never sorted, which matters when text bytes
+    dominate row width (sort rewrites every row multiple times)."""
     df = turns.withColumn("text_len", F.length("text").cast("int"))
-    df = feature_pipeline(gap)(df)
-    if profiles is not None:
-        df = asof_join(df, profiles, on="ts", by="conv_id",
-                       strategy=asof_strategy, suffix="_asof")
-    return df
+    narrow_cols = ["conv_id", "turn_idx", "ts", "role", "tool", "text_len"]
+    wide_extra = [c for c in df.columns if c not in narrow_cols]
+
+    def run(d):
+        d = feature_pipeline(gap)(d)
+        if profiles is not None:
+            d = asof_join(d, profiles, on="ts", by="conv_id",
+                          strategy=asof_strategy, suffix="_asof")
+        return d
+
+    if not wide_extra:
+        return run(df)
+    feats = run(df.select(*narrow_cols))
+    wide = df.select("conv_id", "turn_idx", *wide_extra)
+    # build the hash map on the narrower feature side
+    return wide.join(feats.hint("SHUFFLE_HASH"), ["conv_id", "turn_idx"])
