@@ -375,6 +375,27 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_melt(spark, sf_dir):
+    """Wide->long unpivot (the pandas/tidy 'melt'): per-lineitem metric
+    rows. Narrow map-side op — no shuffle at any scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "value",
+    ).withColumn("value", F.round(F.col("value").cast("double"), 4))
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE aggregation over orders: all 4 grouping combinations in one
+    pass (partial aggregation map-side, one shuffle)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus pipeline over `documents`: language-ID
     + quality score -> quality gate -> exact-dedup (keep lowest doc_id
@@ -646,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "latest_per_key": q_latest_per_key,
         "transform_dim3": q_transform_dim3,
+        "melt": q_melt,
+        "cube_counts": q_cube_counts,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -949,6 +972,24 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                            s -> list_transform(string_split(s, ' '),
                                 w -> upper(w)))), ' ') AS upper_text
           FROM documents
+        """,
+        "melt": """
+          SELECT l_orderkey, l_linenumber, metric, round(CAST(val AS DOUBLE), 4) AS value
+          FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+            FROM lineitem WHERE l_orderkey <= 100
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem WHERE l_orderkey <= 100
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem WHERE l_orderkey <= 100)
+        """,
+        "cube_counts": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                 round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+          FROM orders
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "latest_per_key": """
           SELECT user_id, event_type, event_id, round(value, 4) AS value

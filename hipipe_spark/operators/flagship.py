@@ -41,7 +41,8 @@ def feature_pipeline(gap: str = "30 minutes") -> Pipeline:
 
 
 def featurize(turns: DataFrame, profiles: DataFrame | None = None,
-              gap: str = "30 minutes", asof_strategy: str = "auto") -> DataFrame:
+              gap: str = "30 minutes", asof_strategy: str = "auto",
+              payload: str = "rejoin") -> DataFrame:
     """Run the flagship pipeline; optionally as-of join profiles.
 
     ``asof_strategy="auto"`` broadcasts the packed profile side when it
@@ -50,12 +51,18 @@ def featurize(turns: DataFrame, profiles: DataFrame | None = None,
     ONE exchange of the fact table; large profile sides fall back to
     the union+window strategy (second shuffle, but no size limit).
 
-    Byte discipline: the window block sees only the NARROW columns it
-    reads (conv_id, turn_idx, ts, role, tool, text_len). Wide payload
-    columns (text, ...) skip the window sort entirely and are stitched
-    back by a shuffled-hash join on (conv_id, turn_idx) — the wide side
-    is exchanged once but never sorted, which matters when text bytes
-    dominate row width (sort rewrites every row multiple times)."""
+    Byte discipline (``payload="rejoin"``, the default): the window
+    block sees only the NARROW columns it reads (conv_id, turn_idx, ts,
+    role, tool, text_len). Wide payload columns (text, media, ...) skip
+    the window sort entirely and are stitched back by a shuffled-hash
+    join on (conv_id, turn_idx) — the wide side is exchanged once but
+    never sorted (sorts rewrite every row multiple times, so payload
+    bytes in the sort dominate cost). The price is a second pass over
+    the source lineage for the payload branch — cheap on columnar
+    stores (the narrow branch prunes to small columns) and free when
+    the input is cached, but if the input is an expensive non-columnar
+    derivation, pass ``payload="inline"`` to keep the single-lineage
+    plan that sorts full rows."""
     df = turns.withColumn("text_len", F.length("text").cast("int"))
     narrow_cols = ["conv_id", "turn_idx", "ts", "role", "tool", "text_len"]
     wide_extra = [c for c in df.columns if c not in narrow_cols]
@@ -67,7 +74,7 @@ def featurize(turns: DataFrame, profiles: DataFrame | None = None,
                           strategy=asof_strategy, suffix="_asof")
         return d
 
-    if not wide_extra:
+    if not wide_extra or payload == "inline":
         return run(df)
     feats = run(df.select(*narrow_cols))
     wide = df.select("conv_id", "turn_idx", *wide_extra)
