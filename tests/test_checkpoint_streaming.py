@@ -103,3 +103,50 @@ def test_streaming_featurize_batches(spark, transcripts, tmp_path):
     out = spark.read.parquet(str(tmp_path / "fout"))
     assert out.count() == transcripts.count()
     assert "session_id" in out.columns and "tool_filled" in out.columns
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than the watermark bound at
+    the time its micro-batch runs must NOT reopen or mutate an already
+    emitted (closed) session. Two files, one per trigger: the second
+    carries a turn 10 hours older than the first file's maximum ts —
+    far beyond the 1-hour watermark — so the aggregate over its
+    session must not appear twice nor change."""
+    import pandas as pd
+
+    from hipipe_spark.streaming.session_stream import session_aggregates_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = pd.Timestamp("2025-06-01 00:00:00")
+    on_time = pd.DataFrame({
+        "conv_id": ["c1"] * 3 + ["c2"] * 2,
+        "turn_idx": pd.array([0, 1, 2, 0, 1], dtype="int32"),
+        "role": ["user", "assistant", "user", "user", "assistant"],
+        "text": ["a", "b", "c", "d", "e"],
+        "tool": [""] * 5,
+        "ts": [base, base + pd.Timedelta("5min"), base + pd.Timedelta("10min"),
+               base + pd.Timedelta("12h"), base + pd.Timedelta("12h 5min")],
+    })
+    late = pd.DataFrame({
+        "conv_id": ["c1"], "turn_idx": pd.array([3], dtype="int32"),
+        "role": ["user"], "text": ["late"], "tool": [""],
+        "ts": [base + pd.Timedelta("2h")],  # 10h older than max seen
+    })
+    on_time.to_parquet(src / "f0.parquet", index=False, coerce_timestamps="us")
+    late.to_parquet(src / "f1.parquet", index=False, coerce_timestamps="us")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = session_aggregates_stream(stream, gap="30 minutes", watermark="1 hour")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_out")
+         .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_out").collect()
+    c1 = [r for r in rows if r["conv_id"] == "c1"
+          and r["session_start"] == base.to_pydatetime()]
+    assert len(c1) == 1            # emitted once, never re-emitted
+    assert c1[0]["n_turns"] == 3   # late turn did not mutate the session
