@@ -375,6 +375,23 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_rank_stats(spark, sf_dir):
+    """Ranking-window completeness: rank / dense_rank / percent_rank /
+    cume_dist / ntile in one window pass (single shuffle on the
+    partition key)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_melt(spark, sf_dir):
     """Wide->long unpivot (the pandas/tidy 'melt'): per-lineitem metric
     rows. Narrow map-side op — no shuffle at any scale."""
@@ -669,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_dim3": q_transform_dim3,
         "melt": q_melt,
         "cube_counts": q_cube_counts,
+        "rank_stats": q_rank_stats,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -972,6 +990,17 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                            s -> list_transform(string_split(s, ' '),
                                 w -> upper(w)))), ' ') AS upper_text
           FROM documents
+        """,
+        "rank_stats": """
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(rank() OVER w AS INTEGER) AS rnk,
+                 CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                 round(percent_rank() OVER w, 6) AS prnk,
+                 round(cume_dist() OVER w, 6) AS cd,
+                 CAST(ntile(4) OVER w AS INTEGER) AS quartile
+          FROM orders WHERE o_orderkey <= 2000
+          WINDOW w AS (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey)
         """,
         "melt": """
           SELECT l_orderkey, l_linenumber, metric, round(CAST(val AS DOUBLE), 4) AS value
