@@ -338,6 +338,17 @@ def q_ngram_jaccard(spark, sf_dir):
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus near-dup removal end-to-end: n-gram Jaccard pairs ->
+    connected components (distributed min-label propagation) -> keep
+    canonical min-id doc per cluster."""
+    from hipipe_spark.operators.dedup import dedup_clusters
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
+    return dedup_clusters(d, pairs, id_col="doc_id")
+
+
 def q_minhash_lsh(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 20 == 0
@@ -674,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
@@ -908,6 +920,34 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        """,
+        "dedup_clusters": r"""
+          WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS g
+            FROM d WHERE trim(text) <> ''),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pr AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+          e AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component,
+                 d.doc_id = least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS keep
+          FROM d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
         """,
         "embedding_topk": """
           WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -230,6 +230,60 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+# ------------------------------------------- dedup clusters (components)
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         a_col: str = "id_a", b_col: str = "id_b",
+                         node_col: str = "id", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs by min-label
+    propagation: every node starts labeled with itself; each round every
+    node takes the min of its own label and its neighbors' labels;
+    fixpoint after O(component diameter) rounds (near-dup clusters are
+    shallow — diameter is small in practice). Each round is one
+    hash-join + one groupBy — fully distributed, no driver data beyond
+    the convergence counter; lineage truncated by localCheckpoint so
+    plans stay flat at high iteration counts.
+
+    Output: (node, component) where component = min node id reachable.
+    Nodes absent from ``pairs`` are their own singleton component.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    edges = edges.persist()
+    labels = nodes.select(F.col(node_col).alias("node")) \
+        .distinct().withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        nb = (edges.join(labels, edges.dst == labels.node)
+              .groupBy("src").agg(F.min("component").alias("nb_min")))
+        new = (labels.join(nb, labels.node == nb.src, "left")
+               .select(F.col("node"),
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("nb_min"), F.col("component"))
+                               ).alias("component")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Corpus-level near-dup removal: cluster the candidate pairs into
+    components, keep the canonical (min-id) doc per component. Output:
+    (doc_id, component, keep)."""
+    comp = connected_components(pairs, df.select(id_col), a_col, b_col,
+                                node_col=id_col)
+    return comp.select(
+        F.col("node").alias(id_col), "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side:

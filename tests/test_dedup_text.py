@@ -175,3 +175,33 @@ def test_multimodal_plumbing(spark):
     assert (feats.loc[feats.kind != "video", "n_frames"] == 0).all()
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="pil")
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    from hipipe_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # python union-find oracle
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # min-id canonicalization: find() roots are already component minima
+    # because unions always point the larger root at the smaller one
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pdf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(pdf, nodes, node_col="id").collect()}
+    assert got == want
