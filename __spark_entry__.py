@@ -386,6 +386,26 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: dim filter -> broadcast join -> fact join ->
+    grouped revenue -> global top-10. Customer dim broadcasts; the only
+    fact shuffle is the final group/top-k."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1995-03-15")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1995-03-15")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
 def q_rank_stats(spark, sf_dir):
     """Ranking-window completeness: rank / dense_rank / percent_rank /
     cume_dist / ntile in one window pass (single shuffle on the
@@ -699,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt": q_melt,
         "cube_counts": q_cube_counts,
         "rank_stats": q_rank_stats,
+        "tpch_q3": q_tpch_q3,
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "join_agg": q_join_agg,
@@ -1030,6 +1051,19 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                            s -> list_transform(string_split(s, ' '),
                                 w -> upper(w)))), ' ') AS upper_text
           FROM documents
+        """,
+        "tpch_q3": """
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, o_orderdate, l_orderkey
+          LIMIT 10
         """,
         "rank_stats": """
           SELECT o_orderkey, o_orderstatus,

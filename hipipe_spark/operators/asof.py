@@ -253,20 +253,33 @@ def _asof_broadcast(left, right, on, by, direction, exact, tol, value_cols, suff
     )
     joined = left.join(F.broadcast(packed), on=by, how="left")
     lt = F.col(on)
-    if direction == "backward":
-        pick = F.try_element_at(
-            F.filter(F.col("__events"), lambda e: _pred(e, lt, exact, "backward")),
-            F.lit(-1),
+
+    def cand(d, idx):
+        return F.try_element_at(
+            F.filter(F.col("__events"), lambda e: _pred(e, lt, exact, d)),
+            F.lit(idx),
         )
+
+    def gate_tol(col):
+        if tol is None:
+            return col
+        delta = F.abs(F.unix_timestamp(col["t"]) - F.unix_timestamp(lt))
+        return F.when(delta <= tol, col)
+
+    if direction == "nearest":
+        # pandas semantics: tolerance-filter each direction first, then
+        # the closer candidate wins; ties prefer backward
+        joined = joined.withColumn("__b", gate_tol(cand("backward", -1)))
+        joined = joined.withColumn("__f", gate_tol(cand("forward", 1)))
+        db = F.unix_timestamp(lt) - F.unix_timestamp(F.col("__b.t"))
+        df_ = F.unix_timestamp(F.col("__f.t")) - F.unix_timestamp(lt)
+        use_b = F.col("__b").isNotNull() & (
+            F.col("__f").isNull() | (db <= df_))
+        joined = joined.withColumn(
+            "__ev", F.when(use_b, F.col("__b")).otherwise(F.col("__f")))
     else:
-        pick = F.try_element_at(
-            F.filter(F.col("__events"), lambda e: _pred(e, lt, exact, "forward")),
-            F.lit(1),
-        )
-    joined = joined.withColumn("__ev", pick)
-    if tol is not None:
-        delta = F.abs(F.unix_timestamp(F.col("__ev.t")) - F.unix_timestamp(lt))
-        joined = joined.withColumn("__ev", F.when(delta <= tol, F.col("__ev")))
+        joined = joined.withColumn(
+            "__ev", gate_tol(cand(direction, -1 if direction == "backward" else 1)))
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"__ev.{c}").alias(f"{c}{suffix}") for c in value_cols
     ]

@@ -103,7 +103,7 @@ def test_no_right_rows_for_some_keys(spark):
         assert rows == {"a": 1.0, "b": None}
 
 
-@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "broadcast"])
 @pytest.mark.parametrize("exact", [True, False])
 def test_nearest(spark, transcripts, profiles, strategy, exact):
     left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
@@ -112,7 +112,7 @@ def test_nearest(spark, transcripts, profiles, strategy, exact):
     _compare(out, _oracle(lpdf, rpdf, direction="nearest", exact=exact))
 
 
-@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+@pytest.mark.parametrize("strategy", ["union", "cogroup", "broadcast"])
 def test_nearest_tolerance(spark, transcripts, profiles, strategy):
     left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
     out = asof_join(left, right, strategy=strategy, direction="nearest",
