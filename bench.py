@@ -23,7 +23,8 @@ BENCH_QUERIES = [
     "flagship", "sessionize", "asof_union", "asof_broadcast", "rolling",
     "backfill", "transform_map", "filter_dim1", "exact_dedup",
     "minhash_lsh", "token_stats", "fingerprint", "embedding_topk",
-    "generate_groups", "index_mapper",
+    "generate_groups", "index_mapper", "corpus_pipeline",
+    "latest_per_key", "tpch_q3",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
