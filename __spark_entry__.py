@@ -492,6 +492,18 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_embedding_ivf_full(spark, sf_dir):
+    """IVF with n_probe == n_cells probes every cell — exactly the
+    brute-force result, so the full DuckDB top-k oracle applies; pins
+    the IVF index/search machinery (train, assignment, probe, re-rank)
+    inside the driver gate, not just pytest."""
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 5)
+    out = ivf_topk(em, q, k=5, n_cells=16, n_probe=16)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_media_features(spark, sf_dir):
     media = gen_fake_media(spark, n=128)
     return extract_features(media)
@@ -713,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ivf_full": q_embedding_ivf_full,
         "corpus_pipeline": q_corpus_pipeline,
         "latest_per_key": q_latest_per_key,
         "transform_dim3": q_transform_dim3,
@@ -744,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict(lcg_ok)
     d["rolling_bucketed"] = d["rolling"]          # identical semantics by design
     d["embedding_topk_numpy"] = d["embedding_topk"]  # same result, BLAS impl
+    d["embedding_ivf_full"] = d["embedding_topk"]  # full probe == exact top-k
     return d
 
 
