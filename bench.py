@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,7 +67,7 @@ def main() -> None:
             t0 = time.time()
             force(qs[name](spark, SF_DIR))
             reps.append(time.time() - t0)
-        dt = sorted(reps)[len(reps) // 2]  # median, see note below
+        dt = statistics.median(reps)
         timings[name] = round(dt, 3)
         total += dt
 
@@ -86,7 +87,7 @@ def main() -> None:
         t0 = time.time()
         out_rows = force(featurize(turns, profiles))
         reps.append(time.time() - t0)
-    pipe_sec = sorted(reps)[len(reps) // 2]
+    pipe_sec = statistics.median(reps)
     turns.unpersist()
     timings["flagship_synthetic"] = round(pipe_sec, 3)
     flagship_runs = [round(x, 3) for x in reps]

@@ -45,6 +45,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (no job). For
+    parquet scans this is file size × filter selectivity; for unknown
+    sources it is a very large default (→ conservative decisions)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes().toString())
+    except Exception:
+        return 1 << 62
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -57,7 +68,7 @@ def asof_join(
     value_cols: Sequence[str] | None = None,
     suffix: str = "",
     bucket_width_sec: int = 3600,
-    auto_broadcast_rows: int = 1_000_000,
+    auto_broadcast_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """As-of join; see module docstring. ``value_cols`` defaults to all
     right columns except ``on``/``by``. Forward direction reads future
@@ -79,8 +90,16 @@ def asof_join(
         # on a single-disk node that shuffle is THE bottleneck; on a
         # cluster it is the biggest network cost). Falls back to the
         # shuffle-based union path for large right sides.
+        #
+        # Gate on Catalyst's BYTE-size estimate, not a row count: the
+        # broadcast packs per-key struct arrays of ALL value columns, so
+        # wide rows would blow the driver long before 1M rows — and a
+        # row count would cost an eager job over the right lineage.
+        # Plan stats are free (no job); when they are unknown Catalyst
+        # reports a huge default, which conservatively picks "union".
         strategy = ("broadcast"
-                    if right.count() <= auto_broadcast_rows else "union")
+                    if _plan_size_bytes(right) <= auto_broadcast_bytes
+                    else "union")
     if strategy == "union":
         return _asof_union(left, right, on, by, direction, allow_exact_matches,
                            tolerance_sec, value_cols, suffix)

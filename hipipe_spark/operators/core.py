@@ -325,19 +325,28 @@ class Pad(Stage):
         self.mask_col = mask_col or f"{col}_mask"
 
     def apply(self, df: DataFrame) -> DataFrame:
-        grp = [self.group_by] if self.group_by else []
-        w = Window.partitionBy(*grp) if grp else Window.partitionBy(F.lit(1))
-        maxlen = F.max(F.size(F.col(self.col))).over(w)
+        if self.group_by:
+            w = Window.partitionBy(self.group_by)
+            maxlen = F.max(F.size(F.col(self.col))).over(w)
+        else:
+            # Global pad: a Window.partitionBy(lit(1)) would drag the whole
+            # table into ONE task. Instead compute the scalar max with a
+            # normal (tree-reduced) aggregate and attach it via a broadcast
+            # cross join — same semantics, no single-partition exchange.
+            mx = df.agg(F.max(F.size(F.col(self.col))).alias("__maxlen"))
+            df = df.crossJoin(F.broadcast(mx))
+            maxlen = F.col("__maxlen")
         n_pad = maxlen - F.size(F.col(self.col))
         pad_arr = F.array_repeat(F.lit(self.value), n_pad.cast("int"))
         mask = F.concat(
             F.array_repeat(F.lit(True), F.size(F.col(self.col)).cast("int")),
             F.array_repeat(F.lit(False), n_pad.cast("int")),
         )
-        return (
+        out = (
             df.withColumn(self.mask_col, mask)
             .withColumn(self.col, F.concat(F.col(self.col), pad_arr))
         )
+        return out.drop("__maxlen") if not self.group_by else out
 
 
 # ------------------------------------------------------- rebatch / unpack

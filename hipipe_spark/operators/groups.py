@@ -64,13 +64,44 @@ def fixed_groups(df: DataFrame, key: str, n_groups: int,
     )
 
 
-def build_index_mapper(df: DataFrame, col: str) -> DataFrame:
+def build_index_mapper(df: DataFrame, col: str,
+                       n_partitions: int | None = None) -> DataFrame:
     """Distinct values → dense 0-based contiguous indices, ordered by
-    value for determinism. Output: (value, index)."""
-    w = Window.orderBy("value")
+    value for determinism. Output: (value, index).
+
+    Two-phase assignment (no global single-task sort): the distinct set
+    is range-partitioned by value, each partition counts its rows, the
+    tiny per-partition count vector is turned into offsets on the
+    driver, and the final index is offset + partition-local rank. The
+    index is the global value-order rank regardless of where the range
+    boundaries fall, so the result is deterministic at any parallelism —
+    and a 100-TB dictionary never funnels through one task.
+    """
+    distinct = df.select(F.col(col).alias("value")).distinct()
+    n_parts = n_partitions or distinct.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")
+    ranged = distinct.repartitionByRange(int(n_parts), "value")
+    # persist so the partition ids seen by the count job and the final
+    # job are the same physical layout (not a re-sampled re-shuffle)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    # phase 1: per-partition counts (rows = n_parts — driver-size data)
+    counts = {r["__pid"]: r["n"] for r in
+              with_pid.groupBy("__pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long")
+    # phase 2: partition-local rank (window partitioned by physical
+    # partition id — parallel across partitions) + broadcast offset
+    w = Window.partitionBy("__pid").orderBy("value")
     return (
-        df.select(F.col(col).alias("value")).distinct()
-        .withColumn("index", (F.row_number().over(w) - 1).cast("long"))
+        with_pid.join(F.broadcast(off_df), "__pid")
+        .withColumn("index",
+                    (F.col("__off") + F.row_number().over(w) - 1).cast("long"))
+        .select("value", "index")
     )
 
 

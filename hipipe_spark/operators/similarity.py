@@ -19,6 +19,31 @@ from pyspark.sql import functions as F
 
 from hipipe_spark.operators.dedup import cosine_sim
 
+# The numpy/LSH/IVF paths collect the QUERY side to the driver (the
+# corpus side never leaves the executors). That is the intended regime —
+# query set ≪ corpus — and the bound below makes the assumption explicit
+# instead of letting toPandas() silently OOM the driver.
+MAX_QUERY_ROWS = 1_000_000
+
+
+def _query_pdf(queries: "DataFrame", cols: list) -> "object":
+    """Collect the query side with a hard size guard. Returns a pandas
+    DataFrame (possibly empty)."""
+    pdf = queries.select(*cols).limit(MAX_QUERY_ROWS + 1).toPandas()
+    if len(pdf) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"query set exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}; these "
+            "search paths broadcast the query side and require query ≪ "
+            "corpus — use brute_force_topk(impl='jvm') or pre-shard the "
+            "query set")
+    return pdf
+
+
+def _empty_topk(spark, qid_t: str, nid_t: str) -> "DataFrame":
+    return spark.createDataFrame(
+        [], schema=f"query_id {qid_t}, neighbor_id {nid_t}, "
+                   "cosine double, rank int")
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -68,8 +93,12 @@ def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
     import pandas as pd
 
     qid = query_id_col or id_col
-    qpdf = queries.select(F.col(qid).alias("qid"),
-                          F.col(vec_col).cast("array<double>").alias("v")).toPandas()
+    qpdf = _query_pdf(queries, [F.col(qid).alias("qid"),
+                                F.col(vec_col).cast("array<double>").alias("v")])
+    if not len(qpdf):
+        return _empty_topk(corpus.sparkSession,
+                           queries.schema[qid].dataType.simpleString(),
+                           corpus.schema[id_col].dataType.simpleString())
     q_ids = qpdf["qid"].to_numpy()
     Q = np.stack(qpdf["v"].to_numpy())
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -142,11 +171,19 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    nid_t0 = corpus.schema[id_col].dataType.simpleString()
+    qpdf = _query_pdf(queries, [F.col(id_col).alias("query_id"),
+                                F.col(vec_col).cast("array<double>").alias("qvec")])
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
     # ---- train: hash-sampled seeds, then distributed Lloyd refinement
     seeds = (c.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
               .limit(n_cells).select("cvec").collect())
+    if not len(qpdf) or not seeds:
+        # empty query set (e.g. an upstream filter matched nothing) or
+        # empty corpus: return an empty frame with the output schema
+        # instead of crashing in np.stack
+        return _empty_topk(corpus.sparkSession, nid_t0, nid_t0)
     cents = np.stack([np.array(r["cvec"]) for r in seeds])
 
     def assigner(cent_matrix):
@@ -182,9 +219,6 @@ def ivf_topk(
     indexed = c.mapInPandas(assigner(cents), schema=schema)
 
     # ---- search: driver-side probe list for the (small) query set
-    qpdf = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).cast("array<double>").alias("qvec")
-                          ).toPandas()
     Q = np.stack(qpdf["qvec"].to_numpy())
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
@@ -232,14 +266,23 @@ def lsh_topk(
     n_planes: int = 8,
     probe_radius: int = 1,
     seed: int = 7,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus by hyperplane sign sketch; probe
     each query's bucket plus all buckets within Hamming distance
     ``probe_radius`` (bit-flip expansion of the query sketch); exact
-    cosine re-rank within candidates."""
+    cosine re-rank within candidates.
+
+    The query side is broadcast (after the probe explode it is
+    |queries| × (1 + n_probes) rows) — intended for query ≪ corpus;
+    the corpus side only ever flows through one equi-join on bucket."""
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        nid_t = corpus.schema[id_col].dataType.simpleString()
+        return _empty_topk(corpus.sparkSession, nid_t, nid_t)
+    dim = len(first[0])
     planes = np.random.RandomState(seed).randn(n_planes, dim)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
@@ -247,11 +290,21 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
     q = q.withColumn("qbucket", _sketch(F.col("qvec"), planes))
-    # multi-probe: bucket ± single-bit flips
-    probes = [F.col("qbucket")]
-    if probe_radius >= 1:
-        probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    if probe_all:
+        # probe EVERY bucket — provably identical to brute force (each
+        # corpus row lives in exactly one bucket and every bucket is
+        # probed). The correctness anchor the driver oracle checks, in
+        # the style of embedding_ivf_full.
+        q = q.withColumn(
+            "bucket",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit((1 << n_planes) - 1).cast("long"))))
+    else:
+        # multi-probe: bucket ± single-bit flips
+        probes = [F.col("qbucket")]
+        if probe_radius >= 1:
+            probes += [F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        q = q.withColumn("bucket", F.explode(F.array(*probes)))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -81,10 +81,17 @@ def stateful_session_stream(
             last_ts, session_id, turns_seen = None, 0, 0
         import numpy as np
 
+        # Materialize ALL Arrow chunks for this key before sorting:
+        # applyInPandasWithState splits a key's micro-batch into multiple
+        # chunks (arrow.maxRecordsPerBatch) with no cross-chunk ordering
+        # guarantee — sorting each chunk independently would corrupt
+        # session ids / gaps whenever a key exceeds one chunk per batch.
+        # Memory bound = one key's rows in one micro-batch (trigger-sized).
+        chunks = [p for p in pdf_iter if len(p)]
+        merged = (pd.concat(chunks, ignore_index=True)
+                  if chunks else pd.DataFrame())
         outs = []
-        for pdf in pdf_iter:
-            if not len(pdf):
-                continue
+        for pdf in ([merged] if len(merged) else []):
             pdf = pdf.sort_values([ts_col, "turn_idx"])
             ts = pdf[ts_col].to_numpy(dtype="float64")
             prev = np.concatenate(
