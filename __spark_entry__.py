@@ -350,20 +350,30 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
+    """Full MinHash+LSH pipeline with hash_family="det": the signature
+    hashes are the LCG/polynomial family a DuckDB oracle reproduces
+    bit-for-bit, so shingle→minhash→band→bucket-join→verify is checked
+    end-to-end by the driver (VERDICT r1 next-round #2), exact-dup
+    prepass included (star edges, jaccard 1.0)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 20 == 0
     )
     return minhash_lsh_pairs(
         d, "doc_id", "text", shingle="word", shingle_k=1,
-        n_hashes=32, bands=16, jaccard_threshold=0.5,
+        n_hashes=32, bands=16, jaccard_threshold=0.5, hash_family="det",
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash near-pairs with hash_family="det" (60-bit hash, 4×15-bit
+    pigeonhole blocks) — every bit stream reproducible in DuckDB, so the
+    whole tokenize→simhash→block-join→hamming-verify path is oracled."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 20 == 0
     )
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8)
+    out = simhash_near_pairs(d, "doc_id", "text", max_hamming=8,
+                             bits=60, n_blocks=4, hash_family="det")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -381,9 +391,16 @@ def q_embedding_topk_numpy(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH top-k with probe_all=True: probing every bucket is
+    provably the brute-force result (each corpus row lives in exactly
+    one bucket), so the exact top-k oracle applies — pins the LSH
+    sketch/bucket/probe/re-rank machinery in the driver gate, in the
+    style of embedding_ivf_full. The approximate multi-probe path
+    (probe_radius=1) is recall-tested in pytest."""
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = em.filter(F.col("vec_id") < 5)
-    return lsh_topk(em, q, k=5).select("query_id", "neighbor_id", "rank")
+    return lsh_topk(em, q, k=5, probe_all=True).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def q_tpch_q3(spark, sf_dir):
@@ -752,12 +769,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _det_tokens_sql(text_expr: str) -> str:
+    """DuckDB twin of hipipe_spark.functions.text.tokens(lower(col))."""
+    return (f"CASE WHEN trim({text_expr}) = '' THEN CAST([] AS VARCHAR[]) "
+            f"ELSE string_split_regex(trim(lower({text_expr})), '\\s+') END")
+
+
+def _minhash_det_oracle(n_hashes: int = 32, bands: int = 16,
+                        threshold: float = 0.5) -> str:
+    """DuckDB replica of q_minhash_lsh (hash_family="det"): exact-dup
+    prepass (star edges), word-1-gram shingles, LCG minhash signatures,
+    band slices as bucket keys, candidate equi-join, exact set-Jaccard
+    verify. Every hash value is bit-identical to the Spark side
+    (functions/hashing.py det family)."""
+    from hipipe_spark.functions.hashing import (
+        det_hash_i64_sql, det_hash_str_i64_sql)
+    rpb = n_hashes // bands
+    base = det_hash_str_i64_sql("s", 0)
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> {det_hash_i64_sql('h', i)}))"
+        for i in range(n_hashes))
+    banded = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, sig[{b * rpb + 1}:{(b + 1) * rpb}] AS bh FROM sig"
+        for b in range(bands))
+    return f"""
+      WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 20 = 0),
+      rep AS (SELECT id, text, min(id) OVER (PARTITION BY md5(text)) AS rep FROM d),
+      star AS (SELECT rep AS id_a, id AS id_b, 1.0 AS jaccard FROM rep WHERE id <> rep),
+      sh AS (SELECT id, list_distinct({_det_tokens_sql('text')}) AS sh
+             FROM rep WHERE id = rep),
+      hs AS (SELECT id, sh, list_transform(sh, s -> {base}) AS hs FROM sh),
+      sig AS (SELECT id, [{sig_items}] AS sig FROM hs),
+      banded AS ({banded}),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                    THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                    ELSE 0.0 END AS jaccard
+        FROM cand c JOIN hs sa ON sa.id = c.id_a JOIN hs sb ON sb.id = c.id_b)
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM verified WHERE jaccard >= {threshold}
+      UNION ALL
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM star
+    """
+
+
+def _simhash_det_oracle(bits: int = 60, n_blocks: int = 4,
+                        max_hamming: int = 8) -> str:
+    """DuckDB replica of q_simhash (hash_family="det", 60-bit): per-token
+    LCG bit streams, sign-of-sum bit assembly, 4×15-bit pigeonhole
+    candidate rule (shares ≥1 block), hamming verify via bit_count(xor),
+    exact-dup prepass star edges."""
+    from hipipe_spark.functions.hashing import (
+        det_hash_i64_sql, det_hash_str_i64_sql)
+    from hipipe_spark.operators.dedup import SIMHASH_DET_SEED
+    blk_w = bits // n_blocks
+    mask = (1 << blk_w) - 1
+    base = det_hash_str_i64_sql("t", 0)
+    terms = " + ".join(
+        f"(CASE WHEN COALESCE(list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (({det_hash_i64_sql('h', SIMHASH_DET_SEED + i)}) >> 15) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)), 0) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits))
+    blocks_eq = " OR ".join(
+        f"(((a.simhash >> {b * blk_w}) & {mask}) = "
+        f"((b.simhash >> {b * blk_w}) & {mask}))"
+        for b in range(n_blocks))
+    return f"""
+      WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 20 = 0),
+      rep AS (SELECT id, text, min(id) OVER (PARTITION BY md5(text)) AS rep FROM d),
+      star AS (SELECT rep AS id_a, id AS id_b, 0 AS hamming FROM rep WHERE id <> rep),
+      tok AS (SELECT id, {_det_tokens_sql('text')} AS toks FROM rep WHERE id = rep),
+      hs AS (SELECT id, list_transform(toks, t -> {base}) AS hs FROM tok),
+      sim AS (SELECT id, CAST({terms} AS BIGINT) AS simhash FROM hs),
+      p AS (SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.id < b.id AND ({blocks_eq}))
+      SELECT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+      UNION ALL
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM star
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lcg_ok = det_hash_i64_sql("o_orderkey", 3)
     d = _oracle_sql_dict(lcg_ok)
     d["rolling_bucketed"] = d["rolling"]          # identical semantics by design
     d["embedding_topk_numpy"] = d["embedding_topk"]  # same result, BLAS impl
     d["embedding_ivf_full"] = d["embedding_topk"]  # full probe == exact top-k
+    d["embedding_lsh_topk"] = d["embedding_topk"]  # probe_all == exact top-k
+    d["minhash_lsh"] = _minhash_det_oracle()
+    d["simhash"] = _simhash_det_oracle()
     return d
 
 

@@ -55,6 +55,32 @@ def det_hash01_sql(key_expr: str, seed: int = 0) -> str:
     return f"(CAST({det_hash_i64_sql(key_expr, seed)} AS DOUBLE) / {float(_M)})"
 
 
+def det_hash_str_i64(s: Column, seed: int = 0) -> Column:
+    """Deterministic integer hash in [0, 2^31) of a STRING column,
+    reproducible bit-for-bit by DuckDB (:func:`det_hash_str_i64_sql`):
+    left-fold polynomial-31 over codepoints mod 2^31, then the LCG
+    double-round mix. All intermediates ≤ 36 bits — exact in Java long
+    and DuckDB BIGINT."""
+    n = F.length(s)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    codes = F.transform(idx, lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"))
+    base = F.aggregate(codes, F.lit(int(seed) % _M).cast("long"),
+                       lambda acc, x: (acc * 31 + x) % _M)
+    return det_hash_i64(base)
+
+
+def det_hash_str_i64_sql(s_expr: str, seed: int = 0) -> str:
+    """DuckDB SQL text of :func:`det_hash_str_i64` (same fold, same
+    constants). Uses list_reduce with the seed prepended so the fold
+    order matches Spark's F.aggregate exactly."""
+    codes = (f"list_transform(range(1, length({s_expr}) + 1), "
+             f"i -> CAST(ascii(substring({s_expr}, i, 1)) AS BIGINT))")
+    base = (f"list_reduce(list_prepend(CAST({int(seed) % _M} AS BIGINT), {codes}), "
+            f"(acc, x) -> (acc * 31 + x) % {_M})")
+    return det_hash_i64_sql(base, 0)
+
+
 def salt_col(key: Column, n_salts: int, extra: Column | None = None) -> Column:
     """Salt bucket in [0, n_salts) for skew mitigation (xxhash64-based;
     no oracle needs to reproduce salts — they never change results)."""

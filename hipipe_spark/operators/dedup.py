@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hipipe_spark.functions.hashing import det_hash_i64, det_hash_str_i64
 from hipipe_spark.functions.text import exact_fingerprint, fingerprint, tokens
 
 
@@ -58,14 +59,53 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
 
 
 # --------------------------------------------------------------- MinHash
-def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+def minhash_signature(shingles: Column, n_hashes: int = 32,
+                      hash_family: str = "xxhash64") -> Column:
     """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, i). Pure JVM expressions; n_hashes array_min scans
-    over the shingle array per row."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
-          for i in range(n_hashes)]
-    )
+    hash(shingle, i). Pure JVM expressions; n_hashes array_min scans
+    over the shingle array per row.
+
+    ``hash_family="det"`` swaps xxhash64 for the LCG/polynomial family
+    (``hipipe_spark.functions.hashing.det_hash_str_i64``) whose exact
+    arithmetic DuckDB can re-run — the oracle-mode hash (VERDICT r1 #2).
+    The per-shingle string fold runs ONCE; the n_hashes functions are
+    cheap integer re-mixes of that base value."""
+    if hash_family == "xxhash64":
+        return F.array(
+            *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+              for i in range(n_hashes)]
+        )
+    if hash_family != "det":
+        raise ValueError(hash_family)
+    base = F.transform(shingles, lambda s: det_hash_str_i64(s, 0))
+
+    def _remix(i):
+        # NB: a 2-arg lambda would make F.transform pass the element
+        # INDEX as the second argument — close over i instead
+        return F.array_min(F.transform(base, lambda h: det_hash_i64(h, i)))
+
+    return F.array(*[_remix(i) for i in range(n_hashes)])
+
+
+def _exact_prepass(df: DataFrame, id_col: str, text_col: str):
+    """Collapse byte-identical texts to their min-id representative.
+
+    Returns (reps, star): ``reps`` = one row (id, text) per distinct
+    text; ``star`` = (id_a=rep, id_b=member) edges for every collapsed
+    member. A cluster of n identical copies contributes n-1 star edges
+    (O(n)) instead of the n(n-1)/2 all-pairs a bucket join would emit —
+    THE giant-duplicate-cluster guard: a 1M-copy boilerplate doc would
+    otherwise put ~10¹² candidate pairs through every LSH band bucket.
+    Star edges are equivalent under transitive closure (connected
+    components give identical clusters)."""
+    w = Window.partitionBy("__fp")
+    tagged = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+              .withColumn("__fp", exact_fingerprint(F.col("__txt")))
+              .withColumn("__rep", F.min("id").over(w)))
+    star = (tagged.filter(F.col("id") != F.col("__rep"))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b")))
+    reps = tagged.filter(F.col("id") == F.col("__rep")).select("id", "__txt")
+    return reps, star
 
 
 def minhash_lsh_pairs(
@@ -77,6 +117,9 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float | None = 0.8,
     shingle: str = "char",
+    hash_family: str = "xxhash64",
+    exact_prepass: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + banded LSH.
 
@@ -84,31 +127,58 @@ def minhash_lsh_pairs(
     true shingle-set Jaccard. Output: (id_a, id_b, jaccard) with
     id_a < id_b. The band join is an equi-join on (band_idx, band_hash):
     broadcast-free, shuffle on a uniform key — the 100 TB-safe shape.
+
+    ``exact_prepass`` (default on): byte-identical docs are collapsed to
+    one representative before LSH; each collapsed member appears in the
+    output as a star edge (min-id rep, member, jaccard 1.0). Pairs that
+    would have involved a non-representative member appear against the
+    representative instead (identical text ⇒ identical jaccard) — the
+    same clusters under transitive closure, with O(cluster) instead of
+    O(cluster²) rows for exact-duplicate clusters.
+
+    ``bucket_cap``: optionally drop (band, bucket) groups holding more
+    than this many docs before pairing. Near-identical-but-not-equal
+    giant clusters have inherently quadratic TRUE pair sets, so an exact
+    output cannot avoid O(n²) there; the cap trades recall on such
+    monster buckets for a hard bound on candidate blowup. None = exact.
+
+    ``hash_family``: "xxhash64" (default, cheapest) or "det" — the
+    LCG/polynomial family from :mod:`hipipe_spark.functions.hashing`
+    whose arithmetic a DuckDB oracle can reproduce bit-for-bit.
     """
     rows_per_band = n_hashes // bands
     assert rows_per_band * bands == n_hashes, "bands must divide n_hashes"
     sh_fn = char_shingles if shingle == "char" else word_ngrams
-    base = df.select(
-        F.col(id_col).alias("id"),
-        sh_fn(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    star = None
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+    if exact_prepass:
+        src, star = _exact_prepass(df, id_col, text_col)
+    base = src.select(
+        "id", sh_fn(F.col("__txt"), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, hash_family))
     base = base.persist()
 
     # candidate pairs from band buckets ONLY (ids, not shingle arrays —
     # carrying the arrays through the band explode would shuffle every
-    # shingle set `bands` times)
+    # shingle set `bands` times). Band key: xxhash64 of the signature
+    # slice (8-byte shuffle key) for the default family; the raw slice
+    # array for "det" so a DuckDB oracle can group on the same key.
+    def _band_key(b):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        return F.xxhash64(sl) if hash_family == "xxhash64" else sl
     banded = base.select(
         "id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
-                )
+                F.struct(F.lit(b).alias("band"), _band_key(b).alias("bh"))
                 for b in range(bands)
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bh")
+        banded = (banded.withColumn("__bn", F.count("*").over(wb))
+                  .filter(F.col("__bn") <= bucket_cap).drop("__bn"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -130,23 +200,47 @@ def minhash_lsh_pairs(
     ).select("id_a", "id_b", "jaccard")
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    if star is not None:
+        out = out.unionByName(star.withColumn("jaccard", F.lit(1.0)))
     return out
 
 
 # --------------------------------------------------------------- SimHash
+SIMHASH_DET_SEED = 1000  # decouple the det bit streams from minhash seeds
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, fully JVM-side: explode tokens, hash
-    each token once (xxhash64), then per bit sum +1/-1 and reassemble.
-    One shuffle (groupBy id). Documents with no tokens get simhash 0."""
+            bits: int = 64, hash_family: str = "xxhash64") -> DataFrame:
+    """SimHash per document, fully JVM-side: explode tokens, hash each
+    token once, then per bit sum +1/-1 and reassemble. One shuffle
+    (groupBy id). Documents with no tokens get simhash 0.
+
+    ``hash_family="det"``: bit i of a token comes from
+    ``det_hash_i64(poly_hash(token), SIMHASH_DET_SEED + i) & 1`` — the
+    DuckDB-reproducible stream (use bits ≤ 60 there so 1<<i arithmetic
+    stays exact in BIGINT on both engines)."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    )
+    if hash_family == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("t"))
+        def bit(i):
+            return F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))
+    elif hash_family == "det":
+        assert bits <= 60, "det simhash caps at 60 bits (BIGINT-exact 1<<i)"
+        tok = tok.withColumn("h", det_hash_str_i64(F.col("t"), 0))
+        def bit(i):
+            # take a HIGH bit of the LCG output — the low bit of an LCG
+            # with modulus 2^31 is pure input parity (degenerate)
+            return F.shiftright(det_hash_i64(F.col("h"), SIMHASH_DET_SEED + i),
+                                15).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(hash_family)
     bit_sums = [
         F.sum(
             F.when(F.col("t").isNull(), F.lit(0))
-            .when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .when(bit(i) == 1, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"b{i}")
         for i in range(bits)
@@ -161,21 +255,39 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       bits: int = 64, n_blocks: int = 4,
+                       hash_family: str = "xxhash64",
+                       exact_prepass: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using
-    the 4-block pigeonhole trick: split the 64-bit hash into 4 16-bit
-    blocks; any pair within distance 3 shares ≥1 exact block → equi-join
-    per block, then verify with bit_count(xor)."""
-    sh = simhash(df, id_col, text_col)
+    the block pigeonhole trick: split the hash into ``n_blocks`` equal
+    blocks; any pair within distance < n_blocks shares ≥1 exact block →
+    equi-join per block, then verify with bit_count(xor). (With
+    max_hamming ≥ n_blocks the candidate rule is a recall-trading
+    heuristic, not a guarantee — callers pick the trade.)
+
+    ``exact_prepass`` (default on): byte-identical docs collapse to the
+    min-id representative first and come back as (rep, member,
+    hamming 0) star edges — O(cluster) not O(cluster²) output for exact
+    duplicate clusters (same rationale as :func:`minhash_lsh_pairs`)."""
+    assert bits % n_blocks == 0, "n_blocks must divide bits"
+    blk_w = bits // n_blocks
+    blk_mask = (1 << blk_w) - 1
+    star = None
+    src = df
+    if exact_prepass:
+        reps, star = _exact_prepass(df, id_col, text_col)
+        src = reps.withColumnRenamed("id", id_col).withColumnRenamed("__txt", text_col)
+    sh = simhash(src, id_col, text_col, bits=bits, hash_family=hash_family)
     blocks = sh.select(
         F.col(id_col).alias("id"), "simhash",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("blk"),
-                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                    F.shiftright("simhash", b * blk_w).bitwiseAND(F.lit(blk_mask)).alias("bv"),
                 )
-                for b in range(4)
+                for b in range(n_blocks)
             ])
         ).alias("bb"),
     ).select("id", "simhash", "bb.blk", "bb.bv")
@@ -190,44 +302,63 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+    out = pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if star is not None:
+        out = out.unionByName(
+            star.withColumn("hamming", F.lit(0).cast(out.schema["hamming"].dataType)))
+    return out
 
 
 # ------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 1,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram-set Jaccard over candidate pairs generated by a
     shared-ngram inverted-index join (a pair is a candidate iff it shares
     ≥1 n-gram — exact, no LSH approximation; heavier than MinHash but
-    oracle-expressible in plain SQL). Common-gram hubs are the skew risk
-    at scale; production would drop the top-frequency grams first (doc-
-    frequency filter), which is a straightforward pre-aggregation."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    )
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    oracle-expressible in plain SQL).
+
+    ``max_df`` — the doc-frequency filter (the hub-gram skew guard at
+    scale): grams appearing in more than ``max_df`` docs are excluded
+    from CANDIDATE GENERATION only. A gram shared by f docs fans out
+    into O(f²) join rows, so one stopword-gram over a 100-TB corpus
+    melts the inverted-index join; dropping hubs bounds the fan-out.
+    Verification always uses the FULL gram sets (array_intersect on the
+    per-doc arrays), so the reported jaccard stays exact — only pairs
+    whose every shared gram is a hub can be missed. None = fully exact.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     word_ngrams(F.col(text_col), n).alias("gs"))
+    base = base.persist()
+    grams = base.select("id", F.explode("gs").alias("g"))
+    if max_df is not None:
+        # word_ngrams arrays are distinct per doc → count(*) = doc freq
+        hubs = (grams.groupBy("g").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_df).select("g"))
+        grams = grams.join(F.broadcast(hubs), on="g", how="left_anti")
     a, b = grams.alias("a"), grams.alias("b")
-    shared = (
+    cand = (
         a.join(b, on="g")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
+    gs = base.select("id", "gs")
+    pairs = (
+        cand.join(gs.withColumnRenamed("id", "id_a").withColumnRenamed("gs", "gs_a"), "id_a")
+        .join(gs.withColumnRenamed("id", "id_b").withColumnRenamed("gs", "gs_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    union = F.size(F.array_union("gs_a", "gs_b")).cast("double")
+    return (
+        pairs.withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .select("id_a", "id_b", "jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 # ------------------------------------------- dedup clusters (components)
@@ -246,12 +377,15 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     Output: (node, component) where component = min node id reachable.
     Nodes absent from ``pairs`` are their own singleton component.
     """
+    import warnings
+
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).distinct()
     edges = edges.persist()
     labels = nodes.select(F.col(node_col).alias("node")) \
         .distinct().withColumn("component", F.col("node"))
+    changed = 0
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.dst == labels.node)
               .groupBy("src").agg(F.min("component").alias("nb_min")))
@@ -268,6 +402,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Unconverged labels would silently split clusters (a chain with
+        # diameter > max_iter) — make that visible instead of wrong.
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — rounds "
+            "needed = component diameter", RuntimeWarning)
     return labels
 
 
