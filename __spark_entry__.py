@@ -306,6 +306,51 @@ def q_pad_mask(spark, sf_dir):
     )
 
 
+def q_pad_mask2(spark, sf_dir):
+    """Multi-dim pad+mask (reference pad.hpp:30-44 mask-dimensionality
+    dispatch + ndim_pad, ndim.hpp:310-328): a ragged 2-deep nested array
+    (token chunks of 7 via reshaped_view, ndim.hpp:525-545) padded on
+    BOTH dims to the per-dimension global max, with a 2-level leaf mask.
+    Global maxes via agg + broadcast crossJoin — no single-task window."""
+    from hipipe_spark.functions.ndim import reshaped_view
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0)
+    d = d.select(
+        "doc_id",
+        reshaped_view(tokens(F.lower(F.col("text"))), 7).alias("chunks"))
+    out = Pad("chunks", value="<pad>", depth=2)(d)
+    # JSON-serialize the nested arrays: value-hash comparators need not
+    # support 2-deep arrays, and both engines emit identical compact JSON
+    return out.select(
+        "doc_id",
+        F.to_json(F.col("chunks")).alias("chunks"),
+        F.to_json(F.col("chunks_mask")).alias("chunks_mask"))
+
+
+def q_ndim_ops(spark, sf_dir):
+    """ndim utility sweep over a ragged nested array (reference
+    ndim.hpp:192-209 ndim_size, :388-407 shape, :451-471 flat_view,
+    :586-646 generate/gendims): per-dimension sizes, first-element
+    shape, recursive flatten, and the depth-first counter fill at
+    gendims 1 and 2 — all JSON-serialized for engine-neutral hashing."""
+    from hipipe_spark.functions.ndim import (
+        flat_view, gen_fill, ndim_size, reshaped_view, shape)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 0)
+    c = d.select(
+        "doc_id",
+        reshaped_view(tokens(F.lower(F.col("text"))), 7).alias("chunks"))
+    return c.select(
+        "doc_id",
+        ndim_size(F.col("chunks"), 1).alias("n_chunks"),
+        F.to_json(ndim_size(F.col("chunks"), 2)).alias("chunk_lens"),
+        F.to_json(shape(F.col("chunks"), 2)).alias("shp"),
+        F.size(flat_view(F.col("chunks"), 2)).alias("n_flat"),
+        F.to_json(gen_fill(F.col("chunks"), 1, ndims=2)).alias("gf1"),
+        F.to_json(gen_fill(F.col("chunks"), 2, ndims=2)).alias("gf2"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
@@ -730,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_groups": q_generate_groups,
         "fixed_groups": q_fixed_groups,
         "pad_mask": q_pad_mask,
+        "pad_mask2": q_pad_mask2,
+        "ndim_ops": q_ndim_ops,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -864,6 +911,57 @@ def oracle_sql() -> dict[str, str]:
     d["embedding_lsh_topk"] = d["embedding_topk"]  # probe_all == exact top-k
     d["minhash_lsh"] = _minhash_det_oracle()
     d["simhash"] = _simhash_det_oracle()
+    # NB: DuckDB's list_resize miscopies non-trivial default values when
+    # used inside a lambda — pad via list_concat + a generated fill list
+    def _fill(n_expr: str, v_expr: str) -> str:
+        return (f"list_transform(range(0, greatest(CAST({n_expr} AS BIGINT), 0)), "
+                f"_f -> {v_expr})")
+    d["pad_mask2"] = f"""
+      WITH d AS (SELECT doc_id, {_det_tokens_sql('text')} AS toks
+                 FROM documents WHERE doc_id % 10 = 0),
+      c AS (SELECT doc_id,
+                   list_transform(range(0, CAST(ceil(len(toks) / 7.0) AS INT)),
+                                  i -> toks[i*7+1 : i*7+7]) AS chunks
+            FROM d),
+      mx AS (SELECT max(len(chunks)) AS l1,
+                    max(coalesce(list_max(list_transform(chunks, s -> len(s))), 0)) AS l2
+             FROM c)
+      SELECT doc_id,
+             CAST(to_json(list_transform(
+               list_concat(chunks, {_fill('l1 - len(chunks)', 'CAST([] AS VARCHAR[])')}),
+               s -> list_concat(s, {_fill('l2 - len(s)', "'<pad>'")}))) AS VARCHAR) AS chunks,
+             CAST(to_json(list_transform(
+               list_concat(list_transform(chunks, s -> {_fill('len(s)', 'true')}),
+                           {_fill('l1 - len(chunks)', 'CAST([] AS BOOLEAN[])')}),
+               m -> list_concat(m, {_fill('l2 - len(m)', 'false')}))) AS VARCHAR) AS chunks_mask
+      FROM c, mx
+    """
+    d["ndim_ops"] = f"""
+      WITH d AS (SELECT doc_id, {_det_tokens_sql('text')} AS toks
+                 FROM documents WHERE doc_id % 10 = 0),
+      c AS (SELECT doc_id,
+                   list_transform(range(0, CAST(ceil(len(toks) / 7.0) AS INT)),
+                                  i -> toks[i*7+1 : i*7+7]) AS chunks
+            FROM d)
+      SELECT doc_id,
+             CAST(len(chunks) AS INTEGER) AS n_chunks,
+             CAST(to_json(list_transform(chunks, s -> CAST(len(s) AS INTEGER)))
+                  AS VARCHAR) AS chunk_lens,
+             CAST(to_json([CAST(len(chunks) AS BIGINT),
+                           CAST(coalesce(len(chunks[1]), 0) AS BIGINT)])
+                  AS VARCHAR) AS shp,
+             CAST(len(flatten(chunks)) AS INTEGER) AS n_flat,
+             CAST(to_json(list_transform(chunks,
+                    (s, i) -> list_transform(s, _x -> CAST(i - 1 AS BIGINT))))
+                  AS VARCHAR) AS gf1,
+             CAST(to_json(list_transform(chunks,
+                    (s, i) -> list_transform(s,
+                      (_x, j) -> CAST(coalesce(list_sum(
+                                   list_transform(chunks[1:i-1], q -> len(q))), 0)
+                                 + j - 1 AS BIGINT))))
+                  AS VARCHAR) AS gf2
+      FROM c
+    """
     return d
 
 

@@ -316,37 +316,77 @@ class Pad(Stage):
     logical group (``group_by``; default: the whole table via a constant
     group), the deterministic cluster-size-invariant reading
     (SURVEY.md §7.3).
+
+    ``depth`` mirrors the reference's mask-dimensionality dispatch
+    (``pad.hpp:30-44``: the mask column's ndims picks how many dims are
+    padded). depth=1 (default): pad the outer array, ``array<bool>``
+    mask. depth=2 over ``array<array<T>>``: pad the outer arrays to the
+    group max length AND every inner array to the group-wide max inner
+    length (per-dimension max, reference ``ndim_pad``,
+    ``ndim.hpp:310-328``), with an ``array<array<bool>>`` leaf mask
+    built by the reference's resize(true) → pad → resize(false) recipe.
     """
 
     def __init__(self, col: str, value, group_by: str | None = None,
-                 mask_col: str | None = None):
+                 mask_col: str | None = None, depth: int = 1):
         super().__init__(f"pad({col})")
+        if depth not in (1, 2):
+            raise ValueError("depth 1 or 2")
         self.col, self.value, self.group_by = col, value, group_by
         self.mask_col = mask_col or f"{col}_mask"
+        self.depth = depth
 
-    def apply(self, df: DataFrame) -> DataFrame:
+    def _maxes(self, df: DataFrame, exprs: dict[str, Column]):
+        """Attach per-group (window) or global (agg + broadcast
+        crossJoin — NEVER a single-partition window) max columns."""
         if self.group_by:
             w = Window.partitionBy(self.group_by)
-            maxlen = F.max(F.size(F.col(self.col))).over(w)
-        else:
-            # Global pad: a Window.partitionBy(lit(1)) would drag the whole
-            # table into ONE task. Instead compute the scalar max with a
-            # normal (tree-reduced) aggregate and attach it via a broadcast
-            # cross join — same semantics, no single-partition exchange.
-            mx = df.agg(F.max(F.size(F.col(self.col))).alias("__maxlen"))
-            df = df.crossJoin(F.broadcast(mx))
-            maxlen = F.col("__maxlen")
-        n_pad = maxlen - F.size(F.col(self.col))
-        pad_arr = F.array_repeat(F.lit(self.value), n_pad.cast("int"))
-        mask = F.concat(
-            F.array_repeat(F.lit(True), F.size(F.col(self.col)).cast("int")),
-            F.array_repeat(F.lit(False), n_pad.cast("int")),
-        )
-        out = (
-            df.withColumn(self.mask_col, mask)
-            .withColumn(self.col, F.concat(F.col(self.col), pad_arr))
-        )
-        return out.drop("__maxlen") if not self.group_by else out
+            return df, {k: F.max(e).over(w) for k, e in exprs.items()}
+        mx = df.agg(*[F.max(e).alias(f"__mx_{k}") for k, e in exprs.items()])
+        df = df.crossJoin(F.broadcast(mx))
+        return df, {k: F.col(f"__mx_{k}") for k in exprs}
+
+    def _drop_tmp(self, df: DataFrame) -> DataFrame:
+        return df.drop(*[c for c in df.columns if c.startswith("__mx_")])
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        c = F.col(self.col)
+        if self.depth == 1:
+            df, mx = self._maxes(df, {"l1": F.size(c)})
+            n_pad = (mx["l1"] - F.size(c)).cast("int")
+            out = (
+                df.withColumn(self.mask_col, F.concat(
+                    F.array_repeat(F.lit(True), F.size(c).cast("int")),
+                    F.array_repeat(F.lit(False), n_pad)))
+                .withColumn(self.col, F.concat(
+                    c, F.array_repeat(F.lit(self.value), n_pad)))
+            )
+            return self._drop_tmp(out)
+        # depth == 2: per-dimension maxes over the group
+        inner_max = F.coalesce(F.array_max(F.transform(c, F.size)), F.lit(0))
+        df, mx = self._maxes(df, {"l1": F.size(c), "l2": inner_max})
+        l1, l2 = mx["l1"].cast("int"), mx["l2"].cast("int")
+        empty_inner = F.filter(c, lambda x: F.lit(False))  # [] : array<array<T>>
+        grow_outer = F.concat(
+            c, F.array_repeat(F.flatten(empty_inner),
+                              (l1 - F.size(c)).cast("int")))
+        padded = F.transform(
+            grow_outer,
+            lambda inner: F.concat(
+                inner, F.array_repeat(F.lit(self.value),
+                                      (l2 - F.size(inner)).cast("int"))))
+        mask0 = F.transform(
+            c, lambda inner: F.array_repeat(F.lit(True), F.size(inner).cast("int")))
+        mask_outer = F.concat(
+            mask0, F.array_repeat(F.array().cast("array<boolean>"),
+                                  (l1 - F.size(c)).cast("int")))
+        mask = F.transform(
+            mask_outer,
+            lambda m: F.concat(
+                m, F.array_repeat(F.lit(False), (l2 - F.size(m)).cast("int"))))
+        out = (df.withColumn(self.mask_col, mask)
+               .withColumn(self.col, padded))
+        return self._drop_tmp(out)
 
 
 # ------------------------------------------------------- rebatch / unpack

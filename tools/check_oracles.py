@@ -24,7 +24,18 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pdf[c].dtype == object:
-            pdf[c] = pdf[c].map(lambda x: "<NULL>" if x is None or x != x else str(x))
+            def _canon(x):
+                if x is None:
+                    return "<NULL>"
+                if hasattr(x, "tolist"):  # numpy (possibly nested) array
+                    return str(x.tolist())
+                try:
+                    if x != x:  # NaN
+                        return "<NULL>"
+                except ValueError:  # ambiguous elementwise comparison
+                    pass
+                return str(x)
+            pdf[c] = pdf[c].map(_canon)
         # duckdb may hand back int32/uint; unify numerics
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("Int64")
