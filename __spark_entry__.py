@@ -289,6 +289,19 @@ def q_generate_groups(spark, sf_dir):
     return out.groupBy("group").agg(F.count("*").alias("n"))
 
 
+def q_generate_groups_multi(spark, sf_dir):
+    """n-clusterings split (reference groups.hpp:111-140): volatile
+    [1,1] + fixed [2] over 3 clusterings; the fixed group (label 2) is
+    identical in every clustering, volatile rows re-split per clustering
+    with exact counts. Per-row labels fully reproduced by the DuckDB
+    oracle (LCG rank thresholds)."""
+    from hipipe_spark.operators.groups import generate_groups_multi
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = generate_groups_multi(o, "o_orderkey", n=3,
+                                volatile_ratio=[1, 1], fixed_ratio=[2], seed=3)
+    return out.select("o_orderkey", "group_0", "group_1", "group_2")
+
+
 def q_fixed_groups(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = fixed_groups(o, "o_orderkey", 5, seed=3)
@@ -773,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "base64": q_base64,
         "index_mapper": q_index_mapper,
         "generate_groups": q_generate_groups,
+        "generate_groups_multi": q_generate_groups_multi,
         "fixed_groups": q_fixed_groups,
         "pad_mask": q_pad_mask,
         "pad_mask2": q_pad_mask2,
@@ -909,6 +923,40 @@ def oracle_sql() -> dict[str, str]:
     d["embedding_topk_numpy"] = d["embedding_topk"]  # same result, BLAS impl
     d["embedding_ivf_full"] = d["embedding_topk"]  # full probe == exact top-k
     d["embedding_lsh_topk"] = d["embedding_topk"]  # probe_all == exact top-k
+    # n-clusterings split: initial full-ratio split (seed 3), volatile
+    # rows (init < 2) re-ranked per clustering with derived seeds —
+    # exact replica of generate_groups_multi's arithmetic
+    _mseeds = [3 + 7919 * (i + 1) for i in range(3)]
+    _ranks = "\n".join(
+        f""", r{i} AS (SELECT o_orderkey,
+               row_number() OVER (ORDER BY {det_hash_i64_sql('o_orderkey', s)},
+                                  o_orderkey) AS rn
+           FROM vol)"""
+        for i, s in enumerate(_mseeds))
+    _gcols = ",\n".join(
+        f"""CAST(CASE WHEN r{i}.rn IS NULL THEN i.g
+                  WHEN r{i}.rn <= CAST(floor(v * 1.0 / 2) AS BIGINT) THEN 0
+                  ELSE 1 END AS INTEGER) AS group_{i}"""
+        for i in range(3))
+    _joins = "\n".join(
+        f"LEFT JOIN r{i} ON i.o_orderkey = r{i}.o_orderkey" for i in range(3))
+    d["generate_groups_multi"] = f"""
+      WITH n AS (SELECT count(*) AS c FROM orders),
+      r AS (SELECT o_orderkey,
+                   row_number() OVER (ORDER BY {det_hash_i64_sql('o_orderkey', 3)},
+                                      o_orderkey) AS rn
+            FROM orders),
+      init AS (SELECT o_orderkey,
+                      CASE WHEN rn <= CAST(floor(c * 1.0 / 4) AS BIGINT) THEN 0
+                           WHEN rn <= 2 * CAST(floor(c * 1.0 / 4) AS BIGINT) THEN 1
+                           ELSE 2 END AS g
+               FROM r, n),
+      vol AS (SELECT o_orderkey FROM init WHERE g < 2),
+      vn AS (SELECT count(*) AS v FROM vol)
+      {_ranks}
+      SELECT i.o_orderkey, {_gcols}
+      FROM init i {_joins}, vn
+    """
     d["minhash_lsh"] = _minhash_det_oracle()
     d["simhash"] = _simhash_det_oracle()
     # NB: DuckDB's list_resize miscopies non-trivial default values when

@@ -64,6 +64,37 @@ def fixed_groups(df: DataFrame, key: str, n_groups: int,
     )
 
 
+def generate_groups_multi(df: DataFrame, key: str, n: int,
+                          volatile_ratio: Sequence[float],
+                          fixed_ratio: Sequence[float],
+                          seed: int = 0,
+                          out_prefix: str = "group_") -> DataFrame:
+    """The reference's n-clusterings overload (``groups.hpp:111-140``):
+    one initial exact-count split over volatile_ratio ++ fixed_ratio;
+    rows landing in a FIXED group (label >= len(volatile_ratio)) keep
+    that label in every clustering; volatile rows are re-split among the
+    volatile groups — exact counts — independently per clustering with
+    a derived seed. The CV/ensemble split with a shared test set.
+
+    Adds columns ``{out_prefix}0..{out_prefix}{n-1}``. Deterministic at
+    any parallelism (LCG hash order). Runs n+1 exact-count splits, each
+    a count + thresholded rank — same single-sort trade as
+    :func:`generate_groups` (use :func:`fixed_groups` at extreme scale).
+    """
+    vsize = len(volatile_ratio)
+    full = list(volatile_ratio) + list(fixed_ratio)
+    base = generate_groups(df, key, full, seed=seed, out="__init")
+    vol = base.filter(F.col("__init") < vsize).select(key).persist()
+    out = base
+    for i in range(n):
+        gi = generate_groups(vol, key, list(volatile_ratio),
+                             seed=seed + 7919 * (i + 1), out=f"{out_prefix}{i}")
+        out = out.join(gi, on=key, how="left").withColumn(
+            f"{out_prefix}{i}",
+            F.coalesce(F.col(f"{out_prefix}{i}"), F.col("__init")))
+    return out.drop("__init")
+
+
 def build_index_mapper(df: DataFrame, col: str,
                        n_partitions: int | None = None) -> DataFrame:
     """Distinct values → dense 0-based contiguous indices, ordered by

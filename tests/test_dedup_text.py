@@ -120,6 +120,34 @@ def test_generate_groups_exact_counts(spark):
     assert counts == {0: 2, 1: 2, 2: 6}
 
 
+def test_generate_groups_multi(spark):
+    """reference groups.hpp:97-104 example: n clusterings over volatile
+    [2,1] + fixed [2]; the fixed group label (2) is identical in every
+    clustering, volatile rows re-split with exact counts per
+    clustering, and clusterings actually differ."""
+    from hipipe_spark.operators.groups import generate_groups_multi
+
+    df = spark.range(40).withColumnRenamed("id", "k")
+    out = generate_groups_multi(df, "k", n=3, volatile_ratio=[2, 1],
+                                fixed_ratio=[2], seed=5).toPandas()
+    gcols = ["group_0", "group_1", "group_2"]
+    # fixed rows: label 2 in every clustering, same row set
+    fixed_rows = out[out.group_0 == 2]
+    assert (fixed_rows[gcols] == 2).all().all()
+    # exact initial counts: ratio [2,1,2] over 40 → 16, 8, 16
+    assert len(fixed_rows) == 16
+    v = out[out.group_0 != 2]
+    assert len(v) == 24
+    for c in gcols:
+        # volatile re-split [2,1] over 24 → exactly 16 / 8
+        counts = v[c].value_counts().to_dict()
+        assert counts == {0: 16, 1: 8}, (c, counts)
+        assert (out[c] == 2).sum() == 16  # fixed set identical per col
+    # clusterings are not all identical
+    assert not (out["group_0"] == out["group_1"]).all() or \
+           not (out["group_0"] == out["group_2"]).all()
+
+
 def test_fixed_groups_stable(spark):
     df = spark.range(100).withColumnRenamed("id", "k")
     a = {r.k: r.group for r in fixed_groups(df, "k", 4, seed=9).collect()}
