@@ -45,6 +45,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_STATS_UNKNOWN = 1 << 61
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate in bytes (no job). For
     parquet scans this is file size × filter selectivity; for unknown
@@ -55,6 +58,56 @@ def _plan_size_bytes(df: DataFrame) -> int:
     except Exception:
         return 1 << 62
 
+
+def _field_width(dt) -> int:
+    """Conservative per-value byte width (Catalyst defaultSize flavor)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.BooleanType)):
+        return 1
+    if isinstance(dt, (T.ShortType,)):
+        return 2
+    if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+        return 4
+    if isinstance(dt, T.StringType):
+        return 20
+    if isinstance(dt, T.BinaryType):
+        return 100
+    if isinstance(dt, T.ArrayType):
+        return 16 * _field_width(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return 16 * (_field_width(dt.keyType) + _field_width(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return sum(_field_width(f.dataType) for f in dt.fields)
+    return 8  # long/double/timestamp/decimal-ish
+
+
+def _est_bytes(df: DataFrame, byte_cap: int) -> float:
+    """Broadcast-size estimate for the asof auto gate. Prefer Catalyst's
+    free plan statistic; when the plan reports the unknown-default
+    (generated/shuffled lineages), fall back to ONE bounded job: count
+    up to a row cap (limit+count stops scanning early) and multiply by
+    the schema's per-row default width — so wide rows still disqualify
+    and an over-cap side costs at most cap rows of work, never a full
+    scan of a 100-TB lineage."""
+    sz = _plan_size_bytes(df)
+    if sz < _STATS_UNKNOWN:
+        return sz
+    width = max(sum(_field_width(f.dataType) for f in df.schema.fields), 1)
+    row_cap = max(byte_cap // width, 1)
+    rows = df.limit(row_cap + 1).count()
+    if rows > row_cap:
+        return float("inf")
+    return rows * width
+
+
+
+def _epoch_sec(col):
+    """Epoch seconds as DOUBLE (microsecond precision). F.unix_timestamp
+    truncates to whole seconds, which breaks nearest/tolerance math on
+    sub-second timestamps and diverges from the DuckDB oracle's
+    fractional epoch()."""
+    return F.col(col).cast("timestamp").cast("double") if isinstance(col, str) \
+        else col.cast("timestamp").cast("double")
 
 def asof_join(
     left: DataFrame,
@@ -98,7 +151,7 @@ def asof_join(
         # Plan stats are free (no job); when they are unknown Catalyst
         # reports a huge default, which conservatively picks "union".
         strategy = ("broadcast"
-                    if _plan_size_bytes(right) <= auto_broadcast_bytes
+                    if _est_bytes(right, auto_broadcast_bytes) <= auto_broadcast_bytes
                     else "union")
     if strategy == "union":
         return _asof_union(left, right, on, by, direction, allow_exact_matches,
@@ -156,7 +209,7 @@ def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
     ).over(w).alias("__match_ts")
     out = u.select("*", *filled, matched_ts).filter(F.col("__side") == 1)
     if tol is not None:
-        delta = F.abs(F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("__match_ts")))
+        delta = F.abs(_epoch_sec(F.col(on)) - _epoch_sec(F.col("__match_ts")))
         within = F.col("__match_ts").isNotNull() & (delta <= tol)
         proj = [
             F.when(within, F.col(f"__f_{c}")).alias(f"{c}{suffix}") for c in value_cols
@@ -200,9 +253,9 @@ def _asof_union_nearest(left, right, on, by, exact, tol, value_cols, suffix):
     sel.append(F.last(right_on, ignorenulls=True).over(wb).alias("__b_ts"))
     sel.append(F.last(right_on, ignorenulls=True).over(wf).alias("__f_ts"))
     out = u.select(*sel).filter(F.col("__side") == 1)
-    ts_l = F.unix_timestamp(F.col(on))
-    db = ts_l - F.unix_timestamp(F.col("__b_ts"))
-    df_ = F.unix_timestamp(F.col("__f_ts")) - ts_l
+    ts_l = _epoch_sec(F.col(on))
+    db = ts_l - _epoch_sec(F.col("__b_ts"))
+    df_ = _epoch_sec(F.col("__f_ts")) - ts_l
     b_ok = F.col("__b_ts").isNotNull()
     f_ok = F.col("__f_ts").isNotNull()
     if tol is not None:
@@ -282,7 +335,7 @@ def _asof_broadcast(left, right, on, by, direction, exact, tol, value_cols, suff
     def gate_tol(col):
         if tol is None:
             return col
-        delta = F.abs(F.unix_timestamp(col["t"]) - F.unix_timestamp(lt))
+        delta = F.abs(_epoch_sec(col["t"]) - _epoch_sec(lt))
         return F.when(delta <= tol, col)
 
     if direction == "nearest":
@@ -290,8 +343,8 @@ def _asof_broadcast(left, right, on, by, direction, exact, tol, value_cols, suff
         # the closer candidate wins; ties prefer backward
         joined = joined.withColumn("__b", gate_tol(cand("backward", -1)))
         joined = joined.withColumn("__f", gate_tol(cand("forward", 1)))
-        db = F.unix_timestamp(lt) - F.unix_timestamp(F.col("__b.t"))
-        df_ = F.unix_timestamp(F.col("__f.t")) - F.unix_timestamp(lt)
+        db = _epoch_sec(lt) - _epoch_sec(F.col("__b.t"))
+        df_ = _epoch_sec(F.col("__f.t")) - _epoch_sec(lt)
         use_b = F.col("__b").isNotNull() & (
             F.col("__f").isNull() | (db <= df_))
         joined = joined.withColumn(
