@@ -731,6 +731,38 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count stratified sample: 50 orders per o_orderstatus chosen
+    by deterministic hash rank — strata sample in parallel, one shuffle
+    on the stratum key; every kept row reproduced by the oracle."""
+    from hipipe_spark.operators.sampling import stratified_sample
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = stratified_sample(o, "o_orderstatus", "o_orderkey",
+                            n_per_stratum=50, seed=11)
+    return out.select("o_orderkey", "o_orderstatus")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Weighted corpus mixture: two document sources independently
+    Bernoulli-downsampled (0.5 / 0.2) by key-derived hash and unioned —
+    shuffle-free, filters pushed to each scan, bit-reproducible."""
+    from hipipe_spark.operators.sampling import weighted_mixture
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = weighted_mixture([(a, 0.5), (b, 0.2)], key="doc_id", seed=11)
+    return out.select("doc_id", "source")
+
+
+def q_bernoulli_sample(spark, sf_dir):
+    """Key-level Bernoulli sample (all rows of a kept key survive —
+    conversation-level sampling semantics): zero shuffle."""
+    from hipipe_spark.operators.sampling import bernoulli_sample
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = bernoulli_sample(ev, "user_id", 0.25, seed=4)
+    return out.select("event_id", "user_id")
+
+
 def q_quality_lang(spark, sf_dir):
     from hipipe_spark.functions.text import lang_id, quality_score
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -825,6 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "approx_stats": q_approx_stats,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "bernoulli_sample": q_bernoulli_sample,
         "quality_lang": q_quality_lang,
         "flagship": q_flagship,
     }
@@ -956,6 +991,24 @@ def oracle_sql() -> dict[str, str]:
       {_ranks}
       SELECT i.o_orderkey, {_gcols}
       FROM init i {_joins}, vn
+    """
+    d["stratified_sample"] = f"""
+      SELECT o_orderkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY {det_hash_i64_sql('o_orderkey', 11)}, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 50
+    """
+    d["mixture_sample"] = f"""
+      SELECT doc_id, 0 AS source FROM documents
+      WHERE doc_id % 2 = 0 AND {det_hash01_sql('doc_id', 11)} < 0.5
+      UNION ALL
+      SELECT doc_id, 1 AS source FROM documents
+      WHERE doc_id % 2 = 1 AND {det_hash01_sql('doc_id', 12)} < 0.2
+    """
+    d["bernoulli_sample"] = f"""
+      SELECT event_id, user_id FROM events
+      WHERE {det_hash01_sql('user_id', 4)} < 0.25
     """
     d["minhash_lsh"] = _minhash_det_oracle()
     d["simhash"] = _simhash_det_oracle()

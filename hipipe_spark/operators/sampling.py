@@ -1,0 +1,62 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The reference's only sampling primitive is the random train/valid/test
+split (``include/hipipe/core/groups.hpp:55-84``), driven by an
+irreproducible thread-local mt19937 (``utility/random.hpp:21``). These
+operators extend that idea to the corpus-construction toolkit a 100-TB
+training pipeline needs — stratified sampling, Bernoulli sampling, and
+weighted dataset mixtures — with the engine's key-derived determinism
+(``functions/hashing.py``): every kept/dropped decision is a pure
+function of (key, seed), identical at any parallelism and bit-for-bit
+reproducible by a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.hashing import det_hash01, det_hash_i64
+
+
+def bernoulli_sample(df: DataFrame, key: str, fraction: float,
+                     seed: int = 0) -> DataFrame:
+    """Keep each row iff det_hash01(key, seed) < fraction. Approximate
+    count, exact reproducibility, zero shuffle — the 100-TB default."""
+    return df.filter(det_hash01(F.col(key), seed) < F.lit(float(fraction)))
+
+
+def stratified_sample(df: DataFrame, strata: str | Sequence[str], key: str,
+                      n_per_stratum: int, seed: int = 0) -> DataFrame:
+    """EXACT n rows per stratum, chosen by deterministic hash order
+    (rank within stratum by (det_hash(key), key)). One shuffle on the
+    strata columns; strata sample in parallel. A monster stratum sorts
+    in one window partition — for approximate-count sampling at that
+    scale use :func:`bernoulli_sample` with fraction = n/|stratum|."""
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    w = Window.partitionBy(*strata).orderBy(
+        det_hash_i64(F.col(key), seed), F.col(key))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_per_stratum).drop("__rk"))
+
+
+def weighted_mixture(sources: Sequence[tuple[DataFrame, float]], key: str,
+                     seed: int = 0, tag_col: str | None = "source") -> DataFrame:
+    """Weighted dataset mixture: source i is independently downsampled
+    to fraction w_i (Bernoulli on det_hash01(key, seed+i)), then all
+    sources union. The standard corpus-mixing recipe (e.g. upweighting
+    curated data) as one deterministic, shuffle-free plan — each
+    source's filter pushes down to its own scan; the union is a plan
+    concatenation, not an exchange."""
+    parts = []
+    for i, (src, w) in enumerate(sources):
+        part = src.filter(det_hash01(F.col(key), seed + i) < F.lit(float(w)))
+        if tag_col:
+            part = part.withColumn(tag_col, F.lit(i))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,68 @@
+"""Deterministic sampling operators + dedup prepass equivalence."""
+
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.sampling import (
+    bernoulli_sample, stratified_sample, weighted_mixture)
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(200)], "k long, s string")
+    out = stratified_sample(df, "s", "k", n_per_stratum=30, seed=7)
+    counts = {r.s: r.n for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 30, "b": 30}
+    # identical result at different parallelism
+    again = stratified_sample(df.repartition(13), "s", "k", 30, seed=7)
+    assert sorted(r.k for r in out.collect()) == \
+           sorted(r.k for r in again.collect())
+
+
+def test_bernoulli_key_level_and_stable(spark):
+    # all rows sharing a key are kept or dropped TOGETHER
+    df = spark.createDataFrame(
+        [(i, i // 3) for i in range(300)], "row_id long, key long")
+    out = bernoulli_sample(df, "key", 0.4, seed=3).toPandas()
+    per_key = out.groupby("key").size()
+    assert (per_key == 3).all()
+    # plausible fraction and exact reproducibility
+    assert 0.25 < len(out) / 300 < 0.55
+    again = bernoulli_sample(df.repartition(7), "key", 0.4, seed=3).toPandas()
+    assert sorted(out.row_id) == sorted(again.row_id)
+
+
+def test_weighted_mixture_tags_and_weights(spark):
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(1000, 2000).withColumnRenamed("id", "k")
+    out = weighted_mixture([(a, 0.8), (b, 0.1)], key="k", seed=1).toPandas()
+    n_a = (out.source == 0).sum()
+    n_b = (out.source == 1).sum()
+    assert 700 < n_a < 900 and 50 < n_b < 160
+    # no shuffle: plan is filters + union only
+    plan = weighted_mixture([(a, 0.8), (b, 0.1)], key="k", seed=1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_prepass_equivalent_under_closure(spark):
+    """MinHash pairs with the exact-dup prepass produce the SAME
+    connected components as the naive all-pairs output — star edges are
+    closure-equivalent (the dedup-correctness contract of the prepass)."""
+    from hipipe_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs)
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee"), (1, "aaa bbb ccc ddd eee"),
+         (2, "aaa bbb ccc ddd eee"),            # 3-copy exact cluster
+         (3, "aaa bbb ccc ddd fff"),            # near-dup of the cluster
+         (4, "zzz yyy xxx www vvv"), (5, "zzz yyy xxx www vvv"),
+         (6, "totally unrelated words here now")],
+        "doc_id long, text string")
+    kw = dict(shingle="word", shingle_k=1, n_hashes=32, bands=16,
+              jaccard_threshold=0.5)
+    for prepass in (True, False):
+        pairs = minhash_lsh_pairs(docs, exact_prepass=prepass, **kw)
+        comp = {r["doc_id"]: r["component"]
+                for r in dedup_clusters(docs, pairs).collect()}
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}, prepass
