@@ -74,6 +74,15 @@ _ASOF_ORACLE = """
 """
 
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread to core count: the small testdata file
+    arrives as ONE split, which would serialize the expression-heavy
+    text pipelines (tokenize/score/shingle) onto a single task."""
+    from hipipe_spark.operators.core import ensure_parallelism
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_from_events(spark, sf_dir)
 
@@ -211,7 +220,7 @@ def q_transform_dim2(spark, sf_dir):
 def q_transform_dim3(spark, sf_dir):
     """dim-3 transform: sentences -> words (array<array<string>>),
     upper-case each word 2 levels deep, re-flatten for comparison."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     d = d.withColumn(
         "sent_words",
         F.transform(F.split(F.col("text"), r"\. "),
@@ -264,7 +273,7 @@ def q_string_to_bool(spark, sf_dir):
 
 
 def q_base64(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     # Spark's base64 is MIME-chunked (76-char lines); strip the newlines
     # to get canonical RFC 4648 output comparable with DuckDB's.
     enc = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\r\n]", "")
@@ -309,7 +318,7 @@ def q_fixed_groups(spark, sf_dir):
 
 
 def q_pad_mask(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     d = d.withColumn("toks", tokens(F.col("text")))
     out = Pad("toks", value="<pad>")(d)
     return out.select(
@@ -326,7 +335,7 @@ def q_pad_mask2(spark, sf_dir):
     BOTH dims to the per-dimension global max, with a 2-level leaf mask.
     Global maxes via agg + broadcast crossJoin — no single-task window."""
     from hipipe_spark.functions.ndim import reshaped_view
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 10 == 0)
     d = d.select(
         "doc_id",
@@ -348,7 +357,7 @@ def q_ndim_ops(spark, sf_dir):
     gendims 1 and 2 — all JSON-serialized for engine-neutral hashing."""
     from hipipe_spark.functions.ndim import (
         flat_view, gen_fill, ndim_size, reshaped_view, shape)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 10 == 0)
     c = d.select(
         "doc_id",
@@ -365,7 +374,7 @@ def q_ndim_ops(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -375,7 +384,7 @@ def q_token_stats(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_exact"),
@@ -384,12 +393,12 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_exact_dedup(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     return exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
     )
     return ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)\
@@ -401,7 +410,7 @@ def q_dedup_clusters(spark, sf_dir):
     connected components (distributed min-label propagation) -> keep
     canonical min-id doc per cluster."""
     from hipipe_spark.operators.dedup import dedup_clusters
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0)
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
     return dedup_clusters(d, pairs, id_col="doc_id")
@@ -413,7 +422,7 @@ def q_minhash_lsh(spark, sf_dir):
     bit-for-bit, so shingle→minhash→band→bucket-join→verify is checked
     end-to-end by the driver (VERDICT r1 next-round #2), exact-dup
     prepass included (star edges, jaccard 1.0)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
     )
     return minhash_lsh_pairs(
@@ -426,7 +435,7 @@ def q_simhash(spark, sf_dir):
     """SimHash near-pairs with hash_family="det" (60-bit hash, 4×15-bit
     pigeonhole blocks) — every bit stream reproducible in DuckDB, so the
     whole tokenize→simhash→block-join→hamming-verify path is oracled."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
     )
     out = simhash_near_pairs(d, "doc_id", "text", max_hamming=8,
@@ -525,14 +534,19 @@ def q_corpus_pipeline(spark, sf_dir):
     per md5 fingerprint) -> token stats. One narrow scan + one
     fingerprint-partitioned window; fully oracle-checked."""
     from hipipe_spark.functions.text import (
-        exact_fingerprint, lang_id, quality_score, token_count,
+        exact_fingerprint, lang_id, quality_score, token_count, tokens,
     )
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = d.select(
+    d = _docs(spark, sf_dir)
+    # tokenize ONCE and share (a separate non-cheap projection that
+    # CollapseProject keeps, so the split runs once per row instead of
+    # once per feature — HOF lambdas get no subexpression elimination)
+    t = d.withColumn("__toks", tokens(F.lower(F.col("text"))))
+    tk = F.col("__toks")
+    scored = t.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
-        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text"), tk).alias("lang_pred"),
+        F.round(quality_score(F.col("text"), tk), 4).alias("quality"),
+        token_count(F.col("text"), tk).alias("n_tokens"),
         exact_fingerprint(F.col("text")).alias("fp"),
     )
     good = scored.filter(F.col("quality") >= 0.5)
@@ -747,7 +761,7 @@ def q_mixture_sample(spark, sf_dir):
     Bernoulli-downsampled (0.5 / 0.2) by key-derived hash and unioned —
     shuffle-free, filters pushed to each scan, bit-reproducible."""
     from hipipe_spark.operators.sampling import weighted_mixture
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _docs(spark, sf_dir)
     a = d.filter(F.col("doc_id") % 2 == 0)
     b = d.filter(F.col("doc_id") % 2 == 1)
     out = weighted_mixture([(a, 0.5), (b, 0.2)], key="doc_id", seed=11)
@@ -764,12 +778,13 @@ def q_bernoulli_sample(spark, sf_dir):
 
 
 def q_quality_lang(spark, sf_dir):
-    from hipipe_spark.functions.text import lang_id, quality_score
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
+    from hipipe_spark.functions.text import lang_id, quality_score, tokens
+    d = _docs(spark, sf_dir)
+    t = d.withColumn("__toks", tokens(F.lower(F.col("text"))))
+    return t.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        lang_id(F.col("text"), F.col("__toks")).alias("lang_pred"),
+        F.round(quality_score(F.col("text"), F.col("__toks")), 4).alias("quality"),
     )
 
 

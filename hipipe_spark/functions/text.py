@@ -31,9 +31,11 @@ def tokens(col: Column) -> Column:
     )
 
 
-def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col)).cast("int")
+def token_count(col: Column, toks: Column | None = None) -> Column:
+    """Whitespace token count. ``toks``: pre-computed token array to
+    share one tokenization across many features (HOF lambdas are not
+    subexpression-eliminated, so each call otherwise re-splits)."""
+    return F.size(tokens(col) if toks is None else toks).cast("int")
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -55,40 +57,47 @@ def punct_ratio(col: Column) -> Column:
                   F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(col: Column, stopwords: list[str] | None = None,
+                   toks: Column | None = None) -> Column:
     """Fraction of tokens that are (lowercased) stopwords."""
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
-    toks = tokens(F.lower(col))
+    toks = tokens(F.lower(col)) if toks is None else toks
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
-def mean_word_len(col: Column) -> Column:
-    toks = tokens(col)
+def mean_word_len(col: Column, toks: Column | None = None) -> Column:
+    # word lengths are case-invariant: sharing lowered tokens is exact
+    toks = tokens(col) if toks is None else toks
     n = F.size(toks)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: reasonable length, low punct
     ratio, some stopwords (prose-ness), sane mean word length. Each
-    component clipped to [0,1]; score = mean of components."""
-    n_tok = token_count(col).cast("double")
+    component clipped to [0,1]; score = mean of components.
+
+    ``toks``: pre-computed LOWERCASED token array — pass one shared
+    tokenization when combining with lang_id/token_count (tokenizing is
+    the dominant cost and higher-order-function lambdas are excluded
+    from Spark's subexpression elimination)."""
+    n_tok = token_count(col, toks).cast("double")
     len_c = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     punct_c = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
-    stop_c = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
-    mwl = mean_word_len(col)
+    stop_c = F.least(stopword_ratio(col, toks=toks) * 4.0, F.lit(1.0))
+    mwl = mean_word_len(col, toks)
     mwl_c = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_c + punct_c + stop_c + mwl_c) / 4.0
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Marker-stopword language ID: score = count of tokens in each
     language's marker set; argmax wins; 'und' when all scores are 0.
     Ties break by language-key order (deterministic)."""
-    toks = tokens(F.lower(col))
+    toks = tokens(F.lower(col)) if toks is None else toks
     scores = []
     for lang in sorted(LANG_MARKERS):
         sw = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])

@@ -42,6 +42,21 @@ def create(spark: SparkSession, data, schema, n_partitions: int | None = None) -
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the plan has fewer partitions than
+    cores. Small-file scans (one partition per tiny file) serialize
+    expression-heavy per-row work — e.g. a 5k-doc parquet landing in ONE
+    task leaves 31 of 32 cores idle through a tokenize+score pipeline.
+    The repartition is a narrow-ish exchange of the raw rows, amortized
+    immediately by the per-row work; at real scale (many splits) it is
+    a no-op. The Spark analog of the reference's rebatch-for-throughput
+    (``rebatch.hpp:131-166``)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ------------------------------------------------------------- transforms
 def _nested_transform(col: Column, fn: Callable[[Column], Column],
                       depth: int) -> Column:
