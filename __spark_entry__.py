@@ -75,6 +75,14 @@ _ASOF_ORACLE = """
 
 
 
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan spread to core count (single-row-group testdata
+    file → one split; the per-batch BLAS matmuls would run serial)."""
+    from hipipe_spark.operators.core import ensure_parallelism
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan spread to core count: the small testdata file
     arrives as ONE split, which would serialize the expression-heavy
@@ -186,7 +194,7 @@ def q_filter_dim1(spark, sf_dir):
 
 
 def q_filter_dim2(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     out = Filter("embedding", lambda x: x > 0, dim=2)(em)
     return out.select("vec_id", F.size("embedding").alias("n_pos"))
 
@@ -208,7 +216,7 @@ def q_transform_map(spark, sf_dir):
 
 
 def q_transform_dim2(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     em = em.withColumn("embedding", F.col("embedding").cast("array<double>"))
     out = Transform("embedding", "embedding", lambda x: x * x, dim=2)(em)
     return out.select(
@@ -444,14 +452,14 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
     out = brute_force_topk(em, q, k=5)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 def q_embedding_topk_numpy(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
     out = brute_force_topk(em, q, k=5, impl="numpy")
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
@@ -464,7 +472,7 @@ def q_embedding_lsh_topk(spark, sf_dir):
     sketch/bucket/probe/re-rank machinery in the driver gate, in the
     style of embedding_ivf_full. The approximate multi-probe path
     (probe_radius=1) is recall-tested in pytest."""
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
     return lsh_topk(em, q, k=5, probe_all=True).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
@@ -569,13 +577,13 @@ def q_latest_per_key(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     out = embedding_near_pairs(em, threshold=0.3, brute_force=True)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
     out = ivf_topk(em, q, k=5, n_cells=16, n_probe=4)
     return out.select("query_id", "neighbor_id", "rank")
@@ -586,7 +594,7 @@ def q_embedding_ivf_full(spark, sf_dir):
     brute-force result, so the full DuckDB top-k oracle applies; pins
     the IVF index/search machinery (train, assignment, probe, re-rank)
     inside the driver gate, not just pytest."""
-    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
     out = ivf_topk(em, q, k=5, n_cells=16, n_probe=16)
     return out.select("query_id", "neighbor_id",
