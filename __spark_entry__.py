@@ -769,7 +769,9 @@ def q_mixture_sample(spark, sf_dir):
     Bernoulli-downsampled (0.5 / 0.2) by key-derived hash and unioned —
     shuffle-free, filters pushed to each scan, bit-reproducible."""
     from hipipe_spark.operators.sampling import weighted_mixture
-    d = _docs(spark, sf_dir)
+    # plain read: sampling is a cheap filter — no need for the
+    # expression-parallelism spread, keep the plan exchange-free
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = d.filter(F.col("doc_id") % 2 == 0)
     b = d.filter(F.col("doc_id") % 2 == 1)
     out = weighted_mixture([(a, 0.5), (b, 0.2)], key="doc_id", seed=11)
