@@ -57,6 +57,31 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def register_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach persisted intermediates to a returned plan so callers can
+    free them after materializing: operators that persist a reused base
+    frame (minhash/ngram pair generators, multi-clustering splits) cannot
+    unpersist before returning — the caller hasn't run the plan yet — so
+    the CALLER owns the cache lifetime. Call :func:`release_cached` on
+    the result once it has been materialized (written / collected)."""
+    prev = getattr(result, "_hipipe_cached", ())
+    result._hipipe_cached = (*prev, *cached)
+    return result
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every intermediate an operator registered on ``df`` via
+    :func:`register_cached`. Safe to call repeatedly; long-lived sessions
+    running repeated dedup passes should call this after each pass or
+    cached blocks accumulate."""
+    for c in getattr(df, "_hipipe_cached", ()):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    df._hipipe_cached = ()
+
+
 # ------------------------------------------------------------- transforms
 def _nested_transform(col: Column, fn: Callable[[Column], Column],
                       depth: int) -> Column:
@@ -455,6 +480,17 @@ class Buffer(Stage):
     def __init__(self, persist: bool = True):
         super().__init__("buffer")
         self.persist = persist
+        self._last: DataFrame | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.persist() if self.persist else df
+        if not self.persist:
+            return df
+        self._last = df.persist()
+        return self._last
+
+    def release(self) -> None:
+        """Unpersist the last buffered frame (the reference buffer's
+        drain-on-destruction analog, ``buffer.hpp:170-176``)."""
+        if self._last is not None:
+            self._last.unpersist()
+            self._last = None

@@ -145,6 +145,11 @@ def minhash_lsh_pairs(
     ``hash_family``: "xxhash64" (default, cheapest) or "det" — the
     LCG/polynomial family from :mod:`hipipe_spark.functions.hashing`
     whose arithmetic a DuckDB oracle can reproduce bit-for-bit.
+
+    Cache lifetime: the signature base frame is persisted (band explode
+    and verify join both read it). The CALLER owns the cache — after
+    materializing the result, call
+    :func:`hipipe_spark.operators.core.release_cached` on it.
     """
     rows_per_band = n_hashes // bands
     assert rows_per_band * bands == n_hashes, "bands must divide n_hashes"
@@ -202,7 +207,8 @@ def minhash_lsh_pairs(
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
     if star is not None:
         out = out.unionByName(star.withColumn("jaccard", F.lit(1.0)))
-    return out
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, base)
 
 
 # --------------------------------------------------------------- SimHash
@@ -329,6 +335,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     Verification always uses the FULL gram sets (array_intersect on the
     per-doc arrays), so the reported jaccard stays exact — only pairs
     whose every shared gram is a hub can be missed. None = fully exact.
+
+    Cache lifetime: the gram-set base frame is persisted (inverted index
+    and verify join both read it); the caller owns it — call
+    :func:`hipipe_spark.operators.core.release_cached` on the result
+    after materializing.
     """
     base = df.select(F.col(id_col).alias("id"),
                      word_ngrams(F.col(text_col), n).alias("gs"))
@@ -353,11 +364,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
     union = F.size(F.array_union("gs_a", "gs_b")).cast("double")
-    return (
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(
         pairs.withColumn(
             "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .select("id_a", "id_b", "jaccard")
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        base,
     )
 
 

@@ -216,8 +216,14 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", quote: str = '"',
         return
     if dialect != "hipipe":
         raise ValueError(dialect)
+    # NULL fields serialize as EMPTY fields (like Spark's native writer
+    # and the all-string reference dataframe). Without the coalesce,
+    # concat_ws silently skips nulls — fewer separators, every later
+    # column shifts left, and the reader rejects the ragged row.
     line = F.concat_ws(
-        sep, *[_quote_field_expr(F.col(c).cast("string"), sep, quote, escape)
+        sep, *[_quote_field_expr(
+                   F.coalesce(F.col(c).cast("string"), F.lit("")),
+                   sep, quote, escape)
                for c in df.columns])
     body = df.select(line.alias("value"))
     if header:

@@ -124,10 +124,12 @@ class StringFrame:
             raise ValueError("frame has no header: column must be unnamed")
         if self._data and len(values) != self.n_rows:
             raise ValueError("column length must equal n_rows")
+        # validate BEFORE mutating: a rejected duplicate name must not
+        # leave the frame with one more data column than header entries
+        if self._header is not None and name in self._header:
+            raise ValueError(f"duplicate column {name!r}")
         self._data.append([py_to_string(v) for v in values])
         if self._header is not None:
-            if name in self._header:
-                raise ValueError(f"duplicate column {name!r}")
             self._header.append(name)
 
     def drop_icol(self, i: int) -> None:

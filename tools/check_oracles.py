@@ -25,12 +25,16 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     for c in pdf.columns:
         if pdf[c].dtype == object:
             def _canon(x):
+                import numpy as np
                 if x is None:
                     return "<NULL>"
-                if hasattr(x, "tolist"):  # numpy (possibly nested) array
+                # only true arrays take the tolist path — a numpy SCALAR
+                # NaN (np.float64) must canonicalize like a float NaN,
+                # not stringify to "nan"
+                if isinstance(x, np.ndarray):
                     return str(x.tolist())
                 try:
-                    if x != x:  # NaN
+                    if x != x:  # NaN (plain or numpy scalar)
                         return "<NULL>"
                 except ValueError:  # ambiguous elementwise comparison
                     pass
