@@ -359,12 +359,15 @@ def q_pad_mask2(spark, sf_dir):
 
 def q_ndim_ops(spark, sf_dir):
     """ndim utility sweep over a ragged nested array (reference
-    ndim.hpp:192-209 ndim_size, :388-407 shape, :451-471 flat_view,
-    :586-646 generate/gendims): per-dimension sizes, first-element
-    shape, recursive flatten, and the depth-first counter fill at
-    gendims 1 and 2 — all JSON-serialized for engine-neutral hashing."""
+    ndim.hpp:192-209 ndim_size, :263-288 ndim_resize, :388-407 shape,
+    :451-471 flat_view, :586-646 generate/gendims): per-dimension
+    sizes, 1-D and 2-D resize (pad/truncate to target sizes),
+    first-element shape, recursive flatten, and the depth-first counter
+    fill at gendims 1 and 2 — all JSON-serialized for engine-neutral
+    hashing."""
     from hipipe_spark.functions.ndim import (
-        flat_view, gen_fill, ndim_size, reshaped_view, shape)
+        flat_view, gen_fill, ndim_resize, ndim_resize2, ndim_size,
+        reshaped_view, shape)
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 10 == 0)
     c = d.select(
@@ -378,6 +381,11 @@ def q_ndim_ops(spark, sf_dir):
         F.size(flat_view(F.col("chunks"), 2)).alias("n_flat"),
         F.to_json(gen_fill(F.col("chunks"), 1, ndims=2)).alias("gf1"),
         F.to_json(gen_fill(F.col("chunks"), 2, ndims=2)).alias("gf2"),
+        F.to_json(ndim_resize(flat_view(F.col("chunks"), 2), 5, "<pad>")
+                  ).alias("rz1"),
+        F.to_json(ndim_resize2(
+            F.col("chunks"), 3,
+            F.array(F.lit(2), F.lit(2), F.lit(2)), "<pad>")).alias("rz2"),
     )
 
 
@@ -808,6 +816,55 @@ def q_flagship(spark, sf_dir):
     )
 
 
+def q_flagship_profiles(spark, sf_dir):
+    """Flagship WITH the as-of profile enrichment — the entry() shape,
+    under the full driver oracle: seven leakage-free windows plus a
+    point-in-time profile join (DuckDB ASOF JOIN on the oracle side).
+    Pinned to strategy="union", the 10^12-row architecture."""
+    t = _transcripts(spark, sf_dir)
+    _, right = _asof_sides(spark, sf_dir)
+    prof = right.select(
+        F.concat(F.lit("conv_"),
+                 F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("conv_id"),
+        "ts", F.col("val").alias("temperature"),
+    )
+    out = featurize(t, profiles=prof, asof_strategy="union")
+    return out.select(
+        "conv_id", "turn_idx", "ts", "session_seq", "secs_since_prev",
+        "role_lag_1", "assistant_turns_10",
+        F.round("mean_text_len_10", 4).alias("mean_text_len_10"),
+        "tool_filled", F.col("temperature_asof").alias("temp_asof"),
+    )
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """The hub-gram-guard configuration of ngram_jaccard (VERDICT r2
+    #3): ``max_df`` drops grams appearing in more than max_df docs from
+    CANDIDATE GENERATION (a gram shared by f docs fans out O(f²) join
+    rows — one stopword gram melts the inverted-index join at corpus
+    scale); verification still uses the full gram sets, so reported
+    jaccard values stay exact. The oracle mirrors the doc-frequency
+    exclusion bit-for-bit. max_df=20 here drops the ~18 heaviest
+    template grams (df 21-23 of 23 docs) from the inverted index while
+    every true pair still shares a below-cap gram — identical output to
+    the uncapped query, with the quadratic hub fan-out bounded."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5,
+                               max_df=20)\
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_media_meta(spark, sf_dir):
+    """Oracle-able slice of the multimodal extractor (VERDICT r2 #5):
+    the fake decoder is deterministic arithmetic over (id, seed) —
+    content length, thumbnail clamps, and frame counts are reproduced
+    exactly in DuckDB SQL. Only the crc32 checksum (no DuckDB builtin)
+    stays in the rows-only ``media_features`` twin."""
+    media = gen_fake_media(spark, n=128)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "thumb_w", "thumb_h", "n_frames")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -821,26 +878,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is load-bearing: the driver records correctness rows
+    for the FIRST 50 entries only. Slots 1-15: queries with no driver
+    row through round 2 (flagship first — the north-rule query).
+    Slots 16-18: new round-3 queries. Slots 19-50: one anchor per
+    operator family. Past 50: redundant-by-construction oracle twins
+    and strategy variants of in-window anchors, each already recorded
+    green in rounds 1-2 and re-checked every round by
+    ``tools/check_oracles.py`` (the driver-gate replica)."""
     return {
+        # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
+        "flagship": q_flagship,
+        "quality_lang": q_quality_lang,
+        "asof_tolerance": q_asof_tolerance,
+        "backfill_bounded": q_backfill_bounded,
+        "rolling_range": q_rolling_range,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "bernoulli_sample": q_bernoulli_sample,
+        "pivot_status": q_pivot_status,
+        "distinct_count": q_distinct_count,
+        "percentiles": q_percentiles,
+        "rollup_counts": q_rollup_counts,
+        "semi_anti": q_semi_anti,
+        "set_ops": q_set_ops,
+        "approx_stats": q_approx_stats,
+        # -- 16-18: new in round 3
+        "flagship_profiles": q_flagship_profiles,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "media_meta": q_media_meta,
+        # -- 19-50: operator-family anchors
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "rolling": q_rolling,
-        "rolling_bucketed": q_rolling_bucketed,
         "session_agg": q_session_agg,
         "asof_union": q_asof_union,
-        "asof_broadcast": q_asof_broadcast,
-        "asof_cogroup": q_asof_cogroup,
-        "asof_bucketed": q_asof_bucketed,
         "filter_dim1": q_filter_dim1,
         "filter_dim2": q_filter_dim2,
         "transform_map": q_transform_map,
         "transform_dim2": q_transform_dim2,
         "transform_cond": q_transform_cond,
-        "transform_prob": q_transform_prob,
-        "random_fill": q_random_fill,
-        "string_to_bool": q_string_to_bool,
-        "base64": q_base64,
         "index_mapper": q_index_mapper,
         "generate_groups": q_generate_groups,
         "generate_groups_multi": q_generate_groups_multi,
@@ -856,37 +934,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
-        "embedding_topk_numpy": q_embedding_topk_numpy,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_ivf_full": q_embedding_ivf_full,
         "corpus_pipeline": q_corpus_pipeline,
-        "latest_per_key": q_latest_per_key,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "join_agg": q_join_agg,
+        # -- 51+: proven twins / strategy variants (no driver row; green
+        #    in CORRECTNESS_r01/r02 and in every check_oracles run)
+        "rolling_bucketed": q_rolling_bucketed,
+        "embedding_topk_numpy": q_embedding_topk_numpy,
+        "embedding_ivf_full": q_embedding_ivf_full,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "asof_broadcast": q_asof_broadcast,
+        "asof_cogroup": q_asof_cogroup,
+        "asof_bucketed": q_asof_bucketed,
+        "media_features": q_media_features,
+        "string_to_bool": q_string_to_bool,
+        "base64": q_base64,
+        "random_fill": q_random_fill,
+        "transform_prob": q_transform_prob,
         "transform_dim3": q_transform_dim3,
         "melt": q_melt,
-        "cube_counts": q_cube_counts,
         "rank_stats": q_rank_stats,
-        "tpch_q3": q_tpch_q3,
-        "media_features": q_media_features,
-        "tpch_q1": q_tpch_q1,
-        "join_agg": q_join_agg,
+        "cube_counts": q_cube_counts,
         "topk_per_group": q_topk_per_group,
-        "pivot_status": q_pivot_status,
-        "asof_tolerance": q_asof_tolerance,
-        "backfill_bounded": q_backfill_bounded,
-        "rolling_range": q_rolling_range,
-        "distinct_count": q_distinct_count,
-        "percentiles": q_percentiles,
-        "rollup_counts": q_rollup_counts,
-        "semi_anti": q_semi_anti,
-        "set_ops": q_set_ops,
-        "approx_stats": q_approx_stats,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "bernoulli_sample": q_bernoulli_sample,
-        "quality_lang": q_quality_lang,
-        "flagship": q_flagship,
+        "latest_per_key": q_latest_per_key,
     }
 
 
@@ -1085,8 +1158,85 @@ def oracle_sql() -> dict[str, str]:
                       (_x, j) -> CAST(coalesce(list_sum(
                                    list_transform(chunks[1:i-1], q -> len(q))), 0)
                                  + j - 1 AS BIGINT))))
-                  AS VARCHAR) AS gf2
+                  AS VARCHAR) AS gf2,
+             CAST(to_json(list_slice(
+                    list_concat(flatten(chunks), {_fill('5', "'<pad>'")}),
+                    1, 5)) AS VARCHAR) AS rz1,
+             CAST(to_json(list_transform(range(0, 3),
+                    i -> list_slice(
+                      list_concat(coalesce(chunks[i + 1], CAST([] AS VARCHAR[])),
+                                  {_fill('2', "'<pad>'")}),
+                      1, 2))) AS VARCHAR) AS rz2
       FROM c
+    """
+    d["ngram_jaccard_capped"] = r"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS g
+        FROM d WHERE trim(text) <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      hubs AS (SELECT g FROM toks GROUP BY g HAVING count(*) > 20),
+      ct AS (SELECT doc_id, g FROM toks WHERE g NOT IN (SELECT g FROM hubs)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM ct a JOIN ct b ON a.g = b.g AND a.doc_id < b.doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b,
+             round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM cand c
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+    """
+    # fake-media arithmetic replica (sources/multimodal.py gen_fake_media
+    # + extract_features): content = 32-byte sha256 digest repeated
+    # (1 + i%7) times then truncated to 32 + i%97 bytes; thumbs clamp to
+    # (32, 32); frames only for videos. crc32 has no DuckDB builtin and
+    # stays in the rows-only media_features twin.
+    d["media_meta"] = """
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+             CAST(least(32 * (1 + i % 7), 32 + i % 97) AS INTEGER) AS n_bytes,
+             CAST(least(64 + i % 512, 32) AS INTEGER) AS thumb_w,
+             CAST(least(64 + (i * 3) % 512, 32) AS INTEGER) AS thumb_h,
+             CAST(CASE WHEN i % 3 = 2 THEN (1000 + i % 60000) // 5000
+                       ELSE 0 END AS INTEGER) AS n_frames
+      FROM range(0, 128) t(i)
+    """
+    d["flagship_profiles"] = f"""
+      WITH t AS ({_T}),
+      b AS (SELECT conv_id, turn_idx, ts, role, tool,
+                   lag(ts) OVER w AS prev_ts,
+                   lag(role, 1) OVER w AS role_lag_1,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                     OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS BIGINT) AS assistant_turns_10,
+                   round(avg(length(text))
+                     OVER (w ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING), 4) AS mean_text_len_10,
+                   last_value(CASE WHEN tool <> '' THEN tool END IGNORE NULLS)
+                     OVER (w ROWS UNBOUNDED PRECEDING) AS tool_filled
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+      feat AS (
+        SELECT conv_id, turn_idx, ts,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                        THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq,
+               round(epoch(ts) - epoch(prev_ts), 6) AS secs_since_prev,
+               role_lag_1, assistant_turns_10, mean_text_len_10, tool_filled
+        FROM b),
+      p AS (SELECT 'conv_' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   ts, round(value, 4) AS temperature
+            FROM events WHERE event_id % 2 = 0)
+      SELECT f.conv_id, f.turn_idx, f.ts, f.session_seq, f.secs_since_prev,
+             f.role_lag_1, f.assistant_turns_10, f.mean_text_len_10,
+             f.tool_filled, p.temperature AS temp_asof
+      FROM feat f ASOF LEFT JOIN p
+        ON f.conv_id = p.conv_id AND f.ts >= p.ts
     """
     return d
 
