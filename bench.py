@@ -72,27 +72,42 @@ def main() -> None:
         total += dt
 
     # synthetic-transcript throughput (the north-rule metric: turns/sec
-    # end-to-end through sessionize+lag/lead+rolling+backfill+as-of)
-    turns = gen_transcripts(spark, n_convs=N_CONVS, avg_turns=20,
-                            hot_frac=0.01, hot_mult=50)
-    profiles = gen_profile_updates(spark, n_convs=N_CONVS)
-    turns = turns.persist()
-    n_turns = turns.count()  # materialize input so we time the pipeline
-    force(featurize(turns, profiles))  # warm-up: JIT/codegen compile
-    # median of N_REPS runs: single-run numbers on this box swing up to
-    # 10x from GC pauses / co-tenant noise, the median is stable
-    reps = []
-    out_rows = None
-    for _ in range(N_REPS):
-        t0 = time.time()
-        out_rows = force(featurize(turns, profiles))
-        reps.append(time.time() - t0)
-    pipe_sec = statistics.median(reps)
-    turns.unpersist()
+    # end-to-end through sessionize+lag/lead+rolling+backfill+as-of).
+    # Strategy pinned to "union" — the 10^12-row architecture — so the
+    # headline number measures the pipeline, not the auto gate's
+    # estimate job + broadcast build (VERDICT r2 next-round #2).
+    def run_flagship(n_convs):
+        turns = gen_transcripts(spark, n_convs=n_convs, avg_turns=20,
+                                hot_frac=0.01, hot_mult=50)
+        profiles = gen_profile_updates(spark, n_convs=n_convs)
+        turns = turns.persist()
+        n_turns = turns.count()  # materialize input: time the pipeline only
+        force(featurize(turns, profiles, asof_strategy="union"))  # warm JIT
+        # median of N_REPS runs: single-run numbers on this box swing up
+        # to 10x from GC pauses / co-tenant noise, the median is stable
+        reps = []
+        out_rows = None
+        for _ in range(N_REPS):
+            t0 = time.time()
+            out_rows = force(featurize(turns, profiles, asof_strategy="union"))
+            reps.append(time.time() - t0)
+        turns.unpersist()
+        assert out_rows == n_turns, (out_rows, n_turns)
+        return n_turns, statistics.median(reps), [round(x, 3) for x in reps]
+
+    n_turns, pipe_sec, flagship_runs = run_flagship(N_CONVS)
     timings["flagship_synthetic"] = round(pipe_sec, 3)
-    flagship_runs = [round(x, 3) for x in reps]
     total += pipe_sec
-    assert out_rows == n_turns, (out_rows, n_turns)
+
+    # same pipeline at 4x the conversations: data-scale evidence inside
+    # the driver artifact (VERDICT r2 next-round #7). Perfect weak
+    # scaling keeps turns/sec flat -> scale_eff_4x ~ 1.0; a plan with a
+    # super-linear stage (global sort, single-task window) would sink it.
+    n_turns_4x, pipe_sec_4x, _ = run_flagship(4 * N_CONVS)
+    timings["flagship_synthetic_4x"] = round(pipe_sec_4x, 3)
+    total += pipe_sec_4x
+    tps = n_turns / pipe_sec
+    tps_4x = n_turns_4x / pipe_sec_4x
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
@@ -102,7 +117,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_turns": n_turns,
-        "turns_per_sec": round(n_turns / pipe_sec, 1),
+        "turns_per_sec": round(tps, 1),
+        "n_turns_4x": n_turns_4x,
+        "turns_per_sec_4x": round(tps_4x, 1),
+        "scale_eff_4x": round(tps_4x / tps, 3),
         "flagship_runs": flagship_runs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
     }))
