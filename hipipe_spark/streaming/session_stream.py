@@ -124,6 +124,7 @@ def featurize_stream(
     out_path: str,
     checkpoint_path: str,
     gap: str = "30 minutes",
+    profiles: DataFrame | None = None,
     trigger_seconds: int | None = None,
 ) -> StreamingQuery:
     """Micro-batch incremental featurization: every micro-batch runs the
@@ -131,13 +132,22 @@ def featurize_stream(
     a parquet sink. Per-conversation history context beyond the batch is
     deliberately NOT stitched here (that is the batch engine's job via
     backfill over the full table); this sink provides the low-latency
-    approximate path."""
+    approximate path.
+
+    ``profiles``: optional STATIC (batch) profile table — as-of joined
+    to every micro-batch with the broadcast strategy: the profile side
+    is dimension-sized (one state-change log per conversation), so each
+    micro-batch packs it into per-key sorted arrays and broadcast-joins
+    without shuffling the streaming side at all. Stream-vs-batch
+    featurize parity incl. profiles is pytest-pinned
+    (tests/test_checkpoint_streaming.py)."""
     from hipipe_spark.operators.flagship import featurize
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = featurize(batch_df, profiles=None, gap=gap)
+        out = featurize(batch_df, profiles=profiles, gap=gap,
+                        asof_strategy="broadcast")
         out.write.mode("append").parquet(out_path)
 
     writer = (

@@ -105,6 +105,40 @@ def test_streaming_featurize_batches(spark, transcripts, tmp_path):
     assert "session_id" in out.columns and "tool_filled" in out.columns
 
 
+def test_streaming_featurize_profile_parity(spark, transcripts, profiles, tmp_path):
+    """Stream-vs-batch parity INCLUDING the as-of profile enrichment:
+    featurize_stream with a static dimension-sized profile table
+    (broadcast as-of inside foreachBatch) must byte-match the batch
+    featurize over the same turns. One file -> one micro-batch so
+    windows see identical history on both paths."""
+    import pandas as pd
+
+    from hipipe_spark.operators.flagship import featurize
+    from hipipe_spark.streaming.session_stream import featurize_stream
+
+    src = str(tmp_path / "psrc")
+    transcripts.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(transcripts.schema).parquet(src)
+    q = featurize_stream(
+        stream, out_path=str(tmp_path / "pout"),
+        checkpoint_path=str(tmp_path / "pckpt"),
+        profiles=profiles,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "pout"))
+    want = featurize(transcripts, profiles=profiles, asof_strategy="union")
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(want.columns)
+
+    def canon(df):
+        return (df.select(cols).toPandas()
+                .sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    assert "model_asof" in got.columns and "temperature_asof" in got.columns
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics: an event older than the watermark bound at
     the time its micro-batch runs must NOT reopen or mutate an already
