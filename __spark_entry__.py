@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from hipipe_spark.datagen import transcripts_from_events
 from hipipe_spark.functions.casts import string_to_bool
-from hipipe_spark.functions.hashing import det_hash01, det_hash01_sql, det_hash_i64, det_hash_i64_sql
+from hipipe_spark.functions.hashing import (
+    det_hash01, det_hash01_sql, det_hash_i64, det_hash_i64_sql,
+    det_hash_str_i64_sql,
+)
 from hipipe_spark.functions.text import (
     fingerprint, punct_ratio, token_count, tokens,
 )
@@ -183,6 +186,25 @@ def q_asof_bucketed(spark, sf_dir):
     left, right = _asof_sides(spark, sf_dir)
     out = asof_join(left, right, on="ts", by="user_id", strategy="bucketed",
                     bucket_width_sec=3600)
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of (label-construction direction: FIRST right row at
+    or after each left ts) — oracled by DuckDB ASOF with the <= bound."""
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="union",
+                    direction="forward")
+    return out.select("event_id", "user_id", "ts", "val")
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of (pandas merge_asof semantics: closer of the
+    backward/forward candidates, ties prefer backward) — oracled by two
+    DuckDB ASOF joins plus the distance tiebreak."""
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_join(left, right, on="ts", by="user_id", strategy="union",
+                    direction="nearest")
     return out.select("event_id", "user_id", "ts", "val")
 
 
@@ -390,21 +412,25 @@ def q_ndim_ops(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
+    from hipipe_spark.functions.text import bpe_ish_token_count
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
         F.length("text").cast("int").alias("n_chars_calc"),
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )
 
 
 def q_fingerprint(spark, sf_dir):
+    from hipipe_spark.functions.text import rolling_fingerprint
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_exact"),
         fingerprint(F.col("text")).alias("fp_bag"),
+        rolling_fingerprint(F.col("text")).alias("fp_roll"),
     )
 
 
@@ -949,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_broadcast": q_asof_broadcast,
         "asof_cogroup": q_asof_cogroup,
         "asof_bucketed": q_asof_bucketed,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "media_features": q_media_features,
         "string_to_bool": q_string_to_bool,
         "base64": q_base64,
@@ -1309,6 +1337,26 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         "asof_broadcast": _ASOF_ORACLE,
         "asof_cogroup": _ASOF_ORACLE,
         "asof_bucketed": _ASOF_ORACLE,
+        "asof_forward": """
+          WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+               r AS (SELECT user_id, ts, round(value, 4) AS val FROM events WHERE event_id % 2 = 0)
+          SELECT l.event_id, l.user_id, l.ts, r.val
+          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "asof_nearest": """
+          WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+               r AS (SELECT user_id, ts, round(value, 4) AS val FROM events WHERE event_id % 2 = 0),
+          b AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.val AS bval
+                FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+          f AS (SELECT l.event_id, r.ts AS fts, r.val AS fval
+                FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+          SELECT b.event_id, b.user_id, b.ts,
+                 CASE WHEN b.bts IS NOT NULL
+                       AND (f.fts IS NULL
+                            OR epoch(b.ts) - epoch(b.bts) <= epoch(f.fts) - epoch(b.ts))
+                      THEN b.bval ELSE f.fval END AS val
+          FROM b JOIN f USING (event_id)
+        """,
         "filter_dim1": """
           SELECT l_orderkey, l_linenumber, l_quantity, l_discount
           FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05
@@ -1402,17 +1450,26 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
           SELECT doc_id,
                  CAST(CASE WHEN trim(text) = '' THEN 0
                       ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+                 CAST(len(list_filter(
+                   string_split_regex(trim(regexp_replace(
+                     text, '([^\p{L}\p{N}\s])', ' \1 ', 'g')), '\s+'),
+                   x -> x <> '')) AS INTEGER) AS n_bpe,
                  CAST(length(text) AS INTEGER) AS n_chars_calc,
                  round(CASE WHEN length(text) > 0 THEN
                    CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
                      / length(text) ELSE 0.0 END, 6) AS punct_ratio
           FROM documents
         """,
-        "fingerprint": r"""
+        "fingerprint": f"""
           SELECT doc_id,
                  md5(text) AS fp_exact,
                  md5(array_to_string(list_sort(list_distinct(
-                   string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp_bag
+                   string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp_bag,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform({_det_tokens_sql('text')},
+                          t -> {det_hash_str_i64_sql('t')})),
+                        (acc, h) -> (acc * 131 + h) % 2147483648)
+                      AS BIGINT) AS fp_roll
           FROM documents
         """,
         "exact_dedup": """

@@ -35,13 +35,18 @@ N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 def force(df) -> int:
     """Materialize EVERY column (count() lets Catalyst prune feature
     columns away — that would benchmark nothing). A checksum aggregate
-    over xxhash64 of all columns forces full computation."""
+    over xxhash64 of all columns forces full computation. Releases any
+    operator-registered caches afterwards so repeated reps measure each
+    run cold and don't accumulate storage across the bench session."""
     from pyspark.sql import functions as F
+
+    from hipipe_spark.operators.core import release_cached
 
     h = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1_000_000_007))
     row = df.select(
         F.count(F.lit(1)).alias("n"), F.sum(h).alias("chk")
     ).collect()[0]
+    release_cached(df)
     return row["n"]
 
 

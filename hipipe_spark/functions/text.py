@@ -132,3 +132,20 @@ def fingerprint(col: Column) -> Column:
 def exact_fingerprint(col: Column) -> Column:
     """md5 of raw text (byte-exact duplicate detection)."""
     return F.md5(col.cast("binary"))
+
+
+def rolling_fingerprint(col: Column, toks: Column | None = None) -> Column:
+    """Order-SENSITIVE rolling document hash (Rabin-Karp flavor — the
+    task spec's 'document fingerprinting (rolling hash)'): left-fold
+    ``acc = (acc * 131 + token_hash) mod 2^31`` over the token stream.
+    Unlike :func:`fingerprint` (bag-of-words, order-robust) this
+    distinguishes permuted documents. Pure JVM expressions; identical
+    arithmetic is DuckDB-exact (intermediates ≤ 39 bits), so the driver
+    oracle reproduces it bit-for-bit."""
+    from hipipe_spark.functions.hashing import _M, det_hash_str_i64
+    toks = tokens(F.lower(col)) if toks is None else toks
+    return F.aggregate(
+        F.transform(toks, lambda t: det_hash_str_i64(t)),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % _M,
+    ).cast("long")

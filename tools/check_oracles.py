@@ -65,7 +65,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            plan = fn(spark, sf_dir)
+            sdf = plan.toPandas()
+            from hipipe_spark.operators.core import release_cached
+            release_cached(plan)  # 68 queries, one session: free caches
         except Exception:
             results[name] = ("SPARK-ERROR", traceback.format_exc(limit=4))
             continue
