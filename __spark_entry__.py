@@ -492,6 +492,24 @@ def q_embedding_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_embedding_topk_dot(spark, sf_dir):
+    """Inner-product top-k (the pre-normalized-embeddings metric)."""
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(em, q, k=5, metric="dot")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
+def q_embedding_topk_l2(spark, sf_dir):
+    """Euclidean top-k (nearest first — ascending rank order)."""
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(em, q, k=5, metric="l2")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def q_embedding_topk_numpy(spark, sf_dir):
     em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
@@ -969,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: proven twins / strategy variants (no driver row; green
         #    in CORRECTNESS_r01/r02 and in every check_oracles run)
         "rolling_bucketed": q_rolling_bucketed,
+        "embedding_topk_dot": q_embedding_topk_dot,
+        "embedding_topk_l2": q_embedding_topk_l2,
         "embedding_topk_numpy": q_embedding_topk_numpy,
         "embedding_ivf_full": q_embedding_ivf_full,
         "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1537,6 +1557,35 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                  CAST(rank AS INTEGER) AS rank
           FROM (SELECT *, row_number() OVER
                   (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+                FROM scored)
+          WHERE rank <= 5
+        """,
+        "embedding_topk_dot": """
+          WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v) AS s_raw
+            FROM c, q WHERE c.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, round(s_raw, 6) AS score,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY s_raw DESC, neighbor_id) AS rank
+                FROM scored)
+          WHERE rank <= 5
+        """,
+        "embedding_topk_l2": """
+          WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sqrt(list_sum(list_transform(range(1, len(q.v) + 1),
+                        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))) AS s_raw
+            FROM c, q WHERE c.vec_id <> q.vec_id)
+          SELECT query_id, neighbor_id, round(s_raw, 6) AS score,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY s_raw ASC, neighbor_id) AS rank
                 FROM scored)
           WHERE rank <= 5
         """,

@@ -45,6 +45,24 @@ def _empty_topk(spark, qid_t: str, nid_t: str) -> "DataFrame":
                    "cosine double, rank int")
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _metric_expr(qv, cv, metric):
+    """Similarity/distance expression per metric — all pure JVM."""
+    if metric == "cosine":
+        return cosine_sim(qv, cv)
+    if metric == "dot":
+        return _dot(qv, cv)
+    if metric == "l2":
+        return F.sqrt(F.aggregate(
+            F.zip_with(qv, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,20 +71,32 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     impl: str = "jvm",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (excluding self-matches).
-    Output: (query_id, neighbor_id, cosine, rank).
+    """Exact top-k neighbors per query (excluding self-matches).
+    Output: (query_id, neighbor_id, <score>, rank) where <score> is
+    named ``cosine`` for the default metric and ``score`` otherwise.
+
+    ``metric``: "cosine" (default), "dot" (inner product, ranked
+    descending), or "l2" (Euclidean distance, ranked ASCENDING —
+    nearest first). The metric trio every embedding store exposes;
+    pick "dot" for pre-normalized embeddings (skips two norms per
+    pair) and "l2" for magnitude-sensitive spaces.
 
     ``impl="jvm"``: whole-stage-codegen expressions (zip_with dot
-    product) — zero Python. ``impl="numpy"``: Arrow-batched mapInPandas
-    with a BLAS matrix product per corpus batch against the broadcast
-    query matrix — the faster path for high-dim embeddings (one matmul
-    per batch instead of per-pair array folds), and a per-batch top-k
-    pre-prune so only batch_size*k candidate rows leave Python."""
+    product) — zero Python. ``impl="numpy"`` (cosine only):
+    Arrow-batched mapInPandas with a BLAS matrix product per corpus
+    batch against the broadcast query matrix — the faster path for
+    high-dim embeddings (one matmul per batch instead of per-pair
+    array folds), and a per-batch top-k pre-prune so only
+    batch_size*k candidate rows leave Python."""
     if impl == "numpy":
+        if metric != "cosine":
+            raise ValueError("impl='numpy' supports metric='cosine'")
         return _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col,
                                        query_id_col)
     qid = query_id_col or id_col
+    score_name = "cosine" if metric == "cosine" else "score"
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
     q = queries.select(F.col(qid).alias("query_id"),
@@ -76,12 +106,11 @@ def brute_force_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine_sim(F.col("qvec"), F.col("cvec")).alias("cosine"),
+            _metric_expr(F.col("qvec"), F.col("cvec"), metric).alias(score_name),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
+    order = F.col(score_name).asc() if metric == "l2" else F.col(score_name).desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
