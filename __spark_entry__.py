@@ -439,6 +439,67 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup lines / dup n-grams /
+    top-n-gram coverage) — one shared lowered tokenization, all pure
+    array expressions, zero shuffles."""
+    from hipipe_spark.functions.text import (
+        dup_line_char_frac, dup_line_frac, dup_ngram_frac, top_ngram_frac,
+    )
+    d = _docs(spark, sf_dir)
+    ltoks = tokens(F.lower(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.round(dup_ngram_frac(F.col("text"), 2, toks=ltoks), 6)
+         .alias("dup_2gram_frac"),
+        F.round(dup_ngram_frac(F.col("text"), 3, toks=ltoks), 6)
+         .alias("dup_3gram_frac"),
+        F.round(top_ngram_frac(F.col("text"), 2, toks=ltoks), 6)
+         .alias("top_2gram_frac"),
+        F.round(dup_line_frac(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac(F.col("text")), 6)
+         .alias("dup_line_char_frac"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination check: distinct word-3-gram overlap
+    between the train split (doc_id % 25 != 0) and the eval split
+    (doc_id % 25 == 0); pairs sharing >= 2 grams. Eval side broadcast —
+    the train corpus is never shuffled on raw text."""
+    from hipipe_spark.operators.contamination import contamination_pairs
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 25 != 0)
+    test = d.filter(F.col("doc_id") % 25 == 0)
+    return contamination_pairs(train, test, "doc_id", "text",
+                               n=3, min_hits=2)
+
+
+_SEQ_LEN = 512  # training sequence length for the packing queries
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing: every document's global token
+    offset + the training-chunk span it lands in. Distributed
+    exclusive cumsum (two-phase range-partitioned, no global window)."""
+    from hipipe_spark.operators.packing import pack_chunks
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", token_count(F.col("text")))
+    return pack_chunks(d, "doc_id", "n_tok", seq_len=_SEQ_LEN).select(
+        "doc_id", "n_tok", "tok_offset", "chunk_first", "chunk_last",
+        "n_chunks")
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-chunk packing stats over the q_pack_chunks layout: documents
+    started and tokens contributed before the chunk boundary."""
+    from hipipe_spark.operators.packing import pack_chunks, pack_stats
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tok", token_count(F.col("text")))
+    packed = pack_chunks(d, "doc_id", "n_tok", seq_len=_SEQ_LEN)
+    return pack_stats(packed, "n_tok", _SEQ_LEN)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -925,7 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only. Slots 1-15: queries with no driver
     row through round 2 (flagship first — the north-rule query).
-    Slots 16-18: new round-3 queries. Slots 19-50: one anchor per
+    Slots 16-22: new round-3 queries. Slots 23-50: one anchor per
     operator family. Past 50: redundant-by-construction oracle twins
     and strategy variants of in-window anchors, each already recorded
     green in rounds 1-2 and re-checked every round by
@@ -947,11 +1008,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "approx_stats": q_approx_stats,
-        # -- 16-18: new in round 3
+        # -- 16-22: new in round 3
         "flagship_profiles": q_flagship_profiles,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "media_meta": q_media_meta,
-        # -- 19-50: operator-family anchors
+        "repetition_stats": q_repetition_stats,
+        "pack_chunks": q_pack_chunks,
+        "pack_stats": q_pack_stats,
+        "contamination": q_contamination,
+        # -- 23-50: operator-family anchors
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
@@ -961,13 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dim1": q_filter_dim1,
         "filter_dim2": q_filter_dim2,
         "transform_map": q_transform_map,
-        "transform_dim2": q_transform_dim2,
-        "transform_cond": q_transform_cond,
         "index_mapper": q_index_mapper,
         "generate_groups": q_generate_groups,
         "generate_groups_multi": q_generate_groups_multi,
-        "fixed_groups": q_fixed_groups,
-        "pad_mask": q_pad_mask,
         "pad_mask2": q_pad_mask2,
         "ndim_ops": q_ndim_ops,
         "token_stats": q_token_stats,
@@ -985,7 +1046,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "join_agg": q_join_agg,
         # -- 51+: proven twins / strategy variants (no driver row; green
-        #    in CORRECTNESS_r01/r02 and in every check_oracles run)
+        #    in CORRECTNESS_r01/r02 and in every check_oracles run).
+        #    transform_cond / transform_dim2 / pad_mask / fixed_groups
+        #    rotated out of the window in round 3 (each green in BOTH
+        #    prior driver rounds, transform_dim3 still anchors the
+        #    nested-transform family in-window via ndim_ops/pad_mask2)
+        #    to make room for the round-3 ops above.
+        "transform_cond": q_transform_cond,
+        "transform_dim2": q_transform_dim2,
+        "pad_mask": q_pad_mask,
+        "fixed_groups": q_fixed_groups,
         "rolling_bucketed": q_rolling_bucketed,
         "embedding_topk_dot": q_embedding_topk_dot,
         "embedding_topk_l2": q_embedding_topk_l2,
@@ -1479,6 +1549,117 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                    CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
                      / length(text) ELSE 0.0 END, 6) AS punct_ratio
           FROM documents
+        """,
+        "repetition_stats": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lines
+            FROM documents),
+          g AS (
+            SELECT doc_id, lines,
+                   CASE WHEN len(lt) >= 2 THEN
+                     list_transform(range(1, len(lt)),
+                                    i -> array_to_string(lt[i:i+1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS g2,
+                   CASE WHEN len(lt) >= 3 THEN
+                     list_transform(range(1, len(lt) - 1),
+                                    i -> array_to_string(lt[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS g3
+            FROM base)
+          SELECT doc_id,
+                 round(CASE WHEN len(g2) > 0 THEN
+                   1.0 - len(list_distinct(g2)) / len(g2)
+                   ELSE 0.0 END, 6) AS dup_2gram_frac,
+                 round(CASE WHEN len(g3) > 0 THEN
+                   1.0 - len(list_distinct(g3)) / len(g3)
+                   ELSE 0.0 END, 6) AS dup_3gram_frac,
+                 round(CASE WHEN len(g2) > 0 THEN
+                   list_max(list_transform(list_distinct(g2),
+                     gg -> len(list_filter(g2, x -> x = gg)))) / len(g2)
+                   ELSE 0.0 END, 6) AS top_2gram_frac,
+                 round(CASE WHEN len(lines) > 0 THEN
+                   1.0 - len(list_distinct(lines)) / len(lines)
+                   ELSE 0.0 END, 6) AS dup_line_frac,
+                 round(CASE WHEN COALESCE(list_aggregate(
+                     list_transform(lines, l -> length(l)), 'sum'), 0) > 0
+                   THEN COALESCE(list_aggregate(list_transform(
+                          list_filter(lines, l ->
+                            len(list_filter(lines, x -> x = l)) > 1),
+                          l -> length(l)), 'sum'), 0)
+                        / list_aggregate(
+                            list_transform(lines, l -> length(l)), 'sum')
+                   ELSE 0.0 END, 6) AS dup_line_char_frac
+          FROM g
+        """,
+        "contamination": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt
+            FROM documents),
+          g AS (
+            SELECT doc_id,
+                   CASE WHEN len(lt) >= 3 THEN
+                     list_transform(range(1, len(lt) - 1),
+                                    i -> array_to_string(lt[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS gr
+            FROM base),
+          tr AS (SELECT doc_id AS train_id,
+                        unnest(list_distinct(gr)) AS gram
+                 FROM g WHERE doc_id % 25 <> 0),
+          te AS (SELECT doc_id AS test_id,
+                        unnest(list_distinct(gr)) AS gram
+                 FROM g WHERE doc_id % 25 = 0)
+          SELECT train_id, test_id,
+                 CAST(count(*) AS INTEGER) AS n_shared_grams
+          FROM tr JOIN te USING (gram)
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "pack_chunks": r"""
+          WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS INTEGER) AS n_tok
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+            FROM t)
+          SELECT doc_id, n_tok, tok_offset,
+                 CAST(tok_offset // 512 AS BIGINT) AS chunk_first,
+                 CAST((tok_offset + GREATEST(n_tok, 1) - 1) // 512
+                      AS BIGINT) AS chunk_last,
+                 CAST((tok_offset + GREATEST(n_tok, 1) - 1) // 512
+                      - tok_offset // 512 + 1 AS INTEGER) AS n_chunks
+          FROM c
+        """,
+        "pack_stats": r"""
+          WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                        END AS INTEGER) AS n_tok
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+            FROM t)
+          SELECT CAST(tok_offset // 512 AS BIGINT) AS chunk_id,
+                 CAST(count(*) AS BIGINT) AS docs_started,
+                 CAST(SUM(LEAST(512 - tok_offset % 512,
+                                CAST(n_tok AS BIGINT)))
+                      AS BIGINT) AS tokens_in_chunk
+          FROM c GROUP BY 1
         """,
         "fingerprint": f"""
           SELECT doc_id,

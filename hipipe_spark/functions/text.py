@@ -120,6 +120,79 @@ def lang_id(col: Column, toks: Column | None = None) -> Column:
     return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams from a token array.
+    Documents shorter than ``n`` tokens yield an empty array."""
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def dup_ngram_frac(col: Column, n: int, toks: Column | None = None) -> Column:
+    """Fraction of word-``n``-gram occurrences that are repeats of an
+    earlier occurrence (Gopher-style repetition signal: ``1 -
+    distinct/total``). 0.0 for documents with no ``n``-grams. Pure
+    array expressions — no explode, no shuffle."""
+    grams = word_ngrams(tokens(F.lower(col)) if toks is None else toks, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_frac(col: Column, n: int, toks: Column | None = None) -> Column:
+    """Fraction of ``n``-gram occurrences taken by the single most
+    frequent ``n``-gram (Gopher's top-n-gram coverage). O(d·g) nested
+    scan over the per-document gram array — document-sized, never a
+    shuffle."""
+    grams = word_ngrams(tokens(F.lower(col)) if toks is None else toks, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        F.array_max(counts) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
+def _lines(col: Column) -> Column:
+    """Non-blank lines of a document (split on newline, trim-empty
+    lines dropped — blank separators are layout, not content)."""
+    return F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of another line
+    (``1 - distinct/total`` over exact line text)."""
+    lines = _lines(col)
+    total = F.size(lines)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)) / total,
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac(col: Column) -> Column:
+    """Fraction of line characters sitting in duplicated lines (every
+    occurrence of a line that appears 2+ times counts). The Gopher
+    filter thresholds on this to drop boilerplate-heavy pages."""
+    lines = _lines(col)
+    zero = F.lit(0).cast("long")
+    clen = lambda acc, l: acc + F.length(l)  # noqa: E731
+    dup = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1)
+    all_chars = F.aggregate(lines, zero, clen)
+    return F.when(
+        all_chars > 0,
+        F.aggregate(dup, zero, clen) / all_chars,
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the canonicalized text (lowercased,
     whitespace-collapsed, sorted distinct tokens). Identical formula runs
