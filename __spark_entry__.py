@@ -500,6 +500,55 @@ def q_pack_stats(spark, sf_dir):
     return pack_stats(packed, "n_tok", _SEQ_LEN)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub stage: email/IPv4 placeholder redaction + per-kind
+    match counts. RE2-compatible patterns, so the DuckDB oracle runs
+    the byte-identical regex. One narrow JVM pass, zero shuffles."""
+    from hipipe_spark.functions.pii import pii_counts, scrub_pii
+    d = _docs(spark, sf_dir)
+    counts = pii_counts(F.col("text"), ("email", "ipv4"))
+    return d.select(
+        "doc_id",
+        scrub_pii(F.col("text"), ("email", "ipv4")).alias("scrubbed"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+    )
+
+
+def q_c4_quality(spark, sf_dir):
+    """C4 cleaning-rule signals (terminal-punctuation line fraction,
+    mean words per line, brace / lorem-ipsum / javascript flags) — all
+    array/substring expressions, zero shuffles."""
+    from hipipe_spark.functions.text import (
+        c4_flags, mean_words_per_line, terminal_line_frac,
+    )
+    d = _docs(spark, sf_dir)
+    flags = c4_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(terminal_line_frac(F.col("text")), 6)
+         .alias("terminal_line_frac"),
+        F.round(mean_words_per_line(F.col("text")), 6)
+         .alias("mean_words_per_line"),
+        flags["has_brace"].alias("has_brace"),
+        flags["has_lorem"].alias("has_lorem"),
+        flags["has_javascript"].alias("has_javascript"),
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus-level vocabulary: top-100 tokens by frequency with a
+    deterministic (count desc, token asc) tiebreak. Explode + partially
+    aggregated count — ONE shuffle on the token key, then a
+    TakeOrdered; the vocabulary-building plan that holds at 100 TB."""
+    d = _docs(spark, sf_dir)
+    return (d.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(100))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -986,7 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only. Slots 1-15: queries with no driver
     row through round 2 (flagship first — the north-rule query).
-    Slots 16-22: new round-3 queries. Slots 23-50: one anchor per
+    Slots 16-25: new round-3 queries. Slots 26-50: one anchor per
     operator family. Past 50: redundant-by-construction oracle twins
     and strategy variants of in-window anchors, each already recorded
     green in rounds 1-2 and re-checked every round by
@@ -1008,7 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "approx_stats": q_approx_stats,
-        # -- 16-22: new in round 3
+        # -- 16-25: new in round 3
         "flagship_profiles": q_flagship_profiles,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "media_meta": q_media_meta,
@@ -1016,15 +1065,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "pack_stats": q_pack_stats,
         "contamination": q_contamination,
-        # -- 23-50: operator-family anchors
+        "pii_scrub": q_pii_scrub,
+        "c4_quality": q_c4_quality,
+        "vocab_topk": q_vocab_topk,
+        # -- 26-50: operator-family anchors
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "rolling": q_rolling,
-        "session_agg": q_session_agg,
         "asof_union": q_asof_union,
         "filter_dim1": q_filter_dim1,
-        "filter_dim2": q_filter_dim2,
         "transform_map": q_transform_map,
         "index_mapper": q_index_mapper,
         "generate_groups": q_generate_groups,
@@ -1042,20 +1092,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "corpus_pipeline": q_corpus_pipeline,
-        "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "join_agg": q_join_agg,
         # -- 51+: proven twins / strategy variants (no driver row; green
         #    in CORRECTNESS_r01/r02 and in every check_oracles run).
-        #    transform_cond / transform_dim2 / pad_mask / fixed_groups
-        #    rotated out of the window in round 3 (each green in BOTH
-        #    prior driver rounds, transform_dim3 still anchors the
-        #    nested-transform family in-window via ndim_ops/pad_mask2)
-        #    to make room for the round-3 ops above.
+        #    transform_cond / transform_dim2 / filter_dim2 / pad_mask /
+        #    fixed_groups / session_agg / tpch_q1 rotated out of the
+        #    window in round 3
+        #    (each green in BOTH prior driver rounds; their families
+        #    stay anchored in-window — transform via transform_map +
+        #    ndim_ops/pad_mask2, sessions via sessionize, relational
+        #    joins via tpch_q3/join_agg) to make room for the round-3
+        #    ops above.
         "transform_cond": q_transform_cond,
         "transform_dim2": q_transform_dim2,
+        "filter_dim2": q_filter_dim2,
         "pad_mask": q_pad_mask,
         "fixed_groups": q_fixed_groups,
+        "session_agg": q_session_agg,
+        "tpch_q1": q_tpch_q1,
         "rolling_bucketed": q_rolling_bucketed,
         "embedding_topk_dot": q_embedding_topk_dot,
         "embedding_topk_l2": q_embedding_topk_l2,
@@ -1660,6 +1715,50 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                                 CAST(n_tok AS BIGINT)))
                       AS BIGINT) AS tokens_in_chunk
           FROM c GROUP BY 1
+        """,
+        "pii_scrub": r"""
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                   AS scrubbed,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS INTEGER) AS n_email,
+                 CAST(len(regexp_extract_all(text,
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                   AS INTEGER) AS n_ipv4
+          FROM documents
+        """,
+        "c4_quality": r"""
+          WITH l AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS lines
+            FROM documents)
+          SELECT doc_id,
+                 round(CASE WHEN len(lines) > 0 THEN
+                   len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '[.!?"]$')))
+                   / len(lines) ELSE 0.0 END, 6) AS terminal_line_frac,
+                 round(CASE WHEN len(lines) > 0 THEN
+                   list_aggregate(list_transform(lines,
+                       x -> len(string_split_regex(trim(x), '\s+'))),
+                     'sum') / len(lines)
+                   ELSE 0.0 END, 6) AS mean_words_per_line,
+                 contains(text, '{') AS has_brace,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(lower(text), 'javascript') AS has_javascript
+          FROM l
+        """,
+        "vocab_topk": r"""
+          SELECT word, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                 '\s+')) AS word
+                FROM documents WHERE trim(text) <> '')
+          GROUP BY word ORDER BY n DESC, word LIMIT 100
         """,
         "fingerprint": f"""
           SELECT doc_id,

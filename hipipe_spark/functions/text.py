@@ -222,3 +222,44 @@ def rolling_fingerprint(col: Column, toks: Column | None = None) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 131 + h) % _M,
     ).cast("long")
+
+# ---------------------------------------------------------------------------
+# C4-style line heuristics (Raffel et al. 2020, §2.2 cleaning rules)
+# ---------------------------------------------------------------------------
+
+
+def terminal_line_frac(col: Column) -> Column:
+    """Fraction of non-blank lines ending in a terminal punctuation mark
+    (``. ! ? "``) — C4 keeps only such lines; pages with a low fraction
+    are boilerplate-heavy. Pure array expressions over the line split."""
+    lines = _lines(col)
+    term = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"]$'),
+    )
+    return F.when(F.size(lines) > 0,
+                  F.size(term) / F.size(lines)).otherwise(F.lit(0.0))
+
+
+def mean_words_per_line(col: Column) -> Column:
+    """Mean whitespace-token count over non-blank lines (C4 drops lines
+    under 3 words; the mean is the page-level screening signal)."""
+    lines = _lines(col)
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(
+        lines, zero, lambda acc, l: acc + F.size(tokens(l)))
+    return F.when(F.size(lines) > 0,
+                  total / F.size(lines)).otherwise(F.lit(0.0))
+
+
+def c4_flags(col: Column) -> dict[str, Column]:
+    """The C4 page-level drop signals as named boolean columns:
+    curly brace (code/templating), 'lorem ipsum' placeholder text, and
+    the word 'javascript' (JS-disabled warnings). Case-insensitive
+    substring checks — one JVM ``contains``/``lower`` pass each."""
+    low = F.lower(col)
+    return {
+        "has_brace": col.contains("{"),
+        "has_lorem": low.contains("lorem ipsum"),
+        "has_javascript": low.contains("javascript"),
+    }
