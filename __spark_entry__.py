@@ -549,6 +549,22 @@ def q_vocab_topk(spark, sf_dir):
             .limit(100))
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The full corpus build as ONE plan: quality+repetition filter →
+    exact dedup → benchmark decontamination (eval = doc_id % 25 == 0)
+    → concat-and-chunk packing. Shuffle budget: fingerprint shuffle +
+    broadcast anti-join + range shuffle; the filter rides the scan."""
+    from hipipe_spark.operators.corpus import CorpusFilter, build_training_set
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 25 != 0)
+    ev = d.filter(F.col("doc_id") % 25 == 0)
+    out = build_training_set(
+        train, ev, flt=CorpusFilter(min_tokens=10, max_dup_2gram=0.3),
+        contam_n=3, contam_min_hits=2, seq_len=_SEQ_LEN)
+    return out.select("doc_id", "n_tok", "tok_offset", "chunk_first",
+                      "chunk_last", "n_chunks")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1035,7 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only. Slots 1-15: queries with no driver
     row through round 2 (flagship first — the north-rule query).
-    Slots 16-25: new round-3 queries. Slots 26-50: one anchor per
+    Slots 16-26: new round-3 queries. Slots 27-50: one anchor per
     operator family. Past 50: redundant-by-construction oracle twins
     and strategy variants of in-window anchors, each already recorded
     green in rounds 1-2 and re-checked every round by
@@ -1057,7 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "approx_stats": q_approx_stats,
-        # -- 16-25: new in round 3
+        # -- 16-26: new in round 3
         "flagship_profiles": q_flagship_profiles,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "media_meta": q_media_meta,
@@ -1068,11 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "c4_quality": q_c4_quality,
         "vocab_topk": q_vocab_topk,
-        # -- 26-50: operator-family anchors
+        "training_pipeline": q_training_pipeline,
+        # -- 27-50: operator-family anchors
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
-        "rolling": q_rolling,
         "asof_union": q_asof_union,
         "filter_dim1": q_filter_dim1,
         "transform_map": q_transform_map,
@@ -1097,8 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: proven twins / strategy variants (no driver row; green
         #    in CORRECTNESS_r01/r02 and in every check_oracles run).
         #    transform_cond / transform_dim2 / filter_dim2 / pad_mask /
-        #    fixed_groups / session_agg / tpch_q1 rotated out of the
-        #    window in round 3
+        #    fixed_groups / session_agg / tpch_q1 / rolling rotated out
+        #    of the window in round 3 (rolling stays anchored in-window
+        #    via rolling_range)
         #    (each green in BOTH prior driver rounds; their families
         #    stay anchored in-window — transform via transform_map +
         #    ndim_ops/pad_mask2, sessions via sessionize, relational
@@ -1111,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_groups": q_fixed_groups,
         "session_agg": q_session_agg,
         "tpch_q1": q_tpch_q1,
+        "rolling": q_rolling,
         "rolling_bucketed": q_rolling_bucketed,
         "embedding_topk_dot": q_embedding_topk_dot,
         "embedding_topk_l2": q_embedding_topk_l2,
@@ -1759,6 +1777,83 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                                                  '\s+')) AS word
                 FROM documents WHERE trim(text) <> '')
           GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "training_pipeline": r"""
+          WITH base AS (
+            SELECT doc_id, text,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lines
+            FROM documents WHERE doc_id % 25 <> 0),
+          sig AS (
+            SELECT doc_id, text, lt, CAST(len(lt) AS INTEGER) AS n_tok,
+                   CASE WHEN len(lt) >= 2 THEN
+                     list_transform(range(1, len(lt)),
+                                    i -> array_to_string(lt[i:i+1], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS g2,
+                   CASE WHEN len(lines) > 0 THEN
+                     len(list_filter(lines,
+                         x -> regexp_matches(trim(x), '[.!?"]$')))
+                     / len(lines) ELSE 0.0 END AS term_frac
+            FROM base),
+          kept AS (
+            SELECT doc_id, text, lt, n_tok FROM sig
+            WHERE n_tok >= 10
+              AND (CASE WHEN len(g2) > 0 THEN
+                     1.0 - len(list_distinct(g2)) / len(g2)
+                   ELSE 0.0 END) <= 0.3
+              AND term_frac >= 0.0),
+          dedup AS (
+            SELECT doc_id, lt, n_tok FROM kept
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1),
+          tg AS (
+            SELECT doc_id,
+                   CASE WHEN len(lt) >= 3 THEN
+                     list_transform(range(1, len(lt) - 1),
+                                    i -> array_to_string(lt[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS gr
+            FROM dedup),
+          base0 AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt
+            FROM documents WHERE doc_id % 25 = 0),
+          eg AS (
+            SELECT doc_id,
+                   CASE WHEN len(lt) >= 3 THEN
+                     list_transform(range(1, len(lt) - 1),
+                                    i -> array_to_string(lt[i:i+2], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END AS gr
+            FROM base0),
+          contam AS (
+            SELECT DISTINCT train_id FROM (
+              SELECT t.train_id, e.test_id
+              FROM (SELECT doc_id AS train_id,
+                           unnest(list_distinct(gr)) AS gram FROM tg) t
+              JOIN (SELECT doc_id AS test_id,
+                           unnest(list_distinct(gr)) AS gram FROM eg) e
+              USING (gram)
+              GROUP BY 1, 2 HAVING count(*) >= 2)),
+          clean AS (
+            SELECT doc_id, n_tok FROM dedup
+            WHERE doc_id NOT IN (SELECT train_id FROM contam)),
+          c AS (
+            SELECT doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+            FROM clean)
+          SELECT doc_id, n_tok, tok_offset,
+                 CAST(tok_offset // 512 AS BIGINT) AS chunk_first,
+                 CAST((tok_offset + GREATEST(n_tok, 1) - 1) // 512
+                      AS BIGINT) AS chunk_last,
+                 CAST((tok_offset + GREATEST(n_tok, 1) - 1) // 512
+                      - tok_offset // 512 + 1 AS INTEGER) AS n_chunks
+          FROM c
         """,
         "fingerprint": f"""
           SELECT doc_id,

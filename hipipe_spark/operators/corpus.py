@@ -1,0 +1,104 @@
+"""End-to-end training-corpus construction.
+
+Composes the training-data stages into the canonical pretraining recipe
+(the FineWeb / RefinedWeb pipeline shape): quality + repetition filter →
+exact dedup → benchmark decontamination → concat-and-chunk packing.
+Each stage is an existing operator; the composition exists so a user
+gets the whole corpus build as ONE declarative plan Catalyst can
+optimize end-to-end (the quality filter pushes to the parquet scan;
+dedup is the only raw-text shuffle; the eval side broadcasts; packing
+adds one range shuffle).
+
+Relation to the reference: this is the pipeline-of-stages idea of
+hipipe's ``stream | create | transform | filter | … | unpack`` chains
+(`include/hipipe/core/stream/`), lifted to corpus granularity — stages
+compose lazily and the engine schedules the whole chain at once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.text import (
+    dup_ngram_frac, terminal_line_frac, token_count, tokens,
+)
+from hipipe_spark.operators.contamination import decontaminate
+from hipipe_spark.operators.dedup import exact_dedup
+from hipipe_spark.operators.packing import pack_chunks
+
+
+@dataclass(frozen=True)
+class CorpusFilter:
+    """Thresholds for the keep decision (Gopher/C4-flavored defaults).
+
+    ``min_tokens``: drop ultra-short docs; ``max_dup_2gram``: drop
+    repetition-heavy docs; ``min_terminal_frac``: drop pages where few
+    lines end in terminal punctuation (boilerplate). Every threshold is
+    evaluated as a pure JVM expression on one shared tokenization.
+    """
+
+    min_tokens: int = 10
+    max_dup_2gram: float = 0.3
+    min_terminal_frac: float = 0.0
+
+
+def quality_keep(df: DataFrame, text_col: str = "text",
+                 flt: CorpusFilter = CorpusFilter()) -> DataFrame:
+    """Rows passing the corpus filter. One narrow scan — the token
+    array is computed once and every signal derives from it, so the
+    filter collapses into the scan stage (no shuffle, no UDF)."""
+    txt = F.col(text_col)
+    ltoks = tokens(F.lower(txt))
+    keep = (
+        (token_count(txt, toks=ltoks) >= flt.min_tokens)
+        & (dup_ngram_frac(txt, 2, toks=ltoks) <= flt.max_dup_2gram)
+        & (terminal_line_frac(txt) >= flt.min_terminal_frac)
+    )
+    return df.filter(keep)
+
+
+def build_training_set(docs: DataFrame, eval_docs: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       flt: CorpusFilter = CorpusFilter(),
+                       contam_n: int = 3, contam_min_hits: int = 2,
+                       seq_len: int = 512,
+                       near_dedup: bool = False,
+                       minhash_kwargs: dict | None = None) -> DataFrame:
+    """The full corpus build: filter → exact dedup → [optional MinHash
+    near-dedup] → decontaminate → pack. Returns the surviving documents
+    with their packed layout (``tok_offset``/``chunk_first``/
+    ``chunk_last``/``n_chunks`` over the post-filter corpus in
+    ``id_col`` order).
+
+    Shuffle budget at scale: one fingerprint shuffle (dedup), one band
+    equi-join + component iteration when ``near_dedup`` is on, one
+    broadcast join (decontaminate — eval side is benchmark-sized), one
+    range shuffle (packing). The quality filter and the token counts
+    ride the initial scan.
+
+    ``near_dedup=True`` inserts MinHash+LSH candidate pairs →
+    connected components → keep the canonical min-id doc per cluster
+    (`dedup.minhash_lsh_pairs` / `dedup.dedup_clusters`); tune via
+    ``minhash_kwargs``. Off by default because the driver oracle for
+    the composite covers the deterministic stages — the near-dedup
+    stage has its own oracled queries (`minhash_lsh`, `dedup_clusters`).
+    """
+    kept = quality_keep(docs, text_col, flt)
+    deduped = exact_dedup(kept, text_col, id_col)
+    if near_dedup:
+        from hipipe_spark.operators.dedup import (
+            dedup_clusters, minhash_lsh_pairs,
+        )
+        pairs = minhash_lsh_pairs(deduped, id_col, text_col,
+                                  exact_prepass=False,
+                                  **(minhash_kwargs or {}))
+        keep = (dedup_clusters(deduped, pairs, id_col)
+                .filter("keep").select(id_col))
+        deduped = deduped.join(keep, id_col, "left_semi")
+    clean = decontaminate(deduped, eval_docs, id_col, text_col,
+                          n=contam_n, min_hits=contam_min_hits)
+    with_counts = clean.withColumn("n_tok", token_count(F.col(text_col)))
+    return pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len)

@@ -135,3 +135,24 @@ def test_repetition_stats_hand_values(spark):
     # doc 4: lines l1,l2,l1,l3 -> dup_frac 1 - 3/4; chars 8 total, 4 dup
     assert got[4]["dl"] == pytest.approx(0.25)
     assert got[4]["dlc"] == pytest.approx(0.5)
+
+
+def test_pack_chunks_random_property(spark):
+    """Property: for random token-count sequences, offsets are an
+    exclusive cumsum and chunk spans tile the token stream, at a
+    parallelism that does not divide the row count evenly."""
+    import random
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(1, 60)
+        rows = [(i, rng.choice([0, 1, 3, SEQ, SEQ + 5, 2 * SEQ + 1]))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id int, n_tok int")
+        got = (pack_chunks(df, "doc_id", "n_tok", SEQ, n_partitions=7)
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+        acc = 0
+        for _, r in got.iterrows():
+            assert r["tok_offset"] == acc
+            assert r["chunk_first"] == acc // SEQ
+            assert r["chunk_last"] == (acc + max(r["n_tok"], 1) - 1) // SEQ
+            acc += r["n_tok"]
