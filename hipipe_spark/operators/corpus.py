@@ -86,8 +86,18 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
     the composite covers the deterministic stages — the near-dedup
     stage has its own oracled queries (`minhash_lsh`, `dedup_clusters`).
     """
+    from hipipe_spark.operators.core import register_cached
+
     kept = quality_keep(docs, text_col, flt)
-    deduped = exact_dedup(kept, text_col, id_col)
+    # Persist the deduped corpus: its lineage (scan + filter +
+    # fingerprint shuffle) feeds BOTH the contamination gram branch and
+    # the anti-join probe side — uncached, Spark executes the full scan
+    # and dedup shuffle twice (verified in the physical plan). The
+    # caller owns the cache lifetime via release_cached, the same
+    # contract as the pair generators. MEMORY_AND_DISK by Spark
+    # default, so a corpus larger than cluster memory spills rather
+    # than fails.
+    deduped = exact_dedup(kept, text_col, id_col).persist()
     if near_dedup:
         from hipipe_spark.operators.dedup import (
             dedup_clusters, minhash_lsh_pairs,
@@ -101,4 +111,6 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
     clean = decontaminate(deduped, eval_docs, id_col, text_col,
                           n=contam_n, min_hits=contam_min_hits)
     with_counts = clean.withColumn("n_tok", token_count(F.col(text_col)))
-    return pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len)
+    return register_cached(
+        pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len),
+        deduped)
