@@ -565,6 +565,21 @@ def q_training_pipeline(spark, sf_dir):
                       "chunk_last", "n_chunks")
 
 
+_BM25_TERMS = ["join", "dup", "vector"]  # common/rare/common in testdata
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 scoring of the corpus against a fixed query-term set —
+    lexical sibling of the embedding top-k family. One dimension-sized
+    stats aggregate (N, avgdl, df_t), then a single narrow scoring
+    pass; nothing shuffles. Arithmetic written to be IEEE-identical in
+    DuckDB (same literal folding, same operation order)."""
+    from hipipe_spark.operators.retrieval import bm25_scores
+    d = _docs(spark, sf_dir)
+    out = bm25_scores(d, _BM25_TERMS, "doc_id", "text", k1=1.2, b=0.75)
+    return out.select("doc_id", F.round("score", 6).alias("bm25"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1051,7 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only. Slots 1-15: queries with no driver
     row through round 2 (flagship first — the north-rule query).
-    Slots 16-26: new round-3 queries. Slots 27-50: one anchor per
+    Slots 16-27: new round-3 queries. Slots 28-50: one anchor per
     operator family. Past 50: redundant-by-construction oracle twins
     and strategy variants of in-window anchors, each already recorded
     green in rounds 1-2 and re-checked every round by
@@ -1073,7 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti": q_semi_anti,
         "set_ops": q_set_ops,
         "approx_stats": q_approx_stats,
-        # -- 16-26: new in round 3
+        # -- 16-27: new in round 3
         "flagship_profiles": q_flagship_profiles,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "media_meta": q_media_meta,
@@ -1085,10 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "vocab_topk": q_vocab_topk,
         "training_pipeline": q_training_pipeline,
-        # -- 27-50: operator-family anchors
+        "bm25": q_bm25,
+        # -- 28-50: operator-family anchors
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
-        "backfill": q_backfill,
         "asof_union": q_asof_union,
         "filter_dim1": q_filter_dim1,
         "transform_map": q_transform_map,
@@ -1113,9 +1128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 51+: proven twins / strategy variants (no driver row; green
         #    in CORRECTNESS_r01/r02 and in every check_oracles run).
         #    transform_cond / transform_dim2 / filter_dim2 / pad_mask /
-        #    fixed_groups / session_agg / tpch_q1 / rolling rotated out
-        #    of the window in round 3 (rolling stays anchored in-window
-        #    via rolling_range)
+        #    fixed_groups / session_agg / tpch_q1 / rolling / backfill
+        #    rotated out of the window in round 3 (rolling and backfill
+        #    stay anchored in-window via rolling_range and
+        #    backfill_bounded)
         #    (each green in BOTH prior driver rounds; their families
         #    stay anchored in-window — transform via transform_map +
         #    ndim_ops/pad_mask2, sessions via sessionize, relational
@@ -1129,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": q_session_agg,
         "tpch_q1": q_tpch_q1,
         "rolling": q_rolling,
+        "backfill": q_backfill,
         "rolling_bucketed": q_rolling_bucketed,
         "embedding_topk_dot": q_embedding_topk_dot,
         "embedding_topk_l2": q_embedding_topk_l2,
@@ -1777,6 +1794,45 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                                                  '\s+')) AS word
                 FROM documents WHERE trim(text) <> '')
           GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "bm25": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(lower(text)), '\s+')
+                   END AS lt
+            FROM documents),
+          tf AS (
+            SELECT doc_id,
+                   CAST(len(lt) AS DOUBLE) AS dl,
+                   CAST(len(list_filter(lt, x -> x = 'join'))
+                        AS DOUBLE) AS tf0,
+                   CAST(len(list_filter(lt, x -> x = 'dup'))
+                        AS DOUBLE) AS tf1,
+                   CAST(len(list_filter(lt, x -> x = 'vector'))
+                        AS DOUBLE) AS tf2
+            FROM base),
+          st AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM tf)
+          SELECT doc_id,
+                 round(
+                   0.0
+                   + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0
+                     * (1.2 + 1.0)
+                     / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+                     * (1.2 + 1.0)
+                     / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+                     * (1.2 + 1.0)
+                     / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)),
+                 6) AS bm25
+          FROM tf, st
+          WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         """,
         "training_pipeline": r"""
           WITH base AS (

@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "minhash_lsh", "token_stats", "fingerprint", "embedding_topk",
     "generate_groups", "index_mapper", "corpus_pipeline",
     "latest_per_key", "tpch_q3",
+    # round-3 training-data composites
+    "training_pipeline", "bm25",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))

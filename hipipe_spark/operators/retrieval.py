@@ -1,0 +1,115 @@
+"""Lexical retrieval scoring (TF-IDF / BM25) over a document corpus.
+
+The sparse sibling of the embedding ANN family
+(`operators/similarity.py`): score every document against a FIXED query
+term set with BM25 (Robertson-Sparck Jones idf, Okapi tf saturation).
+The scale shape is one narrow pass + one dimension-sized aggregate:
+
+1. per-document term frequencies for the |Q| query terms — pure array
+   expressions on one shared tokenization (no explode: |Q| is small,
+   so ``size(filter(toks, = term))`` per term beats building an
+   inverted index nobody else consumes);
+2. corpus stats (N, avgdl, per-term document frequency) — ONE
+   aggregate producing |Q| + 2 numbers, collected driver-side (the
+   only collect, dimension-sized by construction) and folded back in
+   as literals, so the scoring pass is a map over the scan with no
+   join at all;
+3. score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+
+Both stages are single-scan; nothing shuffles. For ad-hoc many-query
+workloads build a real inverted index instead (explode + groupBy — the
+``vocab_topk`` plan); this operator is the fixed-query scorer a corpus
+quality/contamination pipeline embeds.
+
+Relation to the reference: hipipe has no retrieval operators; this is
+part of the training-data extension surface (SURVEY.md §2.3). The
+formula follows Robertson & Zaragoza 2009 (BM25 with the +1-smoothed
+idf, as in Lucene), computable bit-identically in DuckDB for the
+driver oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.text import tokens
+
+
+def _term_freq(toks, term: str):
+    """tf of one literal term: size(filter(toks, x -> x = term)).
+
+    A dedicated factory, NOT an inline ``lambda x, t=t:`` — a
+    default-arg capture gives the lambda arity 2 and PySpark's
+    higher-order ``filter`` then binds the second parameter to the
+    ELEMENT INDEX, silently comparing tokens against positions.
+    """
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(id, score) for every document with a positive BM25 score
+    against ``query_terms`` (terms are matched lowercase-exact).
+
+    Eagerly runs the one dimension-sized stats aggregate (N, avgdl,
+    df_t — |Q|+2 numbers); the returned plan is then a single narrow
+    map over the corpus scan.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.lower(F.col(text_col)))
+    tf_cols = {t: _term_freq(toks, t) for t in query_terms}
+    stats = docs.select(
+        F.size(toks).alias("__dl"),
+        *[(tf_cols[t] > 0).cast("int").alias(f"__has_{i}")
+          for i, t in enumerate(query_terms)],
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__dl").alias("avgdl"),
+        *[F.sum(f"__has_{i}").alias(f"df_{i}")
+          for i in range(len(query_terms))],
+    ).first()
+    n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if n == 0:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        df_t = stats[f"df_{i}"] or 0
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = tf_cols[t].cast("double")
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+    return (docs.select(F.col(id_col), score.alias("score"))
+            .filter(F.col("score") > 0))
+
+
+def tfidf_scores(docs: DataFrame, query_terms: list[str],
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Plain TF-IDF variant (ln-idf, raw tf) — same single-scan shape
+    as :func:`bm25_scores`."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.lower(F.col(text_col)))
+    tf_cols = {t: _term_freq(toks, t) for t in query_terms}
+    stats = docs.select(
+        *[(tf_cols[t] > 0).cast("int").alias(f"__has_{i}")
+          for i, t in enumerate(query_terms)],
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"__has_{i}").alias(f"df_{i}")
+          for i in range(len(query_terms))],
+    ).first()
+    n = stats["n"]
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        df_t = stats[f"df_{i}"] or 0
+        idf = math.log((n + 1.0) / (df_t + 1.0)) + 1.0
+        score = score + tf_cols[t].cast("double") * F.lit(idf)
+    return (docs.select(F.col(id_col), score.alias("score"))
+            .filter(F.col("score") > 0))
