@@ -580,6 +580,43 @@ def q_bm25(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("bm25"))
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal: lines occurring
+    in ≥25 distinct docs are stripped, survivors rejoined in order.
+    Testdata text is single-line, so 2-token pseudo-lines (the pad_mask2
+    chunk idiom) stand in for real lines on BOTH engines."""
+    from hipipe_spark.functions.ndim import reshaped_view
+    from hipipe_spark.operators.boilerplate import remove_frequent_lines
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(reshaped_view(tokens(F.lower(F.col("text"))), 2),
+                    lambda s: F.array_join(s, " ")).alias("lines"))
+    out = remove_frequent_lines(d, min_docs=25)
+    return out.select(
+        "doc_id",
+        F.array_join("clean_lines", "\n").alias("clean_text"),
+        "n_lines", "n_removed")
+
+
+def q_det_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: every doc's rank in the
+    seeded hash permutation, assigned by the two-phase range recipe (no
+    single-task sort) and bit-stable at any parallelism."""
+    from hipipe_spark.operators.ordering import deterministic_shuffle
+    d = _docs(spark, sf_dir).select("doc_id")
+    return deterministic_shuffle(d, "doc_id", seed=7)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based domain rebalancing (XLM-R/mT5 recipe) over the
+    skewed `lang` column: q_d ∝ n_d^0.5, realized as deterministic
+    per-row Bernoulli keeps with in-plan statistics."""
+    from hipipe_spark.operators.sampling import temperature_mixture
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mixture(d, "lang", "doc_id", alpha=0.5,
+                               target_rows=250, seed=3)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1168,6 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "topk_per_group": q_topk_per_group,
         "latest_per_key": q_latest_per_key,
+        # new post-round-3 operators (no driver row yet — rotate into
+        # the 50-row window in round 4; judge-oracle via check_oracles)
+        "boilerplate_lines": q_boilerplate_lines,
+        "det_shuffle": q_det_shuffle,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -1445,6 +1487,45 @@ def oracle_sql() -> dict[str, str]:
              f.tool_filled, p.temperature AS temp_asof
       FROM feat f ASOF LEFT JOIN p
         ON f.conv_id = p.conv_id AND f.ts >= p.ts
+    """
+    d["boilerplate_lines"] = f"""
+      WITH tok AS (SELECT doc_id, {_det_tokens_sql('text')} AS lt
+                   FROM documents),
+      c AS (SELECT doc_id,
+                   list_transform(range(0, CAST(ceil(len(lt) / 2.0) AS INT)),
+                                  i -> array_to_string(lt[i*2+1 : i*2+2], ' '))
+                     AS lines
+            FROM tok),
+      ex AS (SELECT DISTINCT doc_id, unnest(lines) AS line FROM c),
+      f AS (SELECT line FROM ex GROUP BY line HAVING count(*) >= 25),
+      fl AS (SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS freq
+             FROM f)
+      SELECT doc_id,
+             array_to_string(list_filter(lines,
+                               x -> NOT list_contains(freq, x)), chr(10))
+               AS clean_text,
+             CAST(len(lines) AS INTEGER) AS n_lines,
+             CAST(len(lines) - len(list_filter(lines,
+                               x -> NOT list_contains(freq, x))) AS INTEGER)
+               AS n_removed
+      FROM c, fl
+    """
+    d["det_shuffle"] = f"""
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY {det_hash_i64_sql('doc_id', 7)}, doc_id) - 1
+               AS BIGINT) AS shuffle_rank
+      FROM documents
+    """
+    d["temperature_mixture"] = f"""
+      WITH n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+      z AS (SELECT sum(pow(CAST(nd AS DOUBLE), 0.5)) AS z FROM n),
+      r AS (SELECT lang,
+                   least(1.0, pow(CAST(nd AS DOUBLE), 0.5) / z * 250.0
+                              / CAST(nd AS DOUBLE)) AS rate
+            FROM n, z)
+      SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      WHERE {det_hash01_sql('d.doc_id', 3)} < rate
     """
     return d
 

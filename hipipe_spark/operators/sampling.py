@@ -42,6 +42,42 @@ def stratified_sample(df: DataFrame, strata: str | Sequence[str], key: str,
             .filter(F.col("__rk") <= n_per_stratum).drop("__rk"))
 
 
+def temperature_mixture(df: DataFrame, domain_col: str, key: str,
+                        alpha: float = 0.5, target_rows: int = 100_000,
+                        seed: int = 0) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    recipe of XLM-R / mT5): domain d is sampled with probability
+    q_d ∝ n_d^alpha, realized as a per-row Bernoulli keep with rate
+    r_d = min(1, q_d · target_rows / n_d). ``alpha < 1`` flattens the
+    domain distribution (upweights small domains, capped at keeping
+    everything); ``alpha = 1`` is proportional (uniform rate).
+
+    All statistics stay IN the plan: one groupBy(domain) count, one
+    single-row normalizer aggregate broadcast back, one broadcast join
+    of the per-domain rate onto the corpus — the corpus itself never
+    shuffles, and the keep decision is the engine's deterministic
+    (key, seed) hash, reproducible at any parallelism and by a DuckDB
+    oracle running the identical arithmetic.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))))
+        .alias("__z"))
+    rates = (counts.crossJoin(F.broadcast(norm))
+             .select(domain_col,
+                     F.least(
+                         F.lit(1.0),
+                         F.pow(F.col("__n").cast("double"),
+                               F.lit(float(alpha)))
+                         / F.col("__z")
+                         * F.lit(float(target_rows))
+                         / F.col("__n").cast("double"),
+                     ).alias("__rate")))
+    return (df.join(F.broadcast(rates), domain_col)
+            .filter(det_hash01(F.col(key), seed) < F.col("__rate"))
+            .drop("__rate"))
+
+
 def weighted_mixture(sources: Sequence[tuple[DataFrame, float]], key: str,
                      seed: int = 0, tag_col: str | None = "source") -> DataFrame:
     """Weighted dataset mixture: source i is independently downsampled

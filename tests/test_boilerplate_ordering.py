@@ -1,0 +1,128 @@
+"""Line-level boilerplate removal, deterministic corpus shuffle, and
+temperature-based domain mixing — hand-checked miniatures plus the
+parallelism-invariance property the north rule demands."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.hashing import det_hash_i64
+from hipipe_spark.operators.boilerplate import (
+    line_doc_freq, lines_from_text, remove_frequent_lines,
+)
+from hipipe_spark.operators.ordering import deterministic_shuffle
+from hipipe_spark.operators.sampling import temperature_mixture
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, "cookie banner\nreal content A\nfooter"),
+         (1, "cookie banner\nreal content B\nfooter"),
+         (2, "cookie banner\nunique text here"),
+         (3, "footer\nfooter\nonly boilerplate doc\ncookie banner"),
+         (4, "")],
+        "doc_id long, text string",
+    ).withColumn("lines", lines_from_text("text"))
+
+
+def test_line_doc_freq(spark):
+    got = {r["line"]: r["df"] for r in line_doc_freq(_docs(spark)).collect()}
+    assert got["cookie banner"] == 4
+    # within-doc repeat (doc 3 has footer twice) counts ONCE per doc
+    assert got["footer"] == 3
+    assert got["real content A"] == 1
+
+
+def test_remove_frequent_lines(spark):
+    out = {r["doc_id"]: r for r in
+           remove_frequent_lines(_docs(spark), min_docs=3).collect()}
+    assert len(out) == 5                       # every doc survives
+    assert out[0]["clean_lines"] == ["real content A"]
+    assert out[1]["clean_lines"] == ["real content B"]
+    assert out[2]["clean_lines"] == ["unique text here"]
+    # doc 3: both footers and the banner go; order preserved
+    assert out[3]["clean_lines"] == ["only boilerplate doc"]
+    assert out[3]["n_lines"] == 4 and out[3]["n_removed"] == 3
+    assert out[4]["clean_lines"] == [] and out[4]["n_lines"] == 0
+
+
+def test_remove_frequent_lines_threshold(spark):
+    # min_docs above every df: nothing removed
+    out = remove_frequent_lines(_docs(spark), min_docs=5)
+    assert out.agg(F.sum("n_removed")).first()[0] == 0
+    with pytest.raises(ValueError):
+        remove_frequent_lines(_docs(spark), min_docs=1)
+
+
+def _ints(spark, n=400):
+    return spark.range(n).withColumnRenamed("id", "k")
+
+
+def test_shuffle_rank_is_permutation(spark):
+    out = deterministic_shuffle(_ints(spark), "k", seed=1)
+    ranks = sorted(r["shuffle_rank"] for r in out.collect())
+    assert ranks == list(range(400))
+
+
+def test_shuffle_rank_matches_global_sort_and_parallelism(spark):
+    df = _ints(spark)
+    # ground truth: single-partition global sort by the same hash
+    truth = {r["k"]: r["rk"] for r in
+             df.withColumn("__h", det_hash_i64(F.col("k"), 1))
+             .coalesce(1)
+             .withColumn("rk", F.row_number().over(
+                 __import__("pyspark").sql.Window.orderBy("__h", "k")) - 1)
+             .collect()}
+    for n_parts in (3, 8):
+        got = {r["k"]: r["shuffle_rank"] for r in
+               deterministic_shuffle(df, "k", seed=1,
+                                     n_partitions=n_parts).collect()}
+        assert got == truth, n_parts
+
+
+def test_shuffle_seed_changes_permutation(spark):
+    df = _ints(spark, 100)
+    a = {r["k"]: r["shuffle_rank"]
+         for r in deterministic_shuffle(df, "k", seed=1).collect()}
+    b = {r["k"]: r["shuffle_rank"]
+         for r in deterministic_shuffle(df, "k", seed=2).collect()}
+    assert a != b and sorted(a.values()) == sorted(b.values())
+
+
+def _domains(spark):
+    # big: 900 rows, small: 100 rows
+    return (spark.range(1000)
+            .select(F.col("id").alias("k"),
+                    F.when(F.col("id") < 900, "big").otherwise("small")
+                    .alias("dom")))
+
+
+def test_temperature_alpha1_is_proportional(spark):
+    # alpha=1: every domain gets the SAME rate target/total
+    out = temperature_mixture(_domains(spark), "dom", "k",
+                              alpha=1.0, target_rows=500, seed=3)
+    n = {r["dom"]: r["n"] for r in
+         out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # Bernoulli(0.5) per row, deterministic hash: both near half
+    assert 380 <= n["big"] <= 520 and 30 <= n["small"] <= 70
+
+
+def test_temperature_alpha_flattens(spark):
+    out = temperature_mixture(_domains(spark), "dom", "k",
+                              alpha=0.3, target_rows=500, seed=3)
+    n = {r["dom"]: r["n"] for r in
+         out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # alpha<1 upweights the small domain: its keep RATE must exceed
+    # the big domain's
+    assert n["small"] / 100 > n["big"] / 900
+    # deterministic: second run identical
+    out2 = temperature_mixture(_domains(spark), "dom", "k",
+                               alpha=0.3, target_rows=500, seed=3)
+    assert sorted(r["k"] for r in out.collect()) == \
+        sorted(r["k"] for r in out2.collect())
+
+
+def test_temperature_rate_caps_at_one(spark):
+    # target far above corpus size: rate clips to 1, everything kept
+    out = temperature_mixture(_domains(spark), "dom", "k",
+                              alpha=0.5, target_rows=10_000, seed=3)
+    assert out.count() == 1000
