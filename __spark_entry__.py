@@ -580,6 +580,15 @@ def q_bm25(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("bm25"))
 
 
+def q_tfidf(spark, sf_dir):
+    """Raw-tf/ln-idf variant of q_bm25 — same single-scan stats-fold
+    shape, linear in tf (no saturation)."""
+    from hipipe_spark.operators.retrieval import tfidf_scores
+    d = _docs(spark, sf_dir)
+    out = tfidf_scores(d, _BM25_TERMS, "doc_id", "text")
+    return out.select("doc_id", F.round("score", 6).alias("tfidf"))
+
+
 def q_boilerplate_lines(spark, sf_dir):
     """CCNet/RefinedWeb line-level boilerplate removal: lines occurring
     in ≥25 distinct docs are stripped, survivors rejoined in order.
@@ -1210,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "det_shuffle": q_det_shuffle,
         "temperature_mixture": q_temperature_mixture,
+        "tfidf": q_tfidf,
     }
 
 
@@ -1509,6 +1519,34 @@ def oracle_sql() -> dict[str, str]:
                                x -> NOT list_contains(freq, x))) AS INTEGER)
                AS n_removed
       FROM c, fl
+    """
+    d["tfidf"] = r"""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+')
+               END AS lt
+        FROM documents),
+      tf AS (
+        SELECT doc_id,
+               CAST(len(list_filter(lt, x -> x = 'join')) AS DOUBLE) AS tf0,
+               CAST(len(list_filter(lt, x -> x = 'dup')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(lt, x -> x = 'vector')) AS DOUBLE) AS tf2
+        FROM base),
+      st AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM tf)
+      SELECT doc_id,
+             round(0.0
+                   + tf0 * (ln((n + 1.0) / (df0 + 1.0)) + 1.0)
+                   + tf1 * (ln((n + 1.0) / (df1 + 1.0)) + 1.0)
+                   + tf2 * (ln((n + 1.0) / (df2 + 1.0)) + 1.0),
+                   6) AS tfidf
+      FROM tf, st
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
     """
     d["det_shuffle"] = f"""
       SELECT doc_id,

@@ -66,12 +66,22 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
                        contam_n: int = 3, contam_min_hits: int = 2,
                        seq_len: int = 512,
                        near_dedup: bool = False,
-                       minhash_kwargs: dict | None = None) -> DataFrame:
-    """The full corpus build: filter → exact dedup → [optional MinHash
-    near-dedup] → decontaminate → pack. Returns the surviving documents
-    with their packed layout (``tok_offset``/``chunk_first``/
-    ``chunk_last``/``n_chunks`` over the post-filter corpus in
-    ``id_col`` order).
+                       minhash_kwargs: dict | None = None,
+                       boilerplate_min_docs: int | None = None,
+                       shuffle_seed: int | None = None) -> DataFrame:
+    """The full corpus build: filter → [optional line-level boilerplate
+    removal] → exact dedup → [optional MinHash near-dedup] →
+    decontaminate → pack → [optional deterministic shuffle rank].
+    Returns the surviving documents with their packed layout
+    (``tok_offset``/``chunk_first``/``chunk_last``/``n_chunks`` over
+    the post-filter corpus in ``id_col`` order).
+
+    ``boilerplate_min_docs`` strips lines occurring in that many
+    distinct documents BEFORE dedup — pages differing only in shared
+    navigation/footer lines then collapse to exact duplicates, which is
+    why CCNet orders the stages this way. Documents reduced to nothing
+    are dropped. ``shuffle_seed`` appends a ``shuffle_rank`` column —
+    the bit-stable global training order (`ordering.py`).
 
     Shuffle budget at scale: one fingerprint shuffle (dedup), one band
     equi-join + component iteration when ``near_dedup`` is on, one
@@ -89,6 +99,18 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
     from hipipe_spark.operators.core import register_cached
 
     kept = quality_keep(docs, text_col, flt)
+    if boilerplate_min_docs:
+        from hipipe_spark.operators.boilerplate import (
+            lines_from_text, remove_frequent_lines,
+        )
+        lined = kept.select(
+            F.col(id_col),
+            lines_from_text(F.col(text_col)).alias("__lines"))
+        cleaned = remove_frequent_lines(
+            lined, id_col, "__lines", min_docs=boilerplate_min_docs)
+        kept = (cleaned.filter(F.size("clean_lines") > 0)
+                .select(F.col(id_col),
+                        F.array_join("clean_lines", "\n").alias(text_col)))
     # Persist the deduped corpus: its lineage (scan + filter +
     # fingerprint shuffle) feeds BOTH the contamination gram branch and
     # the anti-join probe side — uncached, Spark executes the full scan
@@ -111,6 +133,8 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
     clean = decontaminate(deduped, eval_docs, id_col, text_col,
                           n=contam_n, min_hits=contam_min_hits)
     with_counts = clean.withColumn("n_tok", token_count(F.col(text_col)))
-    return register_cached(
-        pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len),
-        deduped)
+    packed = pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len)
+    if shuffle_seed is not None:
+        from hipipe_spark.operators.ordering import deterministic_shuffle
+        packed = deterministic_shuffle(packed, id_col, seed=shuffle_seed)
+    return register_cached(packed, deduped)

@@ -121,6 +121,34 @@ def test_temperature_alpha_flattens(spark):
         sorted(r["k"] for r in out2.collect())
 
 
+def test_training_set_boilerplate_then_dedup(spark):
+    """The CCNet stage ordering: pages differing ONLY in shared
+    boilerplate collapse to exact duplicates once the boilerplate is
+    stripped, so dedup removes one of them."""
+    from hipipe_spark.operators.corpus import CorpusFilter, build_training_set
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu")
+    docs = spark.createDataFrame(
+        [(0, base + "\ncookie banner"),
+         (1, base + "\ncookie banner more words here now ok"),
+         (2, "cookie banner\n" + base),          # same content as 0
+         (3, "totally different text " + base.upper().lower() + " tail")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame([(900, "benchmark prompt unrelated")],
+                                  "doc_id long, text string")
+    flt = CorpusFilter(min_tokens=3, max_dup_2gram=1.0)
+    plain = build_training_set(docs, evals, flt=flt, seq_len=8)
+    assert sorted(r["doc_id"] for r in plain.select("doc_id").collect()) \
+        == [0, 1, 2, 3]
+    out = build_training_set(docs, evals, flt=flt, seq_len=8,
+                             boilerplate_min_docs=3, shuffle_seed=5)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [0, 1, 3]                     # 2 deduped against 0
+    ranks = sorted(r["shuffle_rank"] for r in out.collect())
+    assert ranks == [0, 1, 2]                   # dense global order
+
+
 def test_temperature_rate_caps_at_one(spark):
     # target far above corpus size: rate clips to 1, everything kept
     out = temperature_mixture(_domains(spark), "dom", "k",
