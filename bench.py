@@ -27,7 +27,7 @@ BENCH_QUERIES = [
     "generate_groups", "index_mapper", "corpus_pipeline",
     "latest_per_key", "tpch_q3",
     # round-3 training-data composites
-    "training_pipeline", "bm25",
+    "training_pipeline", "bm25", "boilerplate_lines", "det_shuffle",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
