@@ -138,3 +138,59 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
         from hipipe_spark.operators.ordering import deterministic_shuffle
         packed = deterministic_shuffle(packed, id_col, seed=shuffle_seed)
     return register_cached(packed, deduped)
+
+
+def corpus_stages(eval_docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  flt: CorpusFilter = CorpusFilter(),
+                  contam_n: int = 3, contam_min_hits: int = 2,
+                  seq_len: int = 512,
+                  boilerplate_min_docs: int | None = None,
+                  shuffle_seed: int | None = None):
+    """The :func:`build_training_set` recipe as a named stage list for
+    ``checkpoint.ResumablePipeline`` — each stage a pure
+    ``DataFrame -> DataFrame`` committed as a snapshot, so a 100-TB
+    corpus build that dies mid-decontamination resumes from the dedup
+    snapshot instead of re-reading the raw corpus (the north-rule
+    resumability contract, applied to the corpus half of the engine).
+
+    Stage boundaries sit exactly at the expensive barriers: after the
+    filtered scan, after the dedup shuffle, after the decontamination
+    join, after packing. Results are row-identical to
+    :func:`build_training_set` (packing orders by ``id_col``, so the
+    parquet round-trip between stages cannot perturb the layout).
+    """
+    def _filter(df: DataFrame) -> DataFrame:
+        kept = quality_keep(df, text_col, flt)
+        if boilerplate_min_docs:
+            from hipipe_spark.operators.boilerplate import (
+                lines_from_text, remove_frequent_lines,
+            )
+            lined = kept.select(
+                F.col(id_col),
+                lines_from_text(F.col(text_col)).alias("__lines"))
+            cleaned = remove_frequent_lines(
+                lined, id_col, "__lines", min_docs=boilerplate_min_docs)
+            kept = (cleaned.filter(F.size("clean_lines") > 0)
+                    .select(F.col(id_col),
+                            F.array_join("clean_lines", "\n")
+                            .alias(text_col)))
+        return kept
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        return exact_dedup(df, text_col, id_col)
+
+    def _decontaminate(df: DataFrame) -> DataFrame:
+        return decontaminate(df, eval_docs, id_col, text_col,
+                             n=contam_n, min_hits=contam_min_hits)
+
+    def _pack(df: DataFrame) -> DataFrame:
+        with_counts = df.withColumn("n_tok", token_count(F.col(text_col)))
+        packed = pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len)
+        if shuffle_seed is not None:
+            from hipipe_spark.operators.ordering import deterministic_shuffle
+            packed = deterministic_shuffle(packed, id_col, seed=shuffle_seed)
+        return packed
+
+    return [("filter", _filter), ("dedup", _dedup),
+            ("decontaminate", _decontaminate), ("pack", _pack)]

@@ -154,3 +154,38 @@ def test_temperature_rate_caps_at_one(spark):
     out = temperature_mixture(_domains(spark), "dom", "k",
                               alpha=0.5, target_rows=10_000, seed=3)
     assert out.count() == 1000
+
+
+def test_corpus_stages_resumable_parity(spark, tmp_path):
+    """The staged corpus build matches build_training_set row-for-row
+    and resumes from the dedup snapshot after a simulated crash."""
+    import shutil
+
+    from hipipe_spark.checkpoint import ResumablePipeline, SnapshotStore
+    from hipipe_spark.operators.corpus import (
+        CorpusFilter, build_training_set, corpus_stages,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.filter(F.col("doc_id") % 17 == 0) \
+                .select(F.col("doc_id") + 100000, "text") \
+                .toDF("doc_id", "text")
+    flt = CorpusFilter(min_tokens=5)
+    want = sorted(
+        tuple(r) for r in
+        build_training_set(docs, evals, flt=flt, seq_len=64,
+                           boilerplate_min_docs=30, shuffle_seed=2)
+        .collect())
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    stages = corpus_stages(evals, flt=flt, seq_len=64,
+                           boilerplate_min_docs=30, shuffle_seed=2)
+    pipe = ResumablePipeline(store, stages, run_id="corpus")
+    out1 = pipe.run(spark, docs)
+    assert sorted(tuple(r) for r in out1.collect()) == want
+
+    # crash before decontaminate: stages 0-1 resume from snapshots
+    for i, name in ((2, "decontaminate"), (3, "pack")):
+        shutil.rmtree(str(tmp_path / "snaps" / "corpus" / f"{i:02d}_{name}"))
+    out2 = pipe.run(spark, docs)
+    assert sorted(tuple(r) for r in out2.collect()) == want
