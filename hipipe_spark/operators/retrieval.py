@@ -74,7 +74,10 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
           for i in range(len(query_terms))],
     ).first()
     n, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
-    if n == 0:
+    if n == 0 or avgdl == 0.0:
+        # empty corpus, or every document tokenizes to nothing: all tf
+        # are 0, so no score can be positive (and dl/avgdl would be an
+        # ANSI divide-by-zero)
         return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
 
     dl = F.size(toks).cast("double")
