@@ -28,3 +28,25 @@ def quality_filter_stream(src: DataFrame, text_col: str = "text",
     if scrub:
         out = out.withColumn(text_col, scrub_pii(F.col(text_col), scrub))
     return out
+
+
+def corpus_ingest_stream(src: DataFrame, text_col: str = "text",
+                         ts_col: str = "ts",
+                         flt: CorpusFilter = CorpusFilter(),
+                         scrub: tuple[str, ...] | None = ("email", "ipv4"),
+                         watermark: str = "1 hour",
+                         canonical: bool = False) -> DataFrame:
+    """The full streaming ingest half of the corpus build: quality
+    filter + PII scrub (stateless — pushes into the source scan of each
+    micro-batch) followed by watermarked exact dedup (the ONLY stateful
+    operator; state O(arrival rate × watermark), never O(corpus)).
+
+    Filtering BEFORE dedup matters at scale: rejected documents never
+    enter the dedup state store. Landed output then feeds the batch
+    stages that need corpus-global state (near-dedup, contamination,
+    packing) — the same division of labor as ``featurize_stream``.
+    """
+    from hipipe_spark.streaming.dedup_stream import exact_dedup_stream
+
+    out = quality_filter_stream(src, text_col, flt, scrub)
+    return exact_dedup_stream(out, text_col, ts_col, watermark, canonical)
