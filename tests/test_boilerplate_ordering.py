@@ -156,6 +156,16 @@ def test_temperature_rate_caps_at_one(spark):
     assert out.count() == 1000
 
 
+def test_boilerplate_df_count_partially_aggregates(spark):
+    """Hot-line safety: the doc-frequency count must partially
+    aggregate map-side, so a line occurring in every document sends at
+    most n_partitions rows — not n_docs — to its reducer."""
+    df = _docs(spark)
+    plan = remove_frequent_lines(df, min_docs=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+
+
 def test_corpus_stages_resumable_parity(spark, tmp_path):
     """The staged corpus build matches build_training_set row-for-row
     and resumes from the dedup snapshot after a simulated crash."""
