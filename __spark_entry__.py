@@ -36,7 +36,8 @@ from hipipe_spark.operators.groups import (
 )
 from hipipe_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hipipe_spark.operators.temporal import (
-    Backfill, LagLead, RollingAgg, Sessionize, TimeSincePrev, ts_seconds,
+    Backfill, CumulativeDistinct, DecayAgg, LagLead, RollingAgg,
+    RollingQuantile, Sessionize, TimeSincePrev, ts_seconds,
 )
 from hipipe_spark.sources.multimodal import extract_features, gen_fake_media
 
@@ -624,6 +625,46 @@ def q_temperature_mixture(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     return temperature_mixture(d, "lang", "doc_id", alpha=0.5,
                                target_rows=250, seed=3)
+
+
+def q_decay_features(spark, sf_dir):
+    """Recency-weighted (EWMA-style) activity features: exp(-dt/tau)
+    weighted sum/mean of the previous 8 turns' text lengths. The
+    bounded-lag formulation keeps every exponent in [-(max gap)/tau, 0]
+    at any timestamp span (the exp(t/tau) prefix-sum trick overflows
+    past ~709*tau); the oracle writes the identical left-associated
+    sum so values agree bit-for-bit up to libm exp."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    out = DecayAgg("text_len", lookback=8, tau="10 minutes")(t)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.round("decay_wsum", 4).alias("decay_wsum"),
+        F.round("text_len_decay_sum", 4).alias("decay_sum"),
+        F.round("text_len_decay_mean", 4).alias("decay_mean"),
+    )
+
+
+def q_cum_distinct(spark, sf_dir):
+    """Distinct tools seen strictly before each turn — the running
+    set-cardinality feature, computed state-free via first-occurrence
+    flags + running sum (no per-row collect_set)."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "tool_v", F.when(F.col("tool") != "", F.col("tool")))
+    out = CumulativeDistinct("tool_v")(t)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("tool_v_distinct_sofar").alias("tools_sofar"))
+
+
+def q_rolling_quantile(spark, sf_dir):
+    """Exact nearest-rank median of the previous 7 turns' text lengths
+    (integer-exact: no float rounding in the oracle compare)."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    out = RollingQuantile("text_len", q=0.5, lookback=7)(t)
+    return out.select(
+        "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1220,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shuffle": q_det_shuffle,
         "temperature_mixture": q_temperature_mixture,
         "tfidf": q_tfidf,
+        "decay_features": q_decay_features,
+        "cum_distinct": q_cum_distinct,
+        "rolling_quantile": q_rolling_quantile,
     }
 
 
@@ -1564,6 +1608,56 @@ def oracle_sql() -> dict[str, str]:
             FROM n, z)
       SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
       WHERE {det_hash01_sql('d.doc_id', 3)} < rate
+    """
+    # decay: identical left-associated sums (j=1..8) — same evaluation
+    # order as DecayAgg's explicit fold, so values match to libm ulp
+    _wterms = " + ".join(
+        f"COALESCE(exp(-(epoch(ts) - epoch(lag(ts, {j}) OVER w)) / 600.0), 0)"
+        for j in range(1, 9))
+    _sterms = " + ".join(
+        f"COALESCE(exp(-(epoch(ts) - epoch(lag(ts, {j}) OVER w)) / 600.0)"
+        f" * CAST(lag(length(text), {j}) OVER w AS DOUBLE), 0)"
+        for j in range(1, 9))
+    d["decay_features"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+                   {_wterms} AS wsum,
+                   {_sterms} AS dsum
+            FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+      SELECT conv_id, turn_idx,
+             round(wsum, 4) AS decay_wsum,
+             round(dsum, 4) AS decay_sum,
+             round(CASE WHEN wsum > 0 THEN dsum / wsum END, 4) AS decay_mean
+      FROM s
+    """
+    d["cum_distinct"] = f"""
+      WITH t AS ({_T}),
+      v AS (SELECT conv_id, turn_idx, ts,
+                   CASE WHEN tool <> '' THEN tool END AS tool_v FROM t),
+      f AS (SELECT conv_id, turn_idx, ts,
+                   CASE WHEN tool_v IS NOT NULL AND row_number() OVER
+                        (PARTITION BY conv_id, tool_v ORDER BY ts, turn_idx) = 1
+                   THEN 1 ELSE 0 END AS flag FROM v)
+      SELECT conv_id, turn_idx,
+             CAST(COALESCE(sum(flag) OVER
+               (PARTITION BY conv_id ORDER BY ts, turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INTEGER) AS tools_sofar
+      FROM f
+    """
+    d["rolling_quantile"] = f"""
+      WITH t AS ({_T}),
+      l AS (SELECT conv_id, turn_idx,
+                   list(length(text)) OVER
+                     (PARTITION BY conv_id ORDER BY ts, turn_idx
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS vals
+            FROM t)
+      SELECT conv_id, turn_idx,
+             CASE WHEN len(vals) > 0
+                  THEN CAST(list_sort(vals)[CAST(ceil(0.5 * len(vals)) AS INTEGER)]
+                            AS INTEGER)
+             END AS med_len_7
+      FROM l
     """
     return d
 

@@ -279,6 +279,174 @@ class BucketedRollingAgg(Stage):
         return u.filter(~F.col("__ctx")).drop("__bkt", "__ctx")
 
 
+class DecayAgg(Stage):
+    """Exponentially-decayed (recency-weighted) aggregate over the last
+    ``lookback`` strictly-past rows — the EWMA-style feature every
+    recommendation / abuse / engagement model wants ("activity in the
+    recent past, recent turns weighted more").
+
+    Two decay modes:
+
+    - ``mode="time"``: weight of the row ``j`` turns back is
+      ``exp(-(ts_now - ts_j) / tau_sec)`` — continuous time decay.
+    - ``mode="rows"``: weight is ``alpha ** j`` — index-space decay.
+
+    Emits ``<col>_decay_sum`` (sum of value*weight), ``decay_wsum``
+    (sum of weights — shared across cols), and ``<col>_decay_mean``
+    (ratio; null when no past rows).
+
+    Implementation is ``lookback`` ``F.lag`` calls over ONE window spec
+    (one sort) folded into plain column arithmetic — no UDF, no
+    window-internal reference to the current row (which SQL window
+    aggregates cannot express), fully whole-stage-codegen'd. The
+    summation order is pinned (j=1..lookback, left-associated) so a
+    SQL oracle writing the same explicit sum reproduces values
+    bit-for-bit up to libm's exp. Bounded lookback keeps every
+    exponent in [-(max gap)/tau, 0] — no overflow for any timestamp
+    span, unlike the classic ``exp(t/tau)`` prefix-sum trick which
+    dies past ~709*tau.
+
+    hipipe users wrote this as a mutable-accumulator ``transform``
+    (reference ``test/core/stream/transform1.cpp:156-179`` idiom); here
+    it is a leakage-free declarative stage (strictly-past lags only).
+    """
+
+    def __init__(self, cols: str | Sequence[str], lookback: int = 10,
+                 tau: str = "1 hour", alpha: float = 0.9,
+                 mode: str = "time", ts_col: str = "ts",
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"decay({','.join(self.cols)})")
+        if mode not in ("time", "rows"):
+            raise ValueError("mode must be 'time' or 'rows'")
+        if lookback < 1 or lookback > 64:
+            raise ValueError("lookback must be in [1, 64] (one lag column each)")
+        self.lookback, self.mode = lookback, mode
+        self.tau_sec, self.alpha = float(_interval_seconds(tau)), float(alpha)
+        self.ts_col, self.key, self.order = ts_col, key, order
+
+    def _weight(self, j: int, w: WindowSpec) -> Column:
+        """Weight of the row j turns back; NULL when that row does not
+        exist (start of conversation) so per-term coalesce(., 0) keeps
+        partial windows exact."""
+        then = F.lag(F.col(self.ts_col), j).over(w)
+        if self.mode == "rows":
+            return F.when(then.isNotNull(), F.lit(self.alpha ** j))
+        now = ts_seconds(F.col(self.ts_col))
+        return F.exp(-(now - ts_seconds(then)) / F.lit(self.tau_sec))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = ordered_window(self.key, self.order)
+        weights = [self._weight(j, w) for j in range(1, self.lookback + 1)]
+        # left-associated explicit sums pin evaluation order for oracles
+        wsum = F.coalesce(weights[0], F.lit(0.0))
+        for wt in weights[1:]:
+            wsum = wsum + F.coalesce(wt, F.lit(0.0))
+        df = df.withColumn("decay_wsum", wsum)
+        for c in self.cols:
+            terms = [
+                F.coalesce(weights[j - 1] * F.lag(F.col(c), j).over(w).cast("double"),
+                           F.lit(0.0))
+                for j in range(1, self.lookback + 1)
+            ]
+            s = terms[0]
+            for t in terms[1:]:
+                s = s + t
+            df = df.withColumn(f"{c}_decay_sum", s)
+            df = df.withColumn(
+                f"{c}_decay_mean",
+                F.when(F.col("decay_wsum") > 0.0,
+                       F.col(f"{c}_decay_sum") / F.col("decay_wsum")),
+            )
+        return df
+
+
+class CumulativeDistinct(Stage):
+    """Number of distinct values of ``col`` seen so far in the
+    conversation ("tools used so far", "distinct speakers so far").
+
+    Exact, state-free trick: mark each value's FIRST occurrence row
+    (``row_number() == 1`` over (key, col)), then running-sum the flags
+    over the conversation order. A value was seen strictly before row r
+    iff its first occurrence is strictly before r, so the strict frame
+    [-inf, -1] gives "distinct among past rows" with no per-row set
+    state — O(1) memory per row vs ``collect_set`` over a frame which
+    is O(window) per row and melts on long conversations.
+
+    Two hash exchanges — (key, col) then (key) — both bounded by input
+    cardinality; no skew beyond what the conversation window already
+    has. Nulls never count.
+    """
+
+    def __init__(self, cols: str | Sequence[str], include_current: bool = False,
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER,
+                 suffix: str = "_distinct_sofar"):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"cum_distinct({','.join(self.cols)})")
+        self.include_current = include_current
+        self.key, self.order, self.suffix = key, order, suffix
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        end = 0 if self.include_current else -1
+        run = (
+            Window.partitionBy(self.key)
+            .orderBy(*[F.col(c) for c in self.order])
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        for c in self.cols:
+            first_w = (
+                Window.partitionBy(self.key, c)
+                .orderBy(*[F.col(o) for o in self.order])
+            )
+            flag = F.when(
+                F.col(c).isNotNull() & (F.row_number().over(first_w) == 1),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            df = df.withColumn(
+                f"{c}{self.suffix}",
+                F.coalesce(F.sum(flag).over(run), F.lit(0)).cast("int"),
+            )
+        return df
+
+
+class RollingQuantile(Stage):
+    """Exact nearest-rank quantile over the last ``lookback``
+    strictly-past rows (e.g. median response length of the previous 20
+    turns). Definition: ``sorted(values)[ceil(q * n)]`` (1-based) —
+    integer-exact on integer columns, so oracle comparisons are
+    hash-stable with no float rounding.
+
+    ``sort_array(collect_list(x)) over frame`` keeps the whole thing
+    JVM-side; per-row cost is O(k log k) with k = lookback, memory
+    O(k) — bounded regardless of conversation length. For large k
+    prefer an approximate sketch; for feature lookbacks (k ≤ a few
+    hundred) this is the exact, shuffle-free-beyond-the-window answer.
+    """
+
+    def __init__(self, cols: str | Sequence[str], q: float = 0.5,
+                 lookback: int = 20, include_current: bool = False,
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"rolling_q{q}({','.join(self.cols)})")
+        if not 0.0 < q <= 1.0:
+            raise ValueError("q must be in (0, 1]")
+        self.q = q
+        self.frame = FrameSpec(lookback=lookback, include_current=include_current)
+        self.key, self.order = key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = self.frame.over(self.key, self.order)
+        for c in self.cols:
+            arr = F.sort_array(F.collect_list(F.col(c)).over(w))
+            n = F.size(arr)
+            idx = F.ceil(F.lit(self.q) * n).cast("int")
+            df = df.withColumn(
+                f"{c}_q{int(self.q * 100)}",
+                F.when(n > 0, F.element_at(arr, idx)),
+            )
+        return df
+
+
 def _interval_seconds(text: str) -> int:
     """Parse '30 minutes' / '45s' / '2 hours' into seconds."""
     parts = text.strip().split()

@@ -1,0 +1,135 @@
+"""Round-3 feature-engineering extras: time-decayed aggregates,
+cumulative distinct counts, rolling quantiles. Each is checked against
+an independent pandas reference on the skewed transcripts fixture and
+pinned for leakage (first rows see nothing) and parallelism
+invariance."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from hipipe_spark.operators.temporal import (
+    CumulativeDistinct, DecayAgg, RollingQuantile,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+
+
+def _decay_ref(pdf, lookback, tau_sec):
+    rows = []
+    for _, g in _sorted(pdf).groupby("conv_id", sort=False):
+        tss = g["ts"].astype("int64").to_numpy() / 1e9
+        vals = g["text_len"].astype(float).to_numpy()
+        for i in range(len(g)):
+            s = ws = 0.0
+            for j in range(1, lookback + 1):
+                if i - j < 0:
+                    break
+                w = math.exp(-(tss[i] - tss[i - j]) / tau_sec)
+                ws += w
+                s += w * vals[i - j]
+            rows.append((g["conv_id"].iloc[i], int(g["turn_idx"].iloc[i]), s, ws))
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ref_sum", "ref_wsum"])
+
+
+def test_decay_time_matches_pandas(transcripts, transcripts_pdf):
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn("text_len", F.length("text").cast("int"))
+    out = DecayAgg("text_len", lookback=5, tau="10 minutes")(t).toPandas()
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len()
+    ref = _decay_ref(pdf, lookback=5, tau_sec=600.0)
+    m = out.merge(ref, on=KEYS, validate="1:1")
+    assert len(m) == len(out)
+    assert np.allclose(m["text_len_decay_sum"], m["ref_sum"])
+    assert np.allclose(m["decay_wsum"], m["ref_wsum"])
+    mean = m["text_len_decay_mean"].to_numpy(dtype=float)
+    expect = np.where(m["ref_wsum"] > 0, m["ref_sum"] / m["ref_wsum"], np.nan)
+    assert np.allclose(mean, expect, equal_nan=True)
+
+
+def test_decay_rows_mode_exact(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", i, base + dt.timedelta(seconds=10 * i), float(v))
+            for i, v in enumerate([1, 2, 4, 8])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, x double")
+    out = {r.turn_idx: r for r in
+           DecayAgg("x", lookback=3, mode="rows", alpha=0.5)(df).collect()}
+    # row 3: 0.5*4 + 0.25*2 + 0.125*1 = 2.625 ; wsum = 0.875
+    assert math.isclose(out[3].x_decay_sum, 2.625)
+    assert math.isclose(out[3].decay_wsum, 0.875)
+    assert math.isclose(out[0].decay_wsum, 0.0)
+    assert out[0].x_decay_mean is None  # no past rows -> null mean
+
+
+def test_cumulative_distinct_matches_pandas(transcripts, transcripts_pdf):
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn(
+        "tool_v", F.when(F.col("tool") != "", F.col("tool")))
+    out = CumulativeDistinct("tool_v")(t).toPandas()
+    rows = []
+    pdf = transcripts_pdf.copy()
+    pdf["tool_v"] = pdf["tool"].where(pdf["tool"] != "")
+    for _, g in _sorted(pdf).groupby("conv_id", sort=False):
+        seen = set()
+        for i in range(len(g)):
+            rows.append((g["conv_id"].iloc[i], int(g["turn_idx"].iloc[i]), len(seen)))
+            v = g["tool_v"].iloc[i]
+            if isinstance(v, str):
+                seen.add(v)
+    ref = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ref"])
+    m = out.merge(ref, on=KEYS, validate="1:1")
+    assert len(m) == len(out)
+    assert (m["tool_v_distinct_sofar"] == m["ref"]).all()
+
+
+def test_rolling_quantile_matches_pandas(transcripts, transcripts_pdf):
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn("text_len", F.length("text").cast("int"))
+    out = RollingQuantile("text_len", q=0.5, lookback=7)(t).toPandas()
+    rows = []
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len()
+    for _, g in _sorted(pdf).groupby("conv_id", sort=False):
+        vals = g["text_len"].to_numpy()
+        for i in range(len(g)):
+            window = sorted(vals[max(0, i - 7):i])
+            med = window[math.ceil(0.5 * len(window)) - 1] if window else None
+            rows.append((g["conv_id"].iloc[i], int(g["turn_idx"].iloc[i]), med))
+    ref = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ref"])
+    m = out.merge(ref, on=KEYS, validate="1:1")
+    assert len(m) == len(out)
+    got = m["text_len_q50"].astype("Int64")
+    want = m["ref"].astype("Int64")
+    assert got.equals(want)
+
+
+def test_extras_parallelism_invariance(transcripts):
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn("text_len", F.length("text").cast("int")) \
+                   .withColumn("tool_v", F.when(F.col("tool") != "", F.col("tool")))
+
+    def run(d):
+        d = DecayAgg("text_len", lookback=5, tau="10 minutes")(d)
+        d = CumulativeDistinct("tool_v")(d)
+        d = RollingQuantile("text_len", q=0.5, lookback=7)(d)
+        return (d.select("conv_id", "turn_idx", "text_len_decay_sum",
+                         "tool_v_distinct_sofar", "text_len_q50")
+                 .toPandas().sort_values(KEYS).reset_index(drop=True))
+
+    a, b = run(t.repartition(2)), run(t.repartition(17))
+    assert np.allclose(a["text_len_decay_sum"], b["text_len_decay_sum"])
+    assert a["tool_v_distinct_sofar"].equals(b["tool_v_distinct_sofar"])
+    assert a["text_len_q50"].equals(b["text_len_q50"])
