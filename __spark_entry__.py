@@ -667,6 +667,35 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_embedding_topk_int8(spark, sf_dir):
+    """int8-quantized top-k: both sides on the corpus max-|x| grid,
+    ranked by the exact INTEGER dot product of the codes — every value
+    in the result is an integer, so the oracle compare is bit-exact
+    with no float rounding. The 4x-less-bytes scale path for ANN."""
+    from hipipe_spark.operators.similarity import quantized_topk
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    return quantized_topk(em, q, k=5).select(
+        "query_id", "neighbor_id", "dot_q", "rank")
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between two corpus slices (even vs
+    odd doc_id) over text length, 8 uniform buckets on [0, 2000):
+    per-bucket counts + smoothed PSI terms + repeated total. The
+    monitoring primitive every recurring 100-TB ingest runs first."""
+    from hipipe_spark.operators.drift import psi_table
+    d = _docs(spark, sf_dir).withColumn("text_len", F.length("text"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = psi_table(a, b, "text_len", lo=0.0, hi=2000.0, n_buckets=8)
+    return out.select(
+        "bucket", "n_a", "n_b",
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round("psi", 6).alias("psi"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1264,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_features": q_decay_features,
         "cum_distinct": q_cum_distinct,
         "rolling_quantile": q_rolling_quantile,
+        "psi_drift": q_psi_drift,
+        "embedding_topk_int8": q_embedding_topk_int8,
     }
 
 
@@ -1644,6 +1675,48 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS INTEGER) AS tools_sofar
       FROM f
+    """
+    d["embedding_topk_int8"] = """
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS sc FROM c),
+      cq AS (SELECT vec_id,
+                    list_transform(v, x -> CAST(least(127, greatest(-127,
+                      CAST(round(x * (127.0 / sc)) AS INTEGER))) AS BIGINT)) AS q
+             FROM c, s),
+      qq AS (SELECT vec_id, q FROM cq WHERE vec_id < 5),
+      scored AS (
+        SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
+               CAST(list_dot_product(qq.q, cq.q) AS BIGINT) AS dot_q
+        FROM cq, qq WHERE cq.vec_id <> qq.vec_id)
+      SELECT query_id, neighbor_id, dot_q, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5
+    """
+    d["psi_drift"] = """
+      WITH t AS (
+        SELECT CAST(least(7, greatest(0,
+                 CAST(floor(CAST(length(text) AS DOUBLE) / 250.0) AS BIGINT)))
+               AS INTEGER) AS bucket,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_b
+        FROM documents),
+      c AS (SELECT bucket, CAST(sum(is_a) AS BIGINT) AS n_a,
+                   CAST(sum(is_b) AS BIGINT) AS n_b
+            FROM t GROUP BY bucket),
+      b AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(8)),
+      f AS (SELECT b.bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+            FROM b LEFT JOIN c USING (bucket)),
+      tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM f),
+      p AS (SELECT bucket, n_a, n_b,
+                   (n_a + 0.5) / (ta + 0.5 * 8) AS p_a,
+                   (n_b + 0.5) / (tb + 0.5 * 8) AS p_b
+            FROM f, tot)
+      SELECT bucket, n_a, n_b,
+             round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term,
+             round(sum((p_a - p_b) * ln(p_a / p_b)) OVER (), 6) AS psi
+      FROM p
     """
     d["rolling_quantile"] = f"""
       WITH t AS ({_T}),

@@ -274,6 +274,89 @@ def ivf_topk(
             .filter(F.col("rank") <= k))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: float | None = None,
+    out_col: str = "qvec8",
+) -> tuple[DataFrame, float]:
+    """Symmetric int8 quantization of an embedding column:
+    ``q = clamp(round(x * 127 / scale), -127, 127)`` as ``array<tinyint>``
+    — 4× less memory/shuffle/IO than float32 (8× vs the double arrays
+    JVM expressions otherwise force), the standard first step of any
+    100-TB-scale vector index.
+
+    ``scale=None`` computes the corpus max-|x| in one pass (an
+    order-independent aggregate — deterministic at any parallelism) so
+    the full dynamic range maps onto [-127, 127]. Pass an explicit
+    scale to keep query and corpus on the SAME grid (required for
+    meaningful integer dot products) — :func:`quantized_topk` does this
+    for you. Returns ``(df_with_out_col, scale_used)``. Pure JVM
+    arithmetic; round() is half-away-from-zero on both Spark and
+    DuckDB, so oracles reproduce the codes exactly."""
+    v = F.col(vec_col).cast("array<double>")
+    if scale is None:
+        row = df.agg(
+            F.max(F.aggregate(v, F.lit(0.0),
+                              lambda acc, x: F.greatest(acc, F.abs(x))))
+        ).collect()
+        scale = float(row[0][0] or 1.0) or 1.0
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127), F.greatest(F.lit(-127),
+                                   F.round(x * (127.0 / scale)).cast("int"))
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, q), scale
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float | None = None,
+) -> DataFrame:
+    """Top-k by int8 integer dot product — the quantized scale path.
+
+    Both sides are quantized on one shared grid (corpus max-|x| by
+    default), then ranked by the exact INTEGER dot product of the int8
+    codes: every score is a deterministic BIGINT, so results are
+    hash-stable with no float rounding anywhere. Recall vs full
+    precision is the standard int8 trade (ties broken by neighbor_id).
+
+    Plan shape: corpus-side narrow map (quantize), broadcast of the
+    quantized query side, codegen'd integer fold per pair, one final
+    top-k window — identical to :func:`brute_force_topk` but moving 4×
+    fewer bytes per vector through the scan and (at 100 TB) letting the
+    candidate join run on arrays a SIMD-friendly 8-bit wide.
+
+    Output: (query_id, neighbor_id, dot_q long, rank int).
+    """
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("v"))
+    q0 = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("v"))
+    c, scale = quantize_embeddings(c0, "v", scale, "cq")
+    q, _ = quantize_embeddings(q0, "v", scale, "qq")
+    dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"),
+                   lambda x, y: (x.cast("long") * y.cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (
+        c.select("neighbor_id", "cq")
+        .crossJoin(F.broadcast(q.select("query_id", "qq")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _sketch(vec_col, planes) -> "F.Column":
     sketch = None
     for i, row in enumerate(planes):
