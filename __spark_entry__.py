@@ -667,6 +667,36 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_conv_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment by conversation hash —
+    no conv straddles splits, assignment frozen under corpus growth.
+    Output: per (split, role) row and distinct-conversation counts."""
+    from hipipe_spark.operators.sampling import group_split
+    t = _transcripts(spark, sf_dir)
+    s = group_split(t, "conv_id", seed=5)
+    return (s.groupBy("split", "role")
+             .agg(F.count("*").alias("n_rows"),
+                  F.countDistinct("conv_id").alias("n_convs")))
+
+
+def q_asof_multi(spark, sf_dir):
+    """Feature-store read path: one fact table enriched point-in-time
+    from TWO feature tables in one call (independent as-of merges —
+    staleness in one table never blocks the other). Oracle is two
+    chained DuckDB ASOF LEFT JOINs."""
+    from hipipe_spark.operators.asof import asof_join_multi
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts")
+    ra = ev.filter(F.col("event_id") % 4 == 0).select(
+        "user_id", "ts", F.round("value", 4).alias("val"))
+    rb = ev.filter(F.col("event_id") % 4 == 2).select(
+        "user_id", "ts", F.round("value", 4).alias("val"))
+    out = asof_join_multi(left, {"_a": ra, "_b": rb},
+                          on="ts", by="user_id", strategy="union")
+    return out.select("event_id", "user_id", "ts", "val_a", "val_b")
+
+
 def q_embedding_topk_int8(spark, sf_dir):
     """int8-quantized top-k: both sides on the corpus max-|x| grid,
     ranked by the exact INTEGER dot product of the codes — every value
@@ -1295,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile": q_rolling_quantile,
         "psi_drift": q_psi_drift,
         "embedding_topk_int8": q_embedding_topk_int8,
+        "asof_multi": q_asof_multi,
+        "conv_split": q_conv_split,
     }
 
 
@@ -1675,6 +1707,31 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS INTEGER) AS tools_sofar
       FROM f
+    """
+    from hipipe_spark.functions.hashing import det_hash_str_i64_sql as _dhs
+    d["conv_split"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT role, conv_id,
+                   CASE WHEN CAST({_dhs('conv_id', 5)} AS DOUBLE)
+                             / 2147483648.0 < 0.9 THEN 'train'
+                        WHEN CAST({_dhs('conv_id', 5)} AS DOUBLE)
+                             / 2147483648.0 < 0.9500000000000001 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t)
+      SELECT split, role, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM s GROUP BY split, role
+    """
+    d["asof_multi"] = """
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+      ra AS (SELECT user_id, ts, round(value, 4) AS val FROM events
+             WHERE event_id % 4 = 0),
+      rb AS (SELECT user_id, ts, round(value, 4) AS val FROM events
+             WHERE event_id % 4 = 2)
+      SELECT l.event_id, l.user_id, l.ts, ra.val AS val_a, rb.val AS val_b
+      FROM l
+      ASOF LEFT JOIN ra ON l.user_id = ra.user_id AND l.ts >= ra.ts
+      ASOF LEFT JOIN rb ON l.user_id = rb.user_id AND l.ts >= rb.ts
     """
     d["embedding_topk_int8"] = """
       WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -187,6 +187,44 @@ def asof_join(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def asof_join_multi(
+    left: DataFrame,
+    rights: Sequence[tuple[DataFrame, str]] | dict[str, DataFrame],
+    on: str = "ts",
+    by: str | Sequence[str] = "conv_id",
+    strategy: str = "union",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment from SEVERAL feature tables at once —
+    the feature-store read path: one fact table, N feature tables, each
+    merged as-of independently (a feature's staleness in one table
+    never blocks a fresher value from another).
+
+    ``rights`` is ``{suffix: df}`` (or ``[(df, suffix), ...]`` to pin
+    order); each table's value columns land as ``<col><suffix>``.
+
+    Composition note: with ``strategy="union"`` each table adds one
+    union+window pass over the fact side keyed on the SAME ``by`` —
+    Catalyst keeps the fact partitioning across passes (exchange reuse
+    at equal keys), so N tables cost N window sorts but not N full
+    re-partitions. With ``strategy="broadcast"`` and dimension-sized
+    feature tables the fact side is never reshuffled at all: N packed
+    broadcasts, one narrow map each — the shape to pick when the
+    feature tables are per-conversation profiles and the fact side is
+    the 10^12-row transcript."""
+    items = list(rights.items()) if isinstance(rights, dict) else \
+        [(sfx, df) for df, sfx in rights]
+    out = left
+    for sfx, right in items:
+        out = asof_join(out, right, on=on, by=by, strategy=strategy,
+                        direction=direction,
+                        allow_exact_matches=allow_exact_matches,
+                        tolerance_sec=tolerance_sec, suffix=sfx)
+    return out
+
+
 def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
     if direction == "nearest":
         return _asof_union_nearest(left, right, on, by, exact, tol,

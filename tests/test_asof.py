@@ -118,3 +118,24 @@ def test_nearest_tolerance(spark, transcripts, profiles, strategy):
     out = asof_join(left, right, strategy=strategy, direction="nearest",
                     tolerance_sec=600)
     _compare(out, _oracle(lpdf, rpdf, direction="nearest", tol=600))
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+def test_multi_table_asof(spark, transcripts, profiles, strategy):
+    """Feature-store read path: two feature tables merged point-in-time
+    in one call == two independent pandas merge_asofs."""
+    from hipipe_spark.operators.asof import asof_join_multi
+
+    left, right, lpdf, rpdf = _mk(spark, transcripts, profiles)
+    ra = right.select("conv_id", "ts", "model")
+    rb = right.select("conv_id", "ts", "temperature")
+    out = asof_join_multi(left, {"_m": ra, "_t": rb}, strategy=strategy)
+
+    oa = _oracle(lpdf, rpdf[["conv_id", "ts", "model"]])
+    ob = _oracle(lpdf, rpdf[["conv_id", "ts", "temperature"]])
+    merged = oa.merge(
+        ob[["conv_id", "turn_idx", "ts", "temperature"]],
+        on=["conv_id", "turn_idx", "ts"], validate="1:1")
+    _compare(out.withColumnsRenamed({"model_m": "model",
+                                     "temperature_t": "temperature"}),
+             merged)

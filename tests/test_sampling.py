@@ -66,3 +66,46 @@ def test_prepass_equivalent_under_closure(spark):
         comp = {r["doc_id"]: r["component"]
                 for r in dedup_clusters(docs, pairs).collect()}
         assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}, prepass
+
+
+def test_group_split_purity_and_determinism(transcripts):
+    """Every conversation lands in exactly one split; fractions roughly
+    match; assignment is identical at any parallelism and frozen under
+    corpus growth (hash-stable)."""
+    import pyspark.sql.functions as F
+
+    from hipipe_spark.operators.sampling import group_split
+
+    out = group_split(transcripts, "conv_id", seed=5)
+    per_conv = (out.groupBy("conv_id")
+                   .agg(F.countDistinct("split").alias("n"))
+                   .toPandas())
+    assert (per_conv["n"] == 1).all()  # no conv straddles splits
+
+    convs = out.select("conv_id", "split").distinct().toPandas()
+    frac_train = (convs["split"] == "train").mean()
+    assert 0.75 < frac_train < 1.0  # 60 convs, 0.9 target
+
+    a = group_split(transcripts.repartition(3), "conv_id", seed=5) \
+        .select("conv_id", "split").distinct().toPandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    b = convs.sort_values("conv_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # growing the corpus must not reassign existing groups
+    half = transcripts.filter(F.col("turn_idx") % 2 == 0)
+    c = group_split(half, "conv_id", seed=5) \
+        .select("conv_id", "split").distinct().toPandas()
+    merged = c.merge(convs, on="conv_id", suffixes=("_half", "_full"))
+    assert (merged["split_half"] == merged["split_full"]).all()
+
+
+def test_group_split_weights_normalized(spark):
+    from hipipe_spark.operators.sampling import group_split
+
+    df = spark.range(1000).withColumnRenamed("id", "g")
+    out = group_split(df, "g", splits=(("a", 2.0), ("b", 2.0)), seed=1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"a", "b"}
+    assert abs(counts["a"] - 500) < 100
