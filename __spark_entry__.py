@@ -667,6 +667,35 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_target_encode(spark, sf_dir):
+    """Ordered (strictly-past, conversation-local) smoothed target
+    encoding of role against text length — zero target leakage: each
+    row's encoding uses only labels the model would have seen."""
+    from hipipe_spark.operators.encoders import TargetEncode
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    out = TargetEncode("role", "text_len", prior=25.0, prior_weight=10.0)(t)
+    return out.select(
+        "conv_id", "turn_idx", F.round("role_te", 4).alias("role_te"))
+
+
+def q_standardize(spark, sf_dir):
+    """Fit/apply z-score discipline: moments fitted on the hash-split
+    train conversations ONLY, broadcast-applied to every row — eval
+    data never shapes the scaling."""
+    from hipipe_spark.operators.encoders import (
+        apply_standardizer, fit_standardizer)
+    from hipipe_spark.operators.sampling import group_split
+    t = group_split(
+        _transcripts(spark, sf_dir).withColumn(
+            "text_len", F.length("text").cast("int")),
+        "conv_id", seed=5)
+    stats = fit_standardizer(t.filter(F.col("split") == "train"), ["text_len"])
+    out = apply_standardizer(t, stats, ["text_len"])
+    return out.select(
+        "conv_id", "turn_idx", F.round("text_len_z", 4).alias("text_len_z"))
+
+
 def q_conv_split(spark, sf_dir):
     """Leakage-safe train/val/test assignment by conversation hash —
     no conv straddles splits, assignment frozen under corpus growth.
@@ -1327,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_int8": q_embedding_topk_int8,
         "asof_multi": q_asof_multi,
         "conv_split": q_conv_split,
+        "target_encode": q_target_encode,
+        "standardize": q_standardize,
     }
 
 
@@ -1709,6 +1740,27 @@ def oracle_sql() -> dict[str, str]:
       FROM f
     """
     from hipipe_spark.functions.hashing import det_hash_str_i64_sql as _dhs
+    d["target_encode"] = f"""
+      WITH t AS ({_T})
+      SELECT conv_id, turn_idx,
+             round((COALESCE(sum(CAST(length(text) AS DOUBLE)) OVER w, 0)
+                    + 10.0 * 25.0)
+                   / (CAST(COALESCE(count(*) OVER w, 0) AS DOUBLE) + 10.0),
+                   4) AS role_te
+      FROM t WINDOW w AS (PARTITION BY conv_id, role ORDER BY ts, turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+    d["standardize"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(length(text) AS DOUBLE) AS x,
+                   CAST({_dhs('conv_id', 5)} AS DOUBLE) / 2147483648.0 AS u
+            FROM t),
+      st AS (SELECT avg(x) AS m, stddev_samp(x) AS sd FROM s WHERE u < 0.9)
+      SELECT conv_id, turn_idx,
+             round(CASE WHEN sd > 0 THEN (x - m) / sd END, 4) AS text_len_z
+      FROM s, st
+    """
     d["conv_split"] = f"""
       WITH t AS ({_T}),
       s AS (SELECT role, conv_id,

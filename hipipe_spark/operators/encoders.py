@@ -1,0 +1,108 @@
+"""Leakage-aware feature encoders: ordered target encoding and
+fit/apply standardization.
+
+Both operators exist because the naive versions LEAK: a target encoding
+computed over the full table lets every row see its own (and future)
+labels, and a z-score fitted on the full corpus lets the training set
+see the test distribution. The engine versions bake the temporal /
+split discipline in:
+
+- :class:`TargetEncode` — strictly-past, conversation-local encoding
+  (the CatBoost "ordered" construction restricted to the conversation,
+  which also keeps window partitions bounded: a global time-ordered
+  encoding would put each category in ONE window partition — a
+  single-task scan at 100 TB).
+- :func:`fit_standardizer` / :func:`apply_standardizer` — moments from
+  the FIT frame only (pass the train split), broadcast-applied to any
+  frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.plans.pipeline import Stage
+
+DEFAULT_KEY = "conv_id"
+DEFAULT_ORDER = ("ts", "turn_idx")
+
+
+class TargetEncode(Stage):
+    """Smoothed ordered target encoding of categorical ``cols`` against
+    ``label``, conversation-local and strictly past:
+
+        te = (sum_past(label | same category, same conv) + w * prior)
+             / (count_past + w)
+
+    where "past" is earlier (ts, turn_idx) within (conv, category).
+    Every feature value is a function of rows the model would have seen
+    at inference time — zero target leakage by construction, and the
+    window partitions by (conv, category), staying bounded by
+    conversation length at any corpus size (a GLOBAL ordered encoding
+    partitions by category alone: one task per category — documented
+    anti-pattern, use per-conv + a train-split prior instead).
+
+    ``prior`` defaults to the global label mean of ``df`` — pass the
+    train-split mean explicitly in fit/apply settings.
+    """
+
+    def __init__(self, cols: str | Sequence[str], label: str,
+                 prior: float | None = None, prior_weight: float = 10.0,
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"target_encode({','.join(self.cols)})")
+        self.label, self.prior, self.w = label, prior, float(prior_weight)
+        self.key, self.order = key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        prior = self.prior
+        if prior is None:
+            row = df.agg(F.avg(self.label)).collect()
+            prior = float(row[0][0] or 0.0)
+        y = F.col(self.label).cast("double")
+        for c in self.cols:
+            w = (
+                Window.partitionBy(self.key, c)
+                .orderBy(*[F.col(o) for o in self.order])
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            s = F.coalesce(F.sum(y).over(w), F.lit(0.0))
+            n = F.coalesce(F.count(y).over(w), F.lit(0)).cast("double")
+            df = df.withColumn(
+                f"{c}_te",
+                (s + F.lit(self.w) * F.lit(prior)) / (n + F.lit(self.w)),
+            )
+        return df
+
+
+def fit_standardizer(fit_df: DataFrame, cols: Sequence[str],
+                     by: str | None = None) -> DataFrame:
+    """Per-column (optionally per-group) mean and sample stddev from the
+    FIT frame — pass the train split so evaluation data never shapes
+    the scaling. Returns a dimension-sized stats frame (one row, or one
+    per ``by`` group) meant for broadcast in :func:`apply_standardizer`."""
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(F.col(c).cast("double")).alias(f"{c}__mean"),
+                 F.stddev_samp(F.col(c).cast("double")).alias(f"{c}__std")]
+    return fit_df.groupBy(by).agg(*aggs) if by else fit_df.agg(*aggs)
+
+
+def apply_standardizer(df: DataFrame, stats: DataFrame, cols: Sequence[str],
+                       by: str | None = None, suffix: str = "_z") -> DataFrame:
+    """z = (x - mean) / std with the broadcast fit stats; null when the
+    fit std is zero/null (constant column in the fit frame). A narrow
+    map over the scan — no shuffle of ``df`` at any scale."""
+    joined = (df.join(F.broadcast(stats), on=by) if by
+              else df.crossJoin(F.broadcast(stats)))
+    for c in cols:
+        m, s = F.col(f"{c}__mean"), F.col(f"{c}__std")
+        joined = joined.withColumn(
+            f"{c}{suffix}",
+            F.when(s > 0.0, (F.col(c).cast("double") - m) / s),
+        )
+    drop = [f"{c}__{stat}" for c in cols for stat in ("mean", "std")]
+    return joined.drop(*drop)

@@ -1,0 +1,73 @@
+"""Ordered target encoding + fit/apply standardizer vs pandas refs,
+with explicit leakage pins."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.encoders import (
+    TargetEncode, apply_standardizer, fit_standardizer,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _with_len(transcripts):
+    return transcripts.withColumn("text_len", F.length("text").cast("int"))
+
+
+def test_target_encode_matches_pandas(transcripts, transcripts_pdf):
+    out = TargetEncode("role", "text_len", prior=25.0, prior_weight=10.0)(
+        _with_len(transcripts)).toPandas()
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len()
+    pdf = pdf.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    rows = []
+    for (_, _), g in pdf.groupby(["conv_id", "role"], sort=False):
+        s = n = 0.0
+        for i in range(len(g)):
+            te = (s + 10.0 * 25.0) / (n + 10.0)
+            rows.append((g["conv_id"].iloc[i], int(g["turn_idx"].iloc[i]), te))
+            s += float(g["text_len"].iloc[i])
+            n += 1.0
+    ref = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ref"])
+    m = out.merge(ref, on=KEYS, validate="1:1")
+    assert len(m) == len(out)
+    assert np.allclose(m["role_te"], m["ref"])
+
+
+def test_target_encode_first_occurrence_is_prior(transcripts):
+    out = TargetEncode("role", "text_len", prior=25.0)(
+        _with_len(transcripts))
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy("conv_id", "role").orderBy("ts", "turn_idx"))
+    firsts = out.withColumn("rn", w).filter(F.col("rn") == 1)
+    vals = [r["role_te"] for r in firsts.select("role_te").collect()]
+    assert all(abs(v - 25.0) < 1e-12 for v in vals)  # no past -> pure prior
+
+
+def test_standardizer_fit_on_train_only(transcripts, transcripts_pdf):
+    from hipipe_spark.operators.sampling import group_split
+
+    t = group_split(_with_len(transcripts), "conv_id", seed=5)
+    train = t.filter(F.col("split") == "train")
+    stats = fit_standardizer(train, ["text_len"])
+    out = apply_standardizer(t, stats, ["text_len"]).toPandas()
+
+    tp = out[["conv_id", "split"]].drop_duplicates()
+    pdf = out.copy()
+    tr = pdf[pdf["split"] == "train"]
+    m, s = tr["text_len"].mean(), tr["text_len"].std(ddof=1)
+    assert np.allclose(pdf["text_len_z"], (pdf["text_len"] - m) / s)
+    assert set(tp["split"]) >= {"train"}  # split column survived
+
+
+def test_standardizer_grouped_and_constant(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)], "g string, x double")
+    stats = fit_standardizer(df, ["x"], by="g")
+    out = {(r["g"], r["x"]): r["x_z"]
+           for r in apply_standardizer(df, stats, ["x"], by="g").collect()}
+    assert abs(out[("a", 1.0)] + 0.7071067811865475) < 1e-12
+    assert out[("b", 5.0)] is None  # zero-variance group -> null, not inf
