@@ -314,16 +314,20 @@ class DecayAgg(Stage):
     def __init__(self, cols: str | Sequence[str], lookback: int = 10,
                  tau: str = "1 hour", alpha: float = 0.9,
                  mode: str = "time", ts_col: str = "ts",
-                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER):
+                 key: str = DEFAULT_KEY, order: Sequence[str] = DEFAULT_ORDER,
+                 bucket_size: int | None = None, idx_col: str = "turn_idx"):
         self.cols = [cols] if isinstance(cols, str) else list(cols)
         super().__init__(f"decay({','.join(self.cols)})")
         if mode not in ("time", "rows"):
             raise ValueError("mode must be 'time' or 'rows'")
         if lookback < 1 or lookback > 64:
             raise ValueError("lookback must be in [1, 64] (one lag column each)")
+        if bucket_size is not None and lookback > bucket_size:
+            raise ValueError("lookback must be <= bucket_size")
         self.lookback, self.mode = lookback, mode
         self.tau_sec, self.alpha = float(_interval_seconds(tau)), float(alpha)
         self.ts_col, self.key, self.order = ts_col, key, order
+        self.bucket_size, self.idx_col = bucket_size, idx_col
 
     def _weight(self, j: int, w: WindowSpec) -> Column:
         """Weight of the row j turns back; NULL when that row does not
@@ -336,7 +340,28 @@ class DecayAgg(Stage):
         return F.exp(-(now - ts_seconds(then)) / F.lit(self.tau_sec))
 
     def apply(self, df: DataFrame) -> DataFrame:
-        w = ordered_window(self.key, self.order)
+        if self.bucket_size is not None:
+            # Skew-proof path for monster conversations (same recipe as
+            # BucketedRollingAgg): bucket by turn_idx // B, replicate
+            # each bucket's last `lookback` rows into the next bucket
+            # as context, run the lags within (key, bucket) — partition
+            # size bounded by B + lookback regardless of conversation
+            # length. Requires idx_col dense per key (input_hint).
+            B, k = self.bucket_size, self.lookback
+            idx = F.col(self.idx_col)
+            own = df.withColumn("__bkt", F.floor(idx / B).cast("long")) \
+                    .withColumn("__ctx", F.lit(False))
+            ctx = (df.filter(F.pmod(idx, F.lit(B)) >= B - k)
+                     .withColumn("__bkt", F.floor(idx / B).cast("long") + 1)
+                     .withColumn("__ctx", F.lit(True)))
+            u = own.unionByName(ctx)
+            w = (Window.partitionBy(self.key, "__bkt")
+                 .orderBy(*[F.col(c) for c in self.order]))
+            out = self._attach(u, w)
+            return out.filter(~F.col("__ctx")).drop("__bkt", "__ctx")
+        return self._attach(df, ordered_window(self.key, self.order))
+
+    def _attach(self, df: DataFrame, w: WindowSpec) -> DataFrame:
         weights = [self._weight(j, w) for j in range(1, self.lookback + 1)]
         # left-associated explicit sums pin evaluation order for oracles
         wsum = F.coalesce(weights[0], F.lit(0.0))

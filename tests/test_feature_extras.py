@@ -133,3 +133,22 @@ def test_extras_parallelism_invariance(transcripts):
     assert np.allclose(a["text_len_decay_sum"], b["text_len_decay_sum"])
     assert a["tool_v_distinct_sofar"].equals(b["tool_v_distinct_sofar"])
     assert a["text_len_q50"].equals(b["text_len_q50"])
+
+
+def test_decay_bucketed_equals_plain(transcripts):
+    """Skew-proof bucketed decay == plain decay on the hot fixture
+    (same recipe as BucketedRollingAgg, applied to the lag formula)."""
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn("text_len", F.length("text").cast("int"))
+    plain = DecayAgg("text_len", lookback=5, tau="10 minutes")(t) \
+        .select("conv_id", "turn_idx", "decay_wsum", "text_len_decay_sum") \
+        .toPandas().sort_values(KEYS).reset_index(drop=True)
+    bucketed = DecayAgg("text_len", lookback=5, tau="10 minutes",
+                        bucket_size=16)(t) \
+        .select("conv_id", "turn_idx", "decay_wsum", "text_len_decay_sum") \
+        .toPandas().sort_values(KEYS).reset_index(drop=True)
+    assert len(plain) == len(bucketed)
+    assert np.allclose(plain["decay_wsum"], bucketed["decay_wsum"])
+    assert np.allclose(plain["text_len_decay_sum"],
+                       bucketed["text_len_decay_sum"])
