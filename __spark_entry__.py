@@ -667,6 +667,31 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability of each doc under the corpus's own
+    token distribution (Laplace-smoothed) — the in-container stand-in
+    for CCNet's KenLM perplexity quality filter."""
+    from hipipe_spark.operators.retrieval import unigram_logprob
+    d = _docs(spark, sf_dir)
+    out = unigram_logprob(d, "doc_id", "text", alpha=0.5)
+    return out.select("id", "n_tokens",
+                      F.round("logprob", 5).alias("logprob"))
+
+
+def q_embedding_pool(spark, sf_dir):
+    """Element-wise mean pooling of turn embeddings into group vectors
+    via posexplode + per-dimension aggregate — no per-group array
+    state, no single-task stage at any group size."""
+    from hipipe_spark.operators.similarity import mean_pool
+    em = _embs(spark, sf_dir).withColumn(
+        "g", F.pmod(F.col("vec_id"), F.lit(50)))
+    out = mean_pool(em, "g")
+    return out.select(
+        "g",
+        F.transform("pooled", lambda x: F.round(x, 6)).alias("pooled"),
+        "n_vecs")
+
+
 def q_target_encode(spark, sf_dir):
     """Ordered (strictly-past, conversation-local) smoothed target
     encoding of role against text length — zero target leakage: each
@@ -1358,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_split": q_conv_split,
         "target_encode": q_target_encode,
         "standardize": q_standardize,
+        "unigram_logprob": q_unigram_logprob,
+        "embedding_pool": q_embedding_pool,
     }
 
 
@@ -1773,6 +1800,32 @@ def oracle_sql() -> dict[str, str]:
       SELECT split, role, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
       FROM s GROUP BY split, role
+    """
+    d["unigram_logprob"] = f"""
+      WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks
+                 FROM documents),
+      tok AS (SELECT id, unnest(toks) AS tok FROM d),
+      c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+      st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                    CAST(count(*) AS DOUBLE) AS vocab FROM c),
+      lp AS (SELECT tok, ln((cnt + 0.5) / (total + 0.5 * vocab)) AS lnp
+             FROM c, st),
+      agg AS (SELECT t.id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     sum(l.lnp) / count(*) AS logprob
+              FROM tok t JOIN lp l USING (tok) GROUP BY t.id)
+      SELECT d.id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+             round(agg.logprob, 5) AS logprob
+      FROM d LEFT JOIN agg USING (id)
+    """
+    d["embedding_pool"] = """
+      WITH e AS (SELECT vec_id % 50 AS g, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      x AS (SELECT g, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+      m AS (SELECT g, pos, avg(x) AS m, count(*) AS n FROM x GROUP BY g, pos)
+      SELECT CAST(g AS BIGINT) AS g,
+             list(round(m, 6) ORDER BY pos) AS pooled,
+             CAST(max(n) AS BIGINT) AS n_vecs
+      FROM m GROUP BY g
     """
     d["asof_multi"] = """
       WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),

@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "latest_per_key", "tpch_q3",
     # round-3 training-data composites
     "training_pipeline", "bm25", "boilerplate_lines", "det_shuffle",
+    # round-3 feature-eng extensions (late): 8-lag decay fold over one
+    # window sort; int8-quantized ANN (integer dots, broadcast queries)
+    "decay_features", "embedding_topk_int8",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))

@@ -116,3 +116,45 @@ def tfidf_scores(docs: DataFrame, query_terms: list[str],
         score = score + tf_cols[t].cast("double") * F.lit(idf)
     return (docs.select(F.col(id_col), score.alias("score"))
             .filter(F.col("score") > 0))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", alpha: float = 0.5) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the in-container stand-in for the KenLM
+    perplexity filter of CCNet-style pipelines (docs whose tokens are
+    improbable under the corpus LM are boilerplate/noise candidates).
+
+        p(t) = (count(t) + alpha) / (total_tokens + alpha * vocab)
+        score(doc) = mean over doc tokens of ln p(t)
+
+    Output: (id, n_tokens, logprob) with logprob null for empty docs.
+
+    Scale shape: ONE tokenization, exploded once; token counts are a
+    partial-aggregated groupBy on the token key; the count join back to
+    the exploded tokens is a plain equi-join on the same key (AQE
+    handles stopword skew; at web scale the count side is ≪ corpus and
+    usually broadcastable after a min-count filter); final per-doc mean
+    is one more keyed aggregate. Nothing single-task, no Python.
+    """
+    toks = (docs.select(F.col(id_col).alias("id"),
+                        tokens(F.lower(F.col(text_col))).alias("toks"))
+                .select("id", F.explode_outer("toks").alias("tok")))
+    counts = (toks.filter(F.col("tok").isNotNull())
+                  .groupBy("tok").agg(F.count("*").alias("cnt")))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")).collect()[0]
+    total, vocab = int(stats["total"] or 0), int(stats["vocab"] or 0)
+    denom = float(total) + float(alpha) * float(vocab)
+    if denom <= 0:  # empty corpus: every doc is empty, logprob null
+        return docs.select(F.col(id_col).alias("id"),
+                           F.lit(0).alias("n_tokens"),
+                           F.lit(None).cast("double").alias("logprob"))
+    lnp = F.log((F.col("cnt").cast("double") + F.lit(float(alpha)))
+                / F.lit(denom))
+    scored = toks.join(counts.withColumn("lnp", lnp).drop("cnt"),
+                       on="tok", how="left")
+    return (scored.groupBy("id")
+            .agg(F.count("tok").alias("n_tokens"),
+                 F.when(F.count("tok") > 0,
+                        F.sum("lnp") / F.count("tok")).alias("logprob")))

@@ -426,3 +426,28 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mean_pool(df: DataFrame, group_col: str, vec_col: str = "embedding",
+              out_col: str = "pooled") -> DataFrame:
+    """Element-wise mean of embeddings per group — turn-level vectors
+    pooled into a conversation/document vector (the standard cheap
+    aggregate representation).
+
+    Scale shape: posexplode → groupBy (group, pos) avg → re-assemble by
+    sorted position. Each dimension aggregates independently with full
+    map-side partial aggregation — no per-group array state, no
+    single-task stage, works for any group size. (A fold over
+    collect_list would hold every member vector per group in one task —
+    the monster-conversation trap.)"""
+    exploded = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+    return (exploded.groupBy("g", "pos").agg(F.avg("x").alias("m"),
+                                             F.count("*").alias("n"))
+            .groupBy("g")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"),
+                 (F.max("n")).alias("n_vecs"))
+            .select(F.col("g").alias(group_col),
+                    F.col("ms.m").alias(out_col),
+                    F.col("n_vecs")))

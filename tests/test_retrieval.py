@@ -54,3 +54,52 @@ def test_tfidf_raw_tf_linear(spark):
 def test_bm25_empty_terms_raises(spark):
     with pytest.raises(ValueError):
         bm25_scores(_corpus(spark), [])
+
+
+def test_unigram_logprob_hand_values(spark):
+    """4-doc corpus, hand-computed Laplace unigram log-probs."""
+    from hipipe_spark.operators.retrieval import unigram_logprob
+
+    docs = _corpus(spark)
+    out = {r["id"]: r for r in unigram_logprob(docs, alpha=0.5).collect()}
+    # corpus tokens: spark join hash join | sort merge join | broadcast
+    # exchange only -> counts: join=3, others 1 each; total=10, vocab=8
+    denom = 10 + 0.5 * 8
+
+    def p(cnt):
+        return (cnt + 0.5) / denom
+
+    exp0 = (math.log(p(1)) + 2 * math.log(p(3)) + math.log(p(1))) / 4.0
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["logprob"] == pytest.approx(exp0, rel=1e-12)
+    exp2 = 3 * math.log(p(1)) / 3.0
+    assert out[2]["logprob"] == pytest.approx(exp2, rel=1e-12)
+    assert out[3]["n_tokens"] == 0 and out[3]["logprob"] is None
+
+    # improbable-token doc scores lower than stopword-ish doc
+    assert out[2]["logprob"] < out[0]["logprob"]
+
+
+def test_unigram_logprob_empty_corpus(spark):
+    from hipipe_spark.operators.retrieval import unigram_logprob
+
+    docs = spark.createDataFrame([(0, ""), (1, "  ")], "doc_id int, text string")
+    out = {r["id"]: r for r in unigram_logprob(docs).collect()}
+    assert len(out) == 2
+    assert all(v["logprob"] is None for v in out.values())
+
+
+def test_mean_pool_matches_numpy(spark):
+    import numpy as np
+
+    from hipipe_spark.operators.similarity import mean_pool
+
+    em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .withColumn("g", F.pmod(F.col("vec_id"), F.lit(7)))
+    out = mean_pool(em, "g").toPandas().set_index("g")
+    pdf = em.select("g", F.col("embedding").cast("array<double>").alias("v")) \
+        .toPandas()
+    for g, grp in pdf.groupby("g"):
+        V = np.stack(grp["v"].to_numpy())
+        assert np.allclose(np.stack(out.loc[g, "pooled"]), V.mean(axis=0))
+        assert out.loc[g, "n_vecs"] == len(grp)
