@@ -667,6 +667,16 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_hash_features(spark, sf_dir):
+    """Feature-hashing-trick count vectors (dim=16): scan-local, zero
+    shuffle, integer-exact via the det-hash family (subset of docs —
+    the per-token string hash is O(len) on the DuckDB side)."""
+    from hipipe_spark.functions.text import hashed_count_vector
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id", hashed_count_vector(F.col("text"), dim=16).alias("fv"))
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Mean unigram log-probability of each doc under the corpus's own
     token distribution (Laplace-smoothed) — the in-container stand-in
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "unigram_logprob": q_unigram_logprob,
         "embedding_pool": q_embedding_pool,
+        "hash_features": q_hash_features,
     }
 
 
@@ -1800,6 +1811,19 @@ def oracle_sql() -> dict[str, str]:
       SELECT split, role, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
       FROM s GROUP BY split, role
+    """
+    from hipipe_spark.functions.hashing import det_hash_str_i64_sql as _dhs2
+    d["hash_features"] = f"""
+      WITH d AS (SELECT doc_id, {_det_tokens_sql('text')} AS toks
+                 FROM documents WHERE doc_id % 10 = 0),
+      b AS (SELECT doc_id,
+                   list_transform(toks,
+                     t -> CAST(({_dhs2('t', 0)}) % 16 AS INTEGER)) AS bk
+            FROM d)
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               bb -> CAST(len(list_filter(bk, x -> x = bb)) AS INTEGER)) AS fv
+      FROM b
     """
     d["unigram_logprob"] = f"""
       WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks

@@ -263,3 +263,41 @@ def c4_flags(col: Column) -> dict[str, Column]:
         "has_lorem": low.contains("lorem ipsum"),
         "has_javascript": low.contains("javascript"),
     }
+
+
+def hashed_count_vector(col: Column, dim: int = 32, seed: int = 0,
+                        toks: Column | None = None) -> Column:
+    """Feature-hashing-trick count vector (Weinberger et al. 2009 /
+    Vowpal Wabbit): every token hashes into one of ``dim`` buckets; the
+    feature vector is the per-bucket token count, as ``array<int>``.
+
+    Entirely scan-local — one shared tokenization, two nested HOF
+    transforms, ZERO shuffle at any corpus size — and integer-exact:
+    the det-hash family reproduces every bucket assignment bit-for-bit
+    in DuckDB, so oracle compares need no float tolerance. Per-row cost
+    is O(dim * n_tokens); intended for the bounded dims (16-256) linear
+    probes and quality classifiers use, not for 2^20-bucket VW spaces
+    (those want the explode + groupBy inverted layout instead)."""
+    from hipipe_spark.functions.hashing import det_hash_str_i64
+
+    if toks is None:
+        toks = tokens(F.lower(col))
+    buckets = F.transform(
+        toks, _bucket_of(dim, seed, det_hash_str_i64))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(buckets, _eq_of(b))).cast("int"))
+
+
+def _bucket_of(dim: int, seed: int, hash_fn):
+    """Closure factory — NOT a default-arg lambda capture, which would
+    give the HOF lambda arity 2 and bind the element INDEX."""
+    def f(t):
+        return F.pmod(hash_fn(t, seed), F.lit(dim)).cast("int")
+    return f
+
+
+def _eq_of(b):
+    def f(x):
+        return x == b
+    return f

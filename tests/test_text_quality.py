@@ -68,3 +68,32 @@ def test_c4_heuristics(spark):
     assert got[2]["l"] and got[2]["tf"] == 1.0
     assert got[3]["j"]
     assert got[4]["tf"] == 0.0 and got[4]["wpl"] == 0.0
+
+
+def test_hashed_count_vector_matches_python(spark):
+    """Feature-hashing vector vs a pure-python recount on real docs."""
+    import pyspark.sql.functions as F
+
+    from hipipe_spark.functions.hashing import _A, _C, _M
+    from hipipe_spark.functions.text import hashed_count_vector
+
+    def py_hash(s, seed=0):
+        acc = seed % _M
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % _M
+        x = acc % _M
+        x = (x * _A + _C) % _M
+        x = (x * _A + _C) % _M
+        return x
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    out = docs.withColumn("fv", hashed_count_vector(F.col("text"), dim=16)) \
+        .collect()
+    assert len(out) == 50
+    for r in out:
+        toks = r["text"].strip().lower().split() if r["text"].strip() else []
+        want = [0] * 16
+        for t in toks:
+            want[py_hash(t) % 16] += 1
+        assert list(r["fv"]) == want, r["doc_id"]
