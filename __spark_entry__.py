@@ -667,6 +667,17 @@ def q_rolling_quantile(spark, sf_dir):
         "conv_id", "turn_idx", F.col("text_len_q50").alias("med_len_7"))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining: PMI of adjacent token pairs with count >= 5
+    (the surviving set is integer-determined — no float-boundary
+    top-k), one shared tokenization + keyed counts + two equi-joins."""
+    from hipipe_spark.operators.retrieval import bigram_pmi
+    d = _docs(spark, sf_dir)
+    out = bigram_pmi(d, min_count=5)
+    return out.select("tok_a", "tok_b", "n_ab",
+                      F.round("pmi", 5).alias("pmi"))
+
+
 def q_hash_features(spark, sf_dir):
     """Feature-hashing-trick count vectors (dim=16): scan-local, zero
     shuffle, integer-exact via the det-hash family (subset of docs —
@@ -1396,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "embedding_pool": q_embedding_pool,
         "hash_features": q_hash_features,
+        "bigram_pmi": q_bigram_pmi,
     }
 
 
@@ -1813,6 +1825,29 @@ def oracle_sql() -> dict[str, str]:
       FROM s GROUP BY split, role
     """
     from hipipe_spark.functions.hashing import det_hash_str_i64_sql as _dhs2
+    d["bigram_pmi"] = f"""
+      WITH t AS (SELECT {_det_tokens_sql('text')} AS toks FROM documents),
+      t2 AS (SELECT toks FROM t WHERE len(toks) >= 1),
+      uc AS (SELECT tok, count(*) AS n_tok
+             FROM (SELECT unnest(toks) AS tok FROM t2) GROUP BY tok),
+      pairs AS (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM t2 WHERE len(toks) >= 2),
+      bc AS (SELECT split_part(bg, ' ', 1) AS tok_a,
+                    split_part(bg, ' ', 2) AS tok_b,
+                    count(*) AS n_ab
+             FROM pairs GROUP BY 1, 2),
+      tot AS (SELECT (SELECT CAST(sum(n_tok) AS DOUBLE) FROM uc) AS tu,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS tb)
+      SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+             round(ln((CAST(n_ab AS DOUBLE) / tb)
+                      / ((CAST(a.n_tok AS DOUBLE) / tu)
+                         * (CAST(b.n_tok AS DOUBLE) / tu))), 5) AS pmi
+      FROM bc JOIN uc a ON bc.tok_a = a.tok
+              JOIN uc b ON bc.tok_b = b.tok
+              CROSS JOIN tot
+      WHERE n_ab >= 5
+    """
     d["hash_features"] = f"""
       WITH d AS (SELECT doc_id, {_det_tokens_sql('text')} AS toks
                  FROM documents WHERE doc_id % 10 = 0),

@@ -158,3 +158,50 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count("tok").alias("n_tokens"),
                  F.when(F.count("tok") > 0,
                         F.sum("lnp") / F.count("tok")).alias("logprob")))
+
+
+def bigram_pmi(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic collocation/phrase-mining statistic (word2phrase, Mikolov
+    et al. 2013): PMI(a,b) = ln( p(ab) / (p(a) p(b)) ) with corpus
+    bigram/unigram MLE probabilities.
+
+    Returns ALL bigrams with count >= min_count (a set determined
+    purely by integer counts — no float-boundary top-k, so results are
+    engine-exact) with columns (tok_a, tok_b, n_ab, pmi).
+
+    Scale shape: one shared tokenization; bigram and unigram counts are
+    partial-aggregated groupBys on their keys; two equi-joins attach
+    unigram counts to the (already min_count-filtered, hence heavily
+    pruned) bigram table — at web scale the frequent-bigram side is
+    orders of magnitude smaller than the corpus, and the unigram join
+    keys are exactly the frequent bigrams' members. No driver-side data
+    beyond two scalar totals."""
+    toks = (docs.select(tokens(F.lower(F.col(text_col))).alias("toks"))
+                .filter(F.size("toks") >= 1))
+    uni = (toks.select(F.explode("toks").alias("tok"))
+               .groupBy("tok").agg(F.count("*").alias("n_tok")))
+    pairs = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("tok_a"),
+                    F.element_at(F.col("toks"), i + 1).alias("tok_b")),
+            )).alias("bg")).select("bg.tok_a", "bg.tok_b")
+    bi = (pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+               .filter(F.col("n_ab") >= int(min_count)))
+    totals_u = uni.agg(F.sum("n_tok")).collect()[0][0] or 0
+    totals_b = pairs.count()
+    if totals_u == 0 or totals_b == 0:
+        return bi.withColumn("pmi", F.lit(None).cast("double"))
+    tu, tb = float(totals_u), float(totals_b)
+    na = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    nb = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    joined = bi.join(na, "tok_a").join(nb, "tok_b")
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.lit(tb))
+        / ((F.col("n_a").cast("double") / F.lit(tu))
+           * (F.col("n_b").cast("double") / F.lit(tu))))
+    return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))

@@ -103,3 +103,29 @@ def test_mean_pool_matches_numpy(spark):
         V = np.stack(grp["v"].to_numpy())
         assert np.allclose(np.stack(out.loc[g, "pooled"]), V.mean(axis=0))
         assert out.loc[g, "n_vecs"] == len(grp)
+
+
+def test_bigram_pmi_hand_values(spark):
+    from hipipe_spark.operators.retrieval import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(0, "new york new york"),
+         (1, "new york city"),
+         (2, "old york")],
+        "doc_id int, text string")
+    out = {(r["tok_a"], r["tok_b"]): r
+           for r in bigram_pmi(docs, min_count=2).collect()}
+    # bigrams: (new,york)x3, (york,new)x1, (york,city)x1, (old,york)x1
+    # -> only (new,york) survives min_count=2. totals: 9 unigrams, 6 bigrams
+    assert set(out) == {("new", "york")}
+    r = out[("new", "york")]
+    assert r["n_ab"] == 3
+    expect = math.log((3 / 6.0) / ((3 / 9.0) * (4 / 9.0)))
+    assert r["pmi"] == pytest.approx(expect, rel=1e-12)
+
+
+def test_bigram_pmi_empty(spark):
+    from hipipe_spark.operators.retrieval import bigram_pmi
+
+    docs = spark.createDataFrame([(0, ""), (1, "one")], "doc_id int, text string")
+    assert bigram_pmi(docs, min_count=1).count() == 0
