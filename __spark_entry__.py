@@ -742,6 +742,22 @@ def q_standardize(spark, sf_dir):
         "conv_id", "turn_idx", F.round("text_len_z", 4).alias("text_len_z"))
 
 
+def q_quantile_bin(spark, sf_dir):
+    """Fit/apply quantile binning: 4-bucket cut points fitted once
+    (exact percentile_cont interpolation so the DuckDB quantile_cont
+    oracle is bit-stable; ``exact=False`` percentile_approx is the
+    100-TB path), broadcast-applied as a scan-local array expression —
+    the fact side never shuffles."""
+    from hipipe_spark.operators.encoders import apply_buckets, fit_buckets
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    bounds = fit_buckets(t, ["text_len"], n_buckets=4, exact=True)
+    out = apply_buckets(t, bounds, ["text_len"])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("text_len_bin").cast("long").alias("text_len_bin"))
+
+
 def q_conv_split(spark, sf_dir):
     """Leakage-safe train/val/test assignment by conversation hash —
     no conv straddles splits, assignment frozen under corpus growth.
@@ -1408,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pool": q_embedding_pool,
         "hash_features": q_hash_features,
         "bigram_pmi": q_bigram_pmi,
+        "quantile_bin": q_quantile_bin,
     }
 
 
@@ -1799,6 +1816,16 @@ def oracle_sql() -> dict[str, str]:
                    4) AS role_te
       FROM t WINDOW w AS (PARTITION BY conv_id, role ORDER BY ts, turn_idx
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+    d["quantile_bin"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(length(text) AS DOUBLE) AS x FROM t),
+      st AS (SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS bs FROM s)
+      SELECT conv_id, turn_idx,
+             CAST(len(list_filter(st.bs, b -> b <= x)) AS BIGINT)
+               AS text_len_bin
+      FROM s, st
     """
     d["standardize"] = f"""
       WITH t AS ({_T}),

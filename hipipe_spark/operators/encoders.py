@@ -91,6 +91,52 @@ def fit_standardizer(fit_df: DataFrame, cols: Sequence[str],
     return fit_df.groupBy(by).agg(*aggs) if by else fit_df.agg(*aggs)
 
 
+def fit_buckets(fit_df: DataFrame, cols: Sequence[str], n_buckets: int = 4,
+                exact: bool = False, accuracy: int = 10000) -> DataFrame:
+    """Quantile cut points (``n_buckets - 1`` internal boundaries per
+    column) from the FIT frame — pass the train split so bin edges are
+    frozen before evaluation data arrives.
+
+    ``exact=False`` (default) uses ``percentile_approx`` — a mergeable
+    sketch aggregate, the only sane path over 100 TB. ``exact=True``
+    uses the exact interpolated percentile (linear, the
+    ``percentile_cont`` rule) for oracle/test settings where bit-stable
+    edges matter; it buffers values per partition, so reserve it for
+    dimension-sized fits. Returns a one-row frame with
+    ``{col}__bounds`` arrays meant for :func:`apply_buckets`."""
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if exact:
+            agg = F.percentile(x, F.array(*[F.lit(p) for p in ps]))
+        else:
+            agg = F.percentile_approx(x, ps, accuracy)
+        aggs.append(agg.alias(f"{c}__bounds"))
+    return fit_df.agg(*aggs)
+
+
+def apply_buckets(df: DataFrame, bounds: DataFrame, cols: Sequence[str],
+                  suffix: str = "_bin") -> DataFrame:
+    """Discretize each column to its quantile-bin index: the number of
+    fitted boundaries ``<= x`` (0-based; values on a boundary take the
+    upper bin, nulls stay null). The bounds frame is broadcast and the
+    bin is a scan-local array expression — ``df`` never shuffles."""
+    joined = df.crossJoin(F.broadcast(bounds))
+
+    def _le(xcol):  # closure factory: keep the HOF lambda at arity 1
+        return lambda b: b <= xcol
+
+    for c in cols:
+        x = F.col(c).cast("double")
+        joined = joined.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNotNull(),
+                   F.size(F.filter(F.col(f"{c}__bounds"), _le(x)))),
+        )
+    return joined.drop(*[f"{c}__bounds" for c in cols])
+
+
 def apply_standardizer(df: DataFrame, stats: DataFrame, cols: Sequence[str],
                        by: str | None = None, suffix: str = "_z") -> DataFrame:
     """z = (x - mean) / std with the broadcast fit stats; null when the

@@ -71,3 +71,47 @@ def test_standardizer_grouped_and_constant(spark):
            for r in apply_standardizer(df, stats, ["x"], by="g").collect()}
     assert abs(out[("a", 1.0)] + 0.7071067811865475) < 1e-12
     assert out[("b", 5.0)] is None  # zero-variance group -> null, not inf
+
+
+def test_fit_apply_buckets_matches_numpy(transcripts):
+    from hipipe_spark.operators.encoders import apply_buckets, fit_buckets
+
+    t = _with_len(transcripts)
+    bounds = fit_buckets(t, ["text_len"], n_buckets=4, exact=True)
+    out = apply_buckets(t, bounds, ["text_len"]).toPandas()
+
+    xs = np.array(sorted(out["text_len"].astype(float)))
+    edges = [np.percentile(xs, 100 * p, method="linear")
+             for p in (0.25, 0.5, 0.75)]
+    ref = out["text_len"].astype(float).map(
+        lambda x: int(sum(b <= x for b in edges)))
+    assert (out["text_len_bin"] == ref).all()
+    assert set(out["text_len_bin"]) == {0, 1, 2, 3}
+
+
+def test_apply_buckets_null_and_boundary(spark):
+    from hipipe_spark.operators.encoders import apply_buckets, fit_buckets
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 20.0), (4, 30.0), (5, None)],
+        "id int, x double")
+    bounds = fit_buckets(df, ["x"], n_buckets=2, exact=True)  # median = 15
+    out = {r["id"]: r["x_bin"]
+           for r in apply_buckets(df, bounds, ["x"]).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: None}
+
+    # a value exactly on the boundary takes the upper bin
+    df2 = spark.createDataFrame([(1, 0.0), (2, 15.0)], "id int, x double")
+    out2 = {r["id"]: r["x_bin"]
+            for r in apply_buckets(df2, bounds, ["x"]).collect()}
+    assert out2 == {1: 0, 2: 1}
+
+
+def test_fit_buckets_approx_close_to_exact(transcripts):
+    from hipipe_spark.operators.encoders import fit_buckets
+
+    t = _with_len(transcripts)
+    ex = fit_buckets(t, ["text_len"], n_buckets=4, exact=True).collect()[0][0]
+    ap = fit_buckets(t, ["text_len"], n_buckets=4).collect()[0][0]
+    assert len(ap) == 3
+    assert all(abs(a - e) <= 2.0 for a, e in zip(ap, ex))
