@@ -817,6 +817,38 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift between the same slices as
+    psi_drift (even vs odd doc_id, text length): per-value eCDF gaps +
+    repeated max. Exact over the discrete length domain; the cumulative
+    window runs on the post-aggregation dimension-sized table only."""
+    from hipipe_spark.operators.drift import ks_table
+    d = _docs(spark, sf_dir).withColumn("text_len", F.length("text"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = ks_table(a, b, "text_len")
+    return out.select(
+        "value", "n_a", "n_b",
+        F.round("d", 6).alias("d"), F.round("ks", 6).alias("ks"))
+
+
+def q_cramers_v(spark, sf_dir):
+    """Chi-squared / Cramér's V association between role and a derived
+    length class over the transcript table — the categorical-redundancy
+    probe. Full R×C grid (zero cells carry chi² mass), margins and
+    totals broadcast from the dimension-sized contingency table."""
+    from hipipe_spark.operators.drift import cramers_v_table
+    t = _transcripts(spark, sf_dir).withColumn(
+        "len_bin", (F.length("text") % 3).cast("long"))
+    out = cramers_v_table(t, "role", "len_bin")
+    return out.select(
+        "a", "b", "n",
+        F.round("e", 4).alias("e"),
+        F.round("chi2_term", 6).alias("chi2_term"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1425,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_features": q_hash_features,
         "bigram_pmi": q_bigram_pmi,
         "quantile_bin": q_quantile_bin,
+        "ks_drift": q_ks_drift,
+        "cramers_v": q_cramers_v,
     }
 
 
@@ -1965,6 +1999,54 @@ def oracle_sql() -> dict[str, str]:
              round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term,
              round(sum((p_a - p_b) * ln(p_a / p_b)) OVER (), 6) AS psi
       FROM p
+    """
+    d["ks_drift"] = """
+      WITH t AS (
+        SELECT CAST(length(text) AS DOUBLE) AS value,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_b
+        FROM documents),
+      c AS (SELECT value, CAST(sum(is_a) AS BIGINT) AS n_a,
+                   CAST(sum(is_b) AS BIGINT) AS n_b
+            FROM t GROUP BY value),
+      tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+                     CAST(sum(n_b) AS DOUBLE) AS tb FROM c),
+      g AS (SELECT value, n_a, n_b,
+                   abs(CAST(sum(n_a) OVER w AS DOUBLE) / ta
+                       - CAST(sum(n_b) OVER w AS DOUBLE) / tb) AS dd
+            FROM c, tot
+            WINDOW w AS (ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT value, n_a, n_b, round(dd, 6) AS d,
+             round(max(dd) OVER (), 6) AS ks
+      FROM g
+    """
+    d["cramers_v"] = f"""
+      WITH t AS ({_T}),
+      o AS (SELECT role AS a, length(text) % 3 AS b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_row FROM o GROUP BY a),
+      cm AS (SELECT b, CAST(sum(n) AS BIGINT) AS n_col FROM o GROUP BY b),
+      gl AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                    count(DISTINCT a) AS card_a,
+                    count(DISTINCT b) AS card_b FROM o),
+      cells AS (SELECT rm.a, cm.b, COALESCE(o.n, 0) AS n,
+                       rm.n_row, cm.n_col
+                FROM rm CROSS JOIN cm
+                LEFT JOIN o ON o.a = rm.a AND o.b = cm.b),
+      e AS (SELECT a, b, n,
+                   CAST(n_row * n_col AS DOUBLE) / n_tot AS e,
+                   power(n - CAST(n_row * n_col AS DOUBLE) / n_tot, 2)
+                     / (CAST(n_row * n_col AS DOUBLE) / n_tot) AS term,
+                   n_tot, least(card_a, card_b) - 1 AS dof
+            FROM cells, gl)
+      SELECT a, b, n, round(e, 4) AS e, round(term, 6) AS chi2_term,
+             round(sum(term) OVER (), 4) AS chi2,
+             round(CASE WHEN dof > 0 THEN
+                     sqrt(sum(term) OVER () / (n_tot * dof)) END, 6)
+               AS cramers_v
+      FROM e
     """
     d["rolling_quantile"] = f"""
       WITH t AS ({_T}),

@@ -84,6 +84,93 @@ def psi_table(df_a: DataFrame, df_b: DataFrame, col: Column | str,
     )
 
 
+def ks_table(df_a: DataFrame, df_b: DataFrame, col: Column | str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov decomposition: per distinct value
+    ``v`` of ``col``, counts per side and the eCDF gap
+    ``d = |F_a(v) - F_b(v)|``; ``ks = max(d)`` repeated on every row.
+
+    Exact for discrete domains (integer features, bucket indices); for
+    continuous features pre-bucket with :func:`uniform_bucket` — the KS
+    of the binned distributions lower-bounds the continuous statistic.
+
+    Plan shape: each side partial-aggregates to its distinct values,
+    ONE exchange on the value key, then cumulative sums over the
+    post-aggregation table. The ordered window has no partition key,
+    which is fine precisely because the table is dimension-sized
+    (|distinct values|, not input rows) by the time it runs — the same
+    contract as :func:`psi_table`'s bucket table."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    tagged = (
+        df_a.select(c.alias("value"), F.lit(1).alias("is_a"),
+                    F.lit(0).alias("is_b"))
+        .unionByName(df_b.select(c.alias("value"), F.lit(0).alias("is_a"),
+                                 F.lit(1).alias("is_b")))
+    )
+    counts = tagged.groupBy("value").agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b"))
+    totals = counts.agg(F.sum("n_a").alias("tot_a"),
+                        F.sum("n_b").alias("tot_b"))
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    withd = (
+        counts.join(F.broadcast(totals))
+        .withColumn("cdf_a", F.sum("n_a").over(wcum) / F.col("tot_a"))
+        .withColumn("cdf_b", F.sum("n_b").over(wcum) / F.col("tot_b"))
+        .withColumn("d", F.abs(F.col("cdf_a") - F.col("cdf_b")))
+    )
+    ks = F.max("d").over(Window.partitionBy())
+    return withd.select("value", "n_a", "n_b", "d", ks.alias("ks"))
+
+
+def ks(df_a: DataFrame, df_b: DataFrame, col: Column | str) -> float:
+    """Headline KS scalar (driver-side; the table is dimension-sized)."""
+    row = ks_table(df_a, df_b, col).select("ks").limit(1).collect()
+    return float(row[0]["ks"]) if row else 0.0
+
+
+def cramers_v_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-squared association between two categorical columns as a
+    per-cell decomposition: observed ``n``, expected ``e`` (independence
+    model), the cell's chi² contribution, plus the repeated totals
+    ``chi2`` and bias-uncorrected Cramér's V =
+    sqrt(chi2 / (N · (min(R, C) − 1))) — the feature-redundancy probe
+    run before dropping one of two correlated categoricals.
+
+    Plan shape: ONE exchange on the (a, b) cell key (partial counts
+    map-side); margins, cardinalities, and N are re-aggregated from the
+    dimension-sized contingency table and broadcast back. Input rows
+    are scanned once."""
+    observed = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("n"))
+    row_m = observed.groupBy("a").agg(F.sum("n").alias("n_row"))
+    col_m = observed.groupBy("b").agg(F.sum("n").alias("n_col"))
+    glob = observed.agg(
+        F.sum("n").alias("n_tot"),
+        F.countDistinct("a").alias("card_a"),
+        F.countDistinct("b").alias("card_b"))
+    # Unobserved (a, b) combinations still carry chi² mass ((0-e)²/e = e)
+    # — fill the full R×C grid (dimension-sized) before expectations.
+    cells = (
+        row_m.select("a").crossJoin(col_m.select("b"))
+        .join(observed, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    withe = (
+        cells.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .join(F.broadcast(glob))
+        .withColumn("e", F.col("n_row") * F.col("n_col") / F.col("n_tot"))
+        .withColumn("chi2_term",
+                    (F.col("n") - F.col("e")) ** 2 / F.col("e"))
+    )
+    w = Window.partitionBy()
+    chi2 = F.sum("chi2_term").over(w)
+    dof = F.least("card_a", "card_b") - F.lit(1)
+    v = F.when(dof > 0, F.sqrt(chi2 / (F.col("n_tot") * dof)))
+    return withe.select("a", "b", "n", "e", "chi2_term",
+                        chi2.alias("chi2"), v.alias("cramers_v"))
+
+
 def psi(df_a: DataFrame, df_b: DataFrame, col: Column | str,
         lo: float, hi: float, n_buckets: int = 10,
         smooth: float = 0.5) -> float:

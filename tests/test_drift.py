@@ -61,3 +61,77 @@ def test_psi_empty_buckets_finite(spark):
     assert len(out) == 10
     assert np.isfinite(out["psi_term"]).all()
     assert (out["psi"] > 0).all()  # fully disjoint slices drift hard
+
+
+def _ref_ks(a_vals, b_vals):
+    vals = np.unique(np.concatenate([a_vals, b_vals]).astype(float))
+    cdf_a = np.searchsorted(np.sort(a_vals.astype(float)), vals, "right") / len(a_vals)
+    cdf_b = np.searchsorted(np.sort(b_vals.astype(float)), vals, "right") / len(b_vals)
+    return float(np.max(np.abs(cdf_a - cdf_b)))
+
+
+def test_ks_matches_numpy(transcripts, transcripts_pdf):
+    import pyspark.sql.functions as F
+
+    from hipipe_spark.operators.drift import ks, ks_table
+
+    t = transcripts.withColumn("text_len", F.length("text").cast("int"))
+    a = t.filter(F.col("role") == "user")
+    b = t.filter(F.col("role") == "assistant")
+    pdf = transcripts_pdf.copy()
+    pdf["text_len"] = pdf["text"].str.len()
+    av = pdf.loc[pdf["role"] == "user", "text_len"].to_numpy()
+    bv = pdf.loc[pdf["role"] == "assistant", "text_len"].to_numpy()
+
+    got = ks(a, b, "text_len")
+    assert abs(got - _ref_ks(av, bv)) < 1e-12
+
+    tab = ks_table(a, b, "text_len").toPandas()
+    assert len(tab) == len(np.unique(np.concatenate([av, bv])))
+    assert np.allclose(tab["ks"], got)
+    assert (tab["d"] <= got + 1e-15).all()
+
+
+def test_ks_identical_and_disjoint(spark):
+    from hipipe_spark.operators.drift import ks
+
+    a = spark.range(100).selectExpr("id % 10 AS x")
+    assert ks(a, a, "x") == 0.0
+    b = spark.range(100).selectExpr("id % 10 + 100 AS x")
+    assert ks(a, b, "x") == 1.0
+
+
+def test_cramers_v_matches_pandas(transcripts, transcripts_pdf):
+    from hipipe_spark.operators.drift import cramers_v_table
+
+    import pyspark.sql.functions as F
+
+    t = transcripts.withColumn("len_bin", F.length("text") % 3)
+    out = cramers_v_table(t, "role", "len_bin").toPandas()
+
+    pdf = transcripts_pdf.copy()
+    pdf["len_bin"] = pdf["text"].str.len() % 3
+    ct = pdf.groupby(["role", "len_bin"]).size().unstack(fill_value=0)
+    n = ct.to_numpy().sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct.to_numpy() - e) ** 2 / e).sum()
+    v = math.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+
+    assert np.allclose(out["chi2"].iloc[0], chi2)
+    assert np.allclose(out["cramers_v"].iloc[0], v)
+    assert len(out) == ct.size  # full R x C grid, zero cells included
+    got = {(r["a"], r["b"]): r["n"] for _, r in out.iterrows()}
+    for role in ct.index:
+        for lb in ct.columns:
+            assert got[(role, lb)] == ct.loc[role, lb]
+
+
+def test_cramers_v_independent_and_perfect(spark):
+    from hipipe_spark.operators.drift import cramers_v_table
+
+    ind = spark.range(400).selectExpr("id % 2 AS a", "CAST(id / 2 AS INT) % 2 AS b")
+    v = cramers_v_table(ind, "a", "b").select("cramers_v").first()[0]
+    assert abs(v) < 1e-12
+    perf = spark.range(400).selectExpr("id % 2 AS a", "id % 2 AS b")
+    v2 = cramers_v_table(perf, "a", "b").select("cramers_v").first()[0]
+    assert abs(v2 - 1.0) < 1e-12
