@@ -758,6 +758,21 @@ def q_quantile_bin(spark, sf_dir):
         F.col("text_len_bin").cast("long").alias("text_len_bin"))
 
 
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR scaling fitted once (exact interpolated percentiles
+    for the oracle; the approx sketch is the 100-TB path) and
+    broadcast-applied — outlier-resistant where a single giant document
+    would wreck a mean/std fit. The fact side never shuffles."""
+    from hipipe_spark.operators.encoders import (
+        apply_robust_scaler, fit_robust_scaler)
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    stats = fit_robust_scaler(t, ["text_len"], exact=True)
+    out = apply_robust_scaler(t, stats, ["text_len"])
+    return out.select(
+        "conv_id", "turn_idx", F.round("text_len_r", 6).alias("text_len_r"))
+
+
 def q_conv_split(spark, sf_dir):
     """Leakage-safe train/val/test assignment by conversation hash —
     no conv straddles splits, assignment frozen under corpus growth.
@@ -1459,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "ks_drift": q_ks_drift,
         "cramers_v": q_cramers_v,
+        "robust_scale": q_robust_scale,
     }
 
 
@@ -1859,6 +1875,18 @@ def oracle_sql() -> dict[str, str]:
       SELECT conv_id, turn_idx,
              CAST(len(list_filter(st.bs, b -> b <= x)) AS BIGINT)
                AS text_len_bin
+      FROM s, st
+    """
+    d["robust_scale"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(length(text) AS DOUBLE) AS x FROM t),
+      st AS (SELECT quantile_cont(x, 0.5) AS med,
+                    quantile_cont(x, 0.75) - quantile_cont(x, 0.25) AS iqr
+             FROM s)
+      SELECT conv_id, turn_idx,
+             round(CASE WHEN iqr > 0 THEN (x - med) / iqr END, 6)
+               AS text_len_r
       FROM s, st
     """
     d["standardize"] = f"""

@@ -137,6 +137,43 @@ def apply_buckets(df: DataFrame, bounds: DataFrame, cols: Sequence[str],
     return joined.drop(*[f"{c}__bounds" for c in cols])
 
 
+def fit_robust_scaler(fit_df: DataFrame, cols: Sequence[str],
+                      exact: bool = False,
+                      accuracy: int = 10000) -> DataFrame:
+    """Median and IQR (p75 − p25) per column from the FIT frame — the
+    outlier-resistant sibling of :func:`fit_standardizer` (a single
+    10^9-char document moves a mean/std arbitrarily far; it moves the
+    median not at all). Same exact/approx split as :func:`fit_buckets`:
+    approx sketch by default, exact interpolated percentiles for
+    oracle-grade edges. Returns one row with ``{c}__med`` / ``{c}__iqr``."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if exact:
+            q = F.percentile(x, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        else:
+            q = F.percentile_approx(x, [0.25, 0.5, 0.75], accuracy)
+        aggs += [q[1].alias(f"{c}__med"),
+                 (q[2] - q[0]).alias(f"{c}__iqr")]
+    return fit_df.agg(*aggs)
+
+
+def apply_robust_scaler(df: DataFrame, stats: DataFrame, cols: Sequence[str],
+                        suffix: str = "_r") -> DataFrame:
+    """r = (x − median) / IQR with the broadcast fit stats; null when
+    the fit IQR is zero (at least half the fit values identical). A
+    narrow map over the scan — no shuffle of ``df`` at any scale."""
+    joined = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        m, iq = F.col(f"{c}__med"), F.col(f"{c}__iqr")
+        joined = joined.withColumn(
+            f"{c}{suffix}",
+            F.when(iq > 0.0, (F.col(c).cast("double") - m) / iq),
+        )
+    drop = [f"{c}__{s}" for c in cols for s in ("med", "iqr")]
+    return joined.drop(*drop)
+
+
 def apply_standardizer(df: DataFrame, stats: DataFrame, cols: Sequence[str],
                        by: str | None = None, suffix: str = "_z") -> DataFrame:
     """z = (x - mean) / std with the broadcast fit stats; null when the

@@ -115,3 +115,43 @@ def test_fit_buckets_approx_close_to_exact(transcripts):
     ap = fit_buckets(t, ["text_len"], n_buckets=4).collect()[0][0]
     assert len(ap) == 3
     assert all(abs(a - e) <= 2.0 for a, e in zip(ap, ex))
+
+
+def test_robust_scaler_matches_numpy(transcripts):
+    from hipipe_spark.operators.encoders import (
+        apply_robust_scaler, fit_robust_scaler)
+
+    t = _with_len(transcripts)
+    stats = fit_robust_scaler(t, ["text_len"], exact=True)
+    out = apply_robust_scaler(t, stats, ["text_len"]).toPandas()
+
+    xs = out["text_len"].astype(float).to_numpy()
+    q25, med, q75 = (np.percentile(xs, q, method="linear")
+                     for q in (25, 50, 75))
+    ref = (xs - med) / (q75 - q25)
+    assert np.allclose(out["text_len_r"], ref)
+
+
+def test_robust_scaler_zero_iqr_is_null(spark):
+    from hipipe_spark.operators.encoders import (
+        apply_robust_scaler, fit_robust_scaler)
+
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)], "id int, x double")
+    stats = fit_robust_scaler(df, ["x"], exact=True)
+    out = apply_robust_scaler(df, stats, ["x"]).select("x_r").collect()
+    assert all(r["x_r"] is None for r in out)
+
+
+def test_robust_scaler_outlier_resistance(spark):
+    from hipipe_spark.operators.encoders import (
+        apply_robust_scaler, fit_robust_scaler, fit_standardizer)
+
+    base = [(i, float(i % 10)) for i in range(100)]
+    clean = spark.createDataFrame(base, "id int, x double")
+    dirty = spark.createDataFrame(base + [(999, 1e9)], "id int, x double")
+    med_c, iqr_c = fit_robust_scaler(clean, ["x"], exact=True).collect()[0]
+    med_d, iqr_d = fit_robust_scaler(dirty, ["x"], exact=True).collect()[0]
+    assert abs(med_c - med_d) <= 0.5 and abs(iqr_c - iqr_d) <= 0.5
+    std_c = fit_standardizer(clean, ["x"]).collect()[0]["x__std"]
+    std_d = fit_standardizer(dirty, ["x"]).collect()[0]["x__std"]
+    assert std_d > 100 * std_c  # the mean/std fit blew up; the robust one didn't
