@@ -1323,6 +1323,21 @@ def q_ngram_jaccard_capped(spark, sf_dir):
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment |A∩B|/|A| — the quote/snippet
+    detector: a short doc pasted into a long one has tiny jaccard but
+    containment ≈ 1. Same inverted-index candidate generation and
+    max_df hub guard as the jaccard family; full-set verify keeps the
+    reported values exact."""
+    from hipipe_spark.operators.dedup import ngram_containment_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    return ngram_containment_pairs(d, "doc_id", "text", n=1,
+                                   threshold=0.6, max_df=20)\
+        .select("id_a", "id_b",
+                F.round("c_a_in_b", 6).alias("c_a_in_b"),
+                F.round("c_b_in_a", 6).alias("c_b_in_a"))
+
+
 def q_media_meta(spark, sf_dir):
     """Oracle-able slice of the multimodal extractor (VERDICT r2 #5):
     the fake decoder is deterministic arithmetic over (id, seed) —
@@ -1475,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "cramers_v": q_cramers_v,
         "robust_scale": q_robust_scale,
+        "ngram_containment": q_ngram_containment,
     }
 
 
@@ -1705,6 +1721,30 @@ def oracle_sql() -> dict[str, str]:
       JOIN sizes sa ON sa.doc_id = c.id_a
       JOIN sizes sb ON sb.doc_id = c.id_b
       WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+    """
+    d["ngram_containment"] = r"""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS g
+        FROM d WHERE trim(text) <> ''),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      hubs AS (SELECT g FROM toks GROUP BY g HAVING count(*) > 20),
+      ct AS (SELECT doc_id, g FROM toks WHERE g NOT IN (SELECT g FROM hubs)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM ct a JOIN ct b ON a.g = b.g AND a.doc_id < b.doc_id),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b,
+             round(CAST(i.inter AS DOUBLE) / sa.sz, 6) AS c_a_in_b,
+             round(CAST(i.inter AS DOUBLE) / sb.sz, 6) AS c_b_in_a
+      FROM cand c
+      JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(i.inter AS DOUBLE) / sa.sz >= 0.6
+         OR CAST(i.inter AS DOUBLE) / sb.sz >= 0.6
     """
     # fake-media arithmetic replica (sources/multimodal.py gen_fake_media
     # + extract_features): content = 32-byte sha256 digest repeated

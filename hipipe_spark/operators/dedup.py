@@ -374,6 +374,61 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 1,
+                            threshold: float = 0.8,
+                            max_df: int | None = None) -> DataFrame:
+    """Asymmetric n-gram containment: C(A→B) = |A ∩ B| / |A|. The
+    quote/snippet detector Jaccard misses — a 100-gram doc fully pasted
+    into a 10,000-gram doc has jaccard ≈ 0.01 but containment 1.0.
+
+    Same candidate generation as :func:`ngram_jaccard_pairs` (inverted-
+    index equi-join, optional ``max_df`` hub-gram guard bounding the
+    O(f²) fan-out, FULL-set verify so reported values stay exact).
+    Emits one row per candidate pair (id_a < id_b) with BOTH directions
+    ``c_a_in_b`` / ``c_b_in_a``; kept when either direction reaches
+    ``threshold``. Empty-gram docs (|A| = 0) yield containment 0.
+
+    Cache lifetime: caller releases via ``release_cached``, as with the
+    jaccard variant."""
+    base = df.select(F.col(id_col).alias("id"),
+                     word_ngrams(F.col(text_col), n).alias("gs"))
+    base = base.persist()
+    grams = base.select("id", F.explode("gs").alias("g"))
+    if max_df is not None:
+        hubs = (grams.groupBy("g").agg(F.count("*").alias("df"))
+                .filter(F.col("df") > max_df).select("g"))
+        grams = grams.join(F.broadcast(hubs), on="g", how="left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(b, on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    gs = base.select("id", "gs")
+    pairs = (
+        cand.join(gs.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("gs", "gs_a"), "id_a")
+        .join(gs.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("gs", "gs_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    sa = F.size("gs_a").cast("double")
+    sb = F.size("gs_b").cast("double")
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(
+        pairs.withColumn("c_a_in_b",
+                         F.when(sa > 0, inter / sa).otherwise(F.lit(0.0)))
+        .withColumn("c_b_in_a",
+                    F.when(sb > 0, inter / sb).otherwise(F.lit(0.0)))
+        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+        .filter((F.col("c_a_in_b") >= threshold)
+                | (F.col("c_b_in_a") >= threshold)),
+        base,
+    )
+
+
 # ------------------------------------------- dedup clusters (components)
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          a_col: str = "id_a", b_col: str = "id_b",

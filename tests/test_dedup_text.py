@@ -233,3 +233,29 @@ def test_connected_components_vs_union_find(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(pdf, nodes, node_col="id").collect()}
     assert got == want
+
+
+def test_ngram_containment_catches_quotes(spark):
+    from hipipe_spark.operators.core import release_cached
+    from hipipe_spark.operators.dedup import ngram_containment_pairs
+
+    data = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "beta gamma delta"),          # fully contained in 0
+        (2, "omega psi chi"),             # unrelated
+        (3, "gamma delta omega"),         # partial overlap with 0 and 2
+    ]
+    df = create(spark, data, schema="doc_id long, text string")
+
+    res = ngram_containment_pairs(df, threshold=0.9)
+    got = {(r.id_a, r.id_b): (r.c_a_in_b, r.c_b_in_a) for r in res.collect()}
+    release_cached(res)
+    # jaccard(0,1) = 3/8 < 0.5 would MISS the quote; containment = 1.0
+    assert got == {(0, 1): (3 / 8, 1.0)}
+
+    res0 = ngram_containment_pairs(df, threshold=0.0)
+    got0 = {(r.id_a, r.id_b): (r.c_a_in_b, r.c_b_in_a) for r in res0.collect()}
+    release_cached(res0)
+    assert got0[(0, 3)] == (2 / 8, 2 / 3)
+    assert got0[(2, 3)] == (1 / 3, 1 / 3)
+    assert (0, 2) not in got0  # no shared gram -> never a candidate
