@@ -68,12 +68,18 @@ def psi_table(df_a: DataFrame, df_b: DataFrame, col: Column | str,
                 F.coalesce("n_a", F.lit(0)).alias("n_a"),
                 F.coalesce("n_b", F.lit(0)).alias("n_b"))
     )
-    totals = counts.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    # Totals via unpartitioned window sums over the (≤ n_buckets)-row
+    # table — a separate .agg() branch would re-execute the input
+    # lineage (no subplan sharing without persist): one extra full scan
+    # per side at 100 TB for two scalars.
     s = float(smooth)
-    withp = counts.join(F.broadcast(totals)).select(
+    wall = Window.partitionBy()
+    withp = counts.select(
         "bucket", "n_a", "n_b",
-        ((F.col("n_a") + s) / (F.col("tot_a") + s * n_buckets)).alias("p_a"),
-        ((F.col("n_b") + s) / (F.col("tot_b") + s * n_buckets)).alias("p_b"),
+        ((F.col("n_a") + s)
+         / (F.sum("n_a").over(wall) + s * n_buckets)).alias("p_a"),
+        ((F.col("n_b") + s)
+         / (F.sum("n_b").over(wall) + s * n_buckets)).alias("p_b"),
     )
     term = (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
     withterm = withp.withColumn("psi_term", term)
@@ -108,16 +114,20 @@ def ks_table(df_a: DataFrame, df_b: DataFrame, col: Column | str) -> DataFrame:
     )
     counts = tagged.groupBy("value").agg(
         F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b"))
-    totals = counts.agg(F.sum("n_a").alias("tot_a"),
-                        F.sum("n_b").alias("tot_b"))
+    # Totals as unpartitioned window sums over the post-aggregation
+    # table, NOT a separate .agg() branch: a second aggregate would
+    # re-execute the whole input lineage (Catalyst does not share
+    # unpersisted subplans across DataFrame branches) — two full scans
+    # of a 100-TB input instead of one.
+    wall = Window.partitionBy()
     wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     withd = (
-        counts.join(F.broadcast(totals))
-        .withColumn("cdf_a", F.sum("n_a").over(wcum) / F.col("tot_a"))
-        .withColumn("cdf_b", F.sum("n_b").over(wcum) / F.col("tot_b"))
+        counts
+        .withColumn("cdf_a", F.sum("n_a").over(wcum) / F.sum("n_a").over(wall))
+        .withColumn("cdf_b", F.sum("n_b").over(wcum) / F.sum("n_b").over(wall))
         .withColumn("d", F.abs(F.col("cdf_a") - F.col("cdf_b")))
     )
-    ks = F.max("d").over(Window.partitionBy())
+    ks = F.max("d").over(wall)
     return withd.select("value", "n_a", "n_b", "d", ks.alias("ks"))
 
 
@@ -137,11 +147,14 @@ def cramers_v_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     Plan shape: ONE exchange on the (a, b) cell key (partial counts
     map-side); margins, cardinalities, and N are re-aggregated from the
-    dimension-sized contingency table and broadcast back. Input rows
-    are scanned once."""
+    dimension-sized contingency table and broadcast back. The
+    contingency table is persisted (four downstream branches read it —
+    without the persist each branch would re-scan the full input);
+    call :func:`hipipe_spark.operators.core.release_cached` on the
+    result after materializing."""
     observed = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).persist()
     row_m = observed.groupBy("a").agg(F.sum("n").alias("n_row"))
     col_m = observed.groupBy("b").agg(F.sum("n").alias("n_col"))
     glob = observed.agg(
@@ -167,8 +180,12 @@ def cramers_v_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     chi2 = F.sum("chi2_term").over(w)
     dof = F.least("card_a", "card_b") - F.lit(1)
     v = F.when(dof > 0, F.sqrt(chi2 / (F.col("n_tot") * dof)))
-    return withe.select("a", "b", "n", "e", "chi2_term",
-                        chi2.alias("chi2"), v.alias("cramers_v"))
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(
+        withe.select("a", "b", "n", "e", "chi2_term",
+                     chi2.alias("chi2"), v.alias("cramers_v")),
+        observed,
+    )
 
 
 def psi(df_a: DataFrame, df_b: DataFrame, col: Column | str,
