@@ -864,6 +864,24 @@ def q_cramers_v(spark, sf_dir):
         F.round("cramers_v", 6).alias("cramers_v"))
 
 
+def q_mutual_info(spark, sf_dir):
+    """Mutual information / NMI between role and a derived length
+    class — "how much does one categorical reveal about the other",
+    the feature-selection sibling of cramers_v. Same single-exchange
+    contingency plan; marginal entropies broadcast back."""
+    from hipipe_spark.operators.drift import mutual_info_table
+    t = _transcripts(spark, sf_dir).withColumn(
+        "len_bin", (F.length("text") % 3).cast("long"))
+    out = mutual_info_table(t, "role", "len_bin")
+    return out.select(
+        "a", "b", "n",
+        F.round("mi_term", 6).alias("mi_term"),
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("nmi", 6).alias("nmi"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(
         F.col("doc_id") % 20 == 0
@@ -1491,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "robust_scale": q_robust_scale,
         "ngram_containment": q_ngram_containment,
+        "mutual_info": q_mutual_info,
     }
 
 
@@ -2115,6 +2134,34 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(sum(term) OVER () / (n_tot * dof)) END, 6)
                AS cramers_v
       FROM e
+    """
+    d["mutual_info"] = f"""
+      WITH t AS ({_T}),
+      o AS (SELECT role AS a, length(text) % 3 AS b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(sum(n) AS BIGINT) AS n_row FROM o GROUP BY a),
+      cm AS (SELECT b, CAST(sum(n) AS BIGINT) AS n_col FROM o GROUP BY b),
+      ha AS (SELECT sum(-(n_row / tot) * ln(n_row / tot)) AS h_a
+             FROM (SELECT n_row,
+                          CAST(sum(n_row) OVER () AS DOUBLE) AS tot FROM rm)),
+      hb AS (SELECT sum(-(n_col / tot) * ln(n_col / tot)) AS h_b
+             FROM (SELECT n_col,
+                          CAST(sum(n_col) OVER () AS DOUBLE) AS tot FROM cm)),
+      m AS (SELECT o.a, o.b, o.n, rm.n_row, cm.n_col,
+                   CAST(sum(o.n) OVER () AS DOUBLE) AS n_tot
+            FROM o JOIN rm USING (a) JOIN cm USING (b)),
+      f AS (SELECT a, b, n,
+                   (n / n_tot)
+                     * ln(CAST(n AS DOUBLE) * n_tot / (n_row * n_col))
+                     AS mi_term
+            FROM m)
+      SELECT a, b, n, round(mi_term, 6) AS mi_term,
+             round(sum(mi_term) OVER (), 6) AS mi,
+             round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+             round(CASE WHEN h_a * h_b > 0 THEN
+                     sum(mi_term) OVER () / sqrt(h_a * h_b) END, 6) AS nmi
+      FROM f, ha, hb
     """
     d["rolling_quantile"] = f"""
       WITH t AS ({_T}),

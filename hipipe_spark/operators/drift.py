@@ -188,6 +188,59 @@ def cramers_v_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
 
 
+def mutual_info_table(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, decomposed
+    per observed cell: ``mi_term = p(a,b) · ln(p(a,b) / (p(a)·p(b)))``
+    (nats), plus the repeated totals ``mi``, marginal entropies
+    ``h_a`` / ``h_b``, and normalized MI = mi / sqrt(h_a · h_b) — the
+    feature-selection sibling of :func:`cramers_v_table` (chi² asks
+    "are they dependent", MI asks "how many bits does one reveal about
+    the other"). Zero cells contribute exactly 0 and are omitted.
+
+    Plan shape: same as Cramér's V — one exchange on the cell key, a
+    persisted dimension-sized contingency table feeding the margin /
+    entropy branches, entropies broadcast back. Call ``release_cached``
+    on the result after materializing."""
+    observed = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count("*").alias("n")).persist()
+    row_m = observed.groupBy("a").agg(F.sum("n").alias("n_row"))
+    col_m = observed.groupBy("b").agg(F.sum("n").alias("n_col"))
+    wall = Window.partitionBy()
+
+    def _entropy(margin: DataFrame, cnt: str, out: str) -> DataFrame:
+        tot = F.sum(cnt).over(wall)
+        p = F.col(cnt) / F.col("__tot")
+        return (margin.withColumn("__tot", tot)
+                .select((-p * F.log(p)).alias("__t"))
+                .agg(F.sum("__t").alias(out)))
+
+    ha = _entropy(row_m, "n_row", "h_a")
+    hb = _entropy(col_m, "n_col", "h_b")
+    withm = (
+        observed.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .withColumn("__n_tot", F.sum("n").over(wall))
+        .withColumn(
+            "mi_term",
+            (F.col("n") / F.col("__n_tot"))
+            * F.log(F.col("n").cast("double") * F.col("__n_tot")
+                    / (F.col("n_row") * F.col("n_col"))),
+        )
+    )
+    mi = F.sum("mi_term").over(wall)
+    out = (
+        withm.join(F.broadcast(ha)).join(F.broadcast(hb))
+        .select(
+            "a", "b", "n", "mi_term", mi.alias("mi"), "h_a", "h_b",
+            F.when(F.col("h_a") * F.col("h_b") > 0,
+                   mi / F.sqrt(F.col("h_a") * F.col("h_b"))).alias("nmi"),
+        )
+    )
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, observed)
+
+
 def psi(df_a: DataFrame, df_b: DataFrame, col: Column | str,
         lo: float, hi: float, n_buckets: int = 10,
         smooth: float = 0.5) -> float:

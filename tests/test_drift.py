@@ -135,3 +135,50 @@ def test_cramers_v_independent_and_perfect(spark):
     perf = spark.range(400).selectExpr("id % 2 AS a", "id % 2 AS b")
     v2 = cramers_v_table(perf, "a", "b").select("cramers_v").first()[0]
     assert abs(v2 - 1.0) < 1e-12
+
+
+def test_mutual_info_matches_numpy(transcripts, transcripts_pdf):
+    import pyspark.sql.functions as F
+
+    from hipipe_spark.operators.core import release_cached
+    from hipipe_spark.operators.drift import mutual_info_table
+
+    t = transcripts.withColumn("len_bin", F.length("text") % 3)
+    res = mutual_info_table(t, "role", "len_bin")
+    out = res.toPandas()
+    release_cached(res)
+
+    pdf = transcripts_pdf.copy()
+    pdf["len_bin"] = pdf["text"].str.len() % 3
+    ct = pdf.groupby(["role", "len_bin"]).size().unstack(fill_value=0)
+    p = ct.to_numpy() / ct.to_numpy().sum()
+    pa, pb = p.sum(axis=1), p.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(p > 0, p * np.log(p / np.outer(pa, pb)), 0.0)
+    mi = terms.sum()
+    h_a = -(pa * np.log(pa)).sum()
+    h_b = -(pb * np.log(pb)).sum()
+
+    assert np.allclose(out["mi"].iloc[0], mi)
+    assert np.allclose(out["h_a"].iloc[0], h_a)
+    assert np.allclose(out["h_b"].iloc[0], h_b)
+    assert np.allclose(out["nmi"].iloc[0], mi / math.sqrt(h_a * h_b))
+    assert len(out) == (ct.to_numpy() > 0).sum()  # observed cells only
+
+
+def test_mutual_info_independent_and_identical(spark):
+    from hipipe_spark.operators.core import release_cached
+    from hipipe_spark.operators.drift import mutual_info_table
+
+    ind = spark.range(400).selectExpr("id % 2 AS a", "CAST(id / 2 AS INT) % 2 AS b")
+    r1 = mutual_info_table(ind, "a", "b")
+    row = r1.select("mi", "nmi").first()
+    release_cached(r1)
+    assert abs(row["mi"]) < 1e-12 and abs(row["nmi"]) < 1e-12
+
+    same = spark.range(400).selectExpr("id % 4 AS a", "id % 4 AS b")
+    r2 = mutual_info_table(same, "a", "b")
+    row2 = r2.select("mi", "h_a", "nmi").first()
+    release_cached(r2)
+    assert abs(row2["mi"] - row2["h_a"]) < 1e-12  # identical cols: MI = H
+    assert abs(row2["nmi"] - 1.0) < 1e-12
