@@ -424,6 +424,21 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget subsampling: a seeded hash permutation of doc_id +
+    the two-phase range-partitioned prefix sum keep the prefix of
+    documents totalling ≤ 15k tokens (~55% of the sf0.01 corpus — the prefix genuinely truncates) — the "N billion tokens of web"
+    knob stated by every corpus-mixing spec. Deterministic at any
+    parallelism (pytest pins 1/5/32 partitions)."""
+    from hipipe_spark.operators.sampling import sample_to_token_budget
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    out = sample_to_token_budget(d, "doc_id", "n_tok",
+                                 budget=15000, seed=3)
+    return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                      "tok_cum")
+
+
 def q_fingerprint(spark, sf_dir):
     from hipipe_spark.functions.text import rolling_fingerprint
     d = _docs(spark, sf_dir)
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "ngram_containment": q_ngram_containment,
         "mutual_info": q_mutual_info,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2134,6 +2150,26 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(sum(term) OVER () / (n_tot * dof)) END, 6)
                AS cramers_v
       FROM e
+    """
+    from hipipe_spark.functions.hashing import det_hash_i64_sql as _dhi
+    d["token_budget"] = rf"""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) AS n_tok
+        FROM documents),
+      o AS (SELECT doc_id, n_tok,
+                   CAST({_dhi('doc_id', 3)} AS BIGINT) * 2147483648
+                     + ((doc_id % 2147483648 + 2147483648) % 2147483648)
+                     AS ord
+            FROM d),
+      c AS (SELECT doc_id, n_tok,
+                   CAST(sum(n_tok) OVER (ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS tok_cum
+            FROM o)
+      SELECT doc_id, n_tok, tok_cum FROM c WHERE tok_cum <= 15000
     """
     d["mutual_info"] = f"""
       WITH t AS ({_T}),

@@ -99,11 +99,17 @@ def pack_chunks(df: DataFrame, order_col: str, tokens_col: str,
     first = F.floor(F.col("tok_offset") / seq_len).cast("long")
     last = F.floor((F.col("tok_offset") + F.greatest(n_tok, F.lit(1)) - 1)
                    / seq_len).cast("long")
-    return (out.withColumn("chunk_first", first)
-               .withColumn("chunk_last", last)
-               .withColumn("n_chunks",
-                           (F.col("chunk_last") - F.col("chunk_first") + 1)
-                           .cast("int")))
+    from hipipe_spark.operators.core import register_cached
+    # re-attach the cumsum's cache handle: withColumn returns a NEW
+    # DataFrame object, so the register_cached attribute on `out` would
+    # otherwise be lost and release_cached on the result a no-op.
+    return register_cached(
+        out.withColumn("chunk_first", first)
+           .withColumn("chunk_last", last)
+           .withColumn("n_chunks",
+                       (F.col("chunk_last") - F.col("chunk_first") + 1)
+                       .cast("int")),
+        *getattr(out, "_hipipe_cached", ()))
 
 
 def pack_stats(packed: DataFrame, tokens_col: str, seq_len: int) -> DataFrame:

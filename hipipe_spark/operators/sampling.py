@@ -138,3 +138,42 @@ def group_split(df: DataFrame, group_col: str,
     for name, threshold in reversed(list(zip(names[:-1], cum))):
         expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def sample_to_token_budget(df: DataFrame, key: str, tokens_col: str,
+                           budget: int, seed: int = 0,
+                           n_partitions: int | None = None) -> DataFrame:
+    """Deterministic subsample hitting a TOKEN budget, not a row count:
+    documents are ordered by a seeded hash permutation of ``key`` (an
+    unbiased deterministic shuffle — the det_shuffle recipe) and the
+    prefix whose running token total fits in ``budget`` is kept. The
+    knob every corpus-mixing spec actually states ("200B tokens of
+    web"), which row sampling can only approximate through a mean
+    document length that drifts with every refresh.
+
+    Adds ``tok_cum`` — the kept document's inclusive running token
+    total (max kept value = realized budget). Keep decisions are a pure
+    function of (key set, seed): stable under reordering, and at any
+    parallelism.
+
+    Plan: the two-phase range-partitioned prefix sum shared with
+    :func:`hipipe_spark.operators.packing.pack_chunks` — one range
+    shuffle + a driver-sized per-partition offset vector; no global
+    single-task sort. ``key`` must be a unique integer id; the order
+    column packs (hash(key), key) into 62 bits so hash collisions
+    cannot make the order — and therefore the kept set — ambiguous.
+    Cache lifetime: release via ``release_cached`` after materializing.
+    """
+    from hipipe_spark.functions.hashing import _M
+    from hipipe_spark.operators.core import register_cached
+    from hipipe_spark.operators.packing import _exclusive_cumsum
+
+    ordc = (det_hash_i64(F.col(key), seed) * F.lit(int(_M))
+            + F.pmod(F.col(key), F.lit(int(_M))))
+    tmp = df.withColumn("__ord", ordc)
+    cum = _exclusive_cumsum(tmp, "__ord", tokens_col, "__excl", n_partitions)
+    out = (cum.withColumn(
+        "tok_cum", F.col("__excl") + F.col(tokens_col).cast("long"))
+        .filter(F.col("tok_cum") <= int(budget))
+        .drop("__ord", "__excl"))
+    return register_cached(out, *getattr(cum, "_hipipe_cached", ()))

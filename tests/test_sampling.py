@@ -109,3 +109,52 @@ def test_group_split_weights_normalized(spark):
               out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"a", "b"}
     assert abs(counts["a"] - 500) < 100
+
+
+def test_token_budget_sample_matches_reference(spark):
+    import pandas as pd
+
+    from hipipe_spark.functions.hashing import _M
+    from hipipe_spark.operators.core import release_cached
+    from hipipe_spark.operators.sampling import sample_to_token_budget
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id", "CAST(id % 37 + 5 AS INT) AS n_tok")
+    res = sample_to_token_budget(docs, "doc_id", "n_tok", budget=1000, seed=3)
+    out = res.toPandas().sort_values("doc_id").reset_index(drop=True)
+    release_cached(res)
+
+    # independent reference: same LCG permutation, sequential prefix
+    def h(k, seed=3):
+        x = (k + seed) % _M
+        for _ in range(2):
+            x = (x * 1103515245 + 12345) % _M
+        return x
+
+    ref = pd.DataFrame({"doc_id": range(200)})
+    ref["n_tok"] = ref["doc_id"] % 37 + 5
+    ref["ord"] = ref["doc_id"].map(h) * _M + ref["doc_id"] % _M
+    ref = ref.sort_values("ord")
+    ref["cum"] = ref["n_tok"].cumsum()
+    kept = ref[ref["cum"] <= 1000]
+
+    assert sorted(out["doc_id"]) == sorted(kept["doc_id"])
+    assert out["tok_cum"].max() == kept["cum"].max() <= 1000
+    got_cum = out.merge(kept[["doc_id", "cum"]], on="doc_id")
+    assert (got_cum["tok_cum"] == got_cum["cum"]).all()
+
+
+def test_token_budget_sample_parallelism_invariant(spark):
+    from hipipe_spark.operators.core import release_cached
+    from hipipe_spark.operators.sampling import sample_to_token_budget
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "CAST(id % 13 + 1 AS INT) AS n_tok")
+    kept = {}
+    for nparts in (1, 5, 32):
+        res = sample_to_token_budget(docs, "doc_id", "n_tok",
+                                     budget=700, seed=9,
+                                     n_partitions=nparts)
+        kept[nparts] = sorted(r["doc_id"] for r in res.collect())
+        release_cached(res)
+    assert kept[1] == kept[5] == kept[32] and len(kept[1]) > 0
