@@ -136,7 +136,12 @@ def build_training_set(docs: DataFrame, eval_docs: DataFrame,
     packed = pack_chunks(with_counts, id_col, "n_tok", seq_len=seq_len)
     if shuffle_seed is not None:
         from hipipe_spark.operators.ordering import deterministic_shuffle
-        packed = deterministic_shuffle(packed, id_col, seed=shuffle_seed)
+        # carry pack_chunks' cache handle across the shuffle (the
+        # attribute lives on the DataFrame object, not the lineage)
+        handles = getattr(packed, "_hipipe_cached", ())
+        packed = register_cached(
+            deterministic_shuffle(packed, id_col, seed=shuffle_seed),
+            *handles)
     return register_cached(packed, deduped)
 
 
