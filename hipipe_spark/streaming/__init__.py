@@ -1,3 +1,12 @@
-from hipipe_spark.streaming import session_stream
+from hipipe_spark.streaming import (
+    decay_stream,
+    dedup_stream,
+    drift_stream,
+    quality_stream,
+    session_stream,
+)
 
-__all__ = ["session_stream"]
+__all__ = [
+    "decay_stream", "dedup_stream", "drift_stream", "quality_stream",
+    "session_stream",
+]
