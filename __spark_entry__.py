@@ -788,6 +788,21 @@ def q_robust_scale(spark, sf_dir):
         "conv_id", "turn_idx", F.round("text_len_r", 6).alias("text_len_r"))
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization: clamp text length into its fitted [p05, p95]
+    quantile band (exact interpolation for the oracle; approx sketch at
+    100 TB) — the tail-taming step before mean/std fits. Broadcast
+    bounds, scan-local clamp, nulls preserved."""
+    from hipipe_spark.operators.encoders import apply_clip, fit_clip
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    stats = fit_clip(t, ["text_len"], lo_p=0.05, hi_p=0.95, exact=True)
+    out = apply_clip(t, stats, ["text_len"])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.round("text_len_clip", 6).alias("text_len_clip"))
+
+
 def q_conv_split(spark, sf_dir):
     """Leakage-safe train/val/test assignment by conversation hash —
     no conv straddles splits, assignment frozen under corpus growth.
@@ -1526,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "mutual_info": q_mutual_info,
         "token_budget": q_token_budget,
+        "winsorize": q_winsorize,
     }
 
 
@@ -1950,6 +1966,16 @@ def oracle_sql() -> dict[str, str]:
       SELECT conv_id, turn_idx,
              CAST(len(list_filter(st.bs, b -> b <= x)) AS BIGINT)
                AS text_len_bin
+      FROM s, st
+    """
+    d["winsorize"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+                   CAST(length(text) AS DOUBLE) AS x FROM t),
+      st AS (SELECT quantile_cont(x, 0.05) AS lo,
+                    quantile_cont(x, 0.95) AS hi FROM s)
+      SELECT conv_id, turn_idx,
+             round(least(greatest(x, lo), hi), 6) AS text_len_clip
       FROM s, st
     """
     d["robust_scale"] = f"""

@@ -137,6 +137,40 @@ def apply_buckets(df: DataFrame, bounds: DataFrame, cols: Sequence[str],
     return joined.drop(*[f"{c}__bounds" for c in cols])
 
 
+def fit_clip(fit_df: DataFrame, cols: Sequence[str],
+             lo_p: float = 0.01, hi_p: float = 0.99,
+             exact: bool = False, accuracy: int = 10000) -> DataFrame:
+    """Winsorization bounds — the ``[lo_p, hi_p]`` quantiles of each
+    column from the FIT frame. Same exact/approx split as
+    :func:`fit_buckets`. Returns one row with ``{c}__lo`` / ``{c}__hi``
+    for :func:`apply_clip`."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if exact:
+            q = F.percentile(x, F.array(F.lit(lo_p), F.lit(hi_p)))
+        else:
+            q = F.percentile_approx(x, [lo_p, hi_p], accuracy)
+        aggs += [q[0].alias(f"{c}__lo"), q[1].alias(f"{c}__hi")]
+    return fit_df.agg(*aggs)
+
+
+def apply_clip(df: DataFrame, stats: DataFrame, cols: Sequence[str],
+               suffix: str = "_clip") -> DataFrame:
+    """Winsorize: clamp each column into its fitted quantile bounds —
+    the tail-taming step before a mean/std fit is trustworthy. Nulls
+    stay null (``greatest`` alone would resurrect them as the lower
+    bound). Broadcast stats, scan-local clamp — no shuffle of ``df``."""
+    joined = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        x = F.col(c).cast("double")
+        clamped = F.least(F.greatest(x, F.col(f"{c}__lo")),
+                          F.col(f"{c}__hi"))
+        joined = joined.withColumn(
+            f"{c}{suffix}", F.when(x.isNotNull(), clamped))
+    return joined.drop(*[f"{c}__{s}" for c in cols for s in ("lo", "hi")])
+
+
 def fit_robust_scaler(fit_df: DataFrame, cols: Sequence[str],
                       exact: bool = False,
                       accuracy: int = 10000) -> DataFrame:

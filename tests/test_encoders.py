@@ -155,3 +155,29 @@ def test_robust_scaler_outlier_resistance(spark):
     std_c = fit_standardizer(clean, ["x"]).collect()[0]["x__std"]
     std_d = fit_standardizer(dirty, ["x"]).collect()[0]["x__std"]
     assert std_d > 100 * std_c  # the mean/std fit blew up; the robust one didn't
+
+
+def test_winsorize_matches_numpy(transcripts):
+    from hipipe_spark.operators.encoders import apply_clip, fit_clip
+
+    t = _with_len(transcripts)
+    stats = fit_clip(t, ["text_len"], lo_p=0.05, hi_p=0.95, exact=True)
+    out = apply_clip(t, stats, ["text_len"]).toPandas()
+
+    xs = out["text_len"].astype(float).to_numpy()
+    lo = np.percentile(xs, 5, method="linear")
+    hi = np.percentile(xs, 95, method="linear")
+    assert np.allclose(out["text_len_clip"], np.clip(xs, lo, hi))
+    assert out["text_len_clip"].min() == lo
+    assert out["text_len_clip"].max() == hi
+
+
+def test_winsorize_null_stays_null(spark):
+    from hipipe_spark.operators.encoders import apply_clip, fit_clip
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 50.0), (3, 100.0), (4, None)], "id int, x double")
+    stats = fit_clip(df, ["x"], lo_p=0.25, hi_p=0.75, exact=True)
+    out = {r["id"]: r["x_clip"] for r in apply_clip(df, stats, ["x"]).collect()}
+    assert out[4] is None
+    assert out[1] == 25.0 and out[3] == 75.0 and out[2] == 50.0
