@@ -24,8 +24,10 @@ from hipipe_spark.functions.hashing import (
 from hipipe_spark.functions.text import (
     fingerprint, punct_ratio, token_count, tokens,
 )
-from hipipe_spark.operators.asof import asof_join
+from hipipe_spark.operators.asof import asof_interpolate, asof_join
+from hipipe_spark.operators.bpe import bpe_merge_table
 from hipipe_spark.operators.core import Filter, Pad, Transform
+from hipipe_spark.operators.joins import salted_join
 from hipipe_spark.operators.dedup import (
     embedding_near_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -36,8 +38,9 @@ from hipipe_spark.operators.groups import (
 )
 from hipipe_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hipipe_spark.operators.temporal import (
-    Backfill, CumulativeDistinct, DecayAgg, LagLead, RollingAgg,
-    RollingQuantile, Sessionize, TimeSincePrev, ts_seconds,
+    Backfill, CumulativeDistinct, DecayAgg, LagLead, PriorSessionStats,
+    RollingAgg, RollingQuantile, Sessionize, TimeSincePrev,
+    time_grid_resample, transition_matrix, ts_seconds,
 )
 from hipipe_spark.sources.multimodal import extract_features, gen_fake_media
 
@@ -1397,6 +1400,66 @@ def q_media_meta(spark, sf_dir):
         "media_id", "kind", "n_bytes", "thumb_w", "thumb_h", "n_frames")
 
 
+def q_asof_interp(spark, sf_dir):
+    """Time-weighted linear interpolation between the bracketing right
+    rows (offline gap-fill; asof.py asof_interpolate) — oracled by two
+    DuckDB ASOF joins plus the identical interpolation arithmetic."""
+    left, right = _asof_sides(spark, sf_dir)
+    out = asof_interpolate(left, right, on="ts", by="user_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.round("val_interp", 6).alias("val_interp"))
+
+
+def q_prior_session(spark, sf_dir):
+    """Previous-session features (length, mean text_len, seconds since
+    it ended) via the RANGE [-1,-1] window over session_seq — zero
+    shuffle beyond sessionize (temporal.py PriorSessionStats)."""
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("int"))
+    out = PriorSessionStats(value_cols="text_len")(
+        Sessionize(gap="30 minutes")(t))
+    return out.select(
+        "conv_id", "turn_idx", "prev_session_n_turns",
+        F.round("prev_session_mean_text_len", 6).alias("prev_session_mean_text_len"),
+        "secs_since_prev_session_end")
+
+
+def q_transitions(spark, sf_dir):
+    """Corpus role-transition Markov matrix (temporal.py
+    transition_matrix): one conv-window pass + tiny (from,to) agg."""
+    t = _transcripts(spark, sf_dir)
+    return transition_matrix(t, col="role")
+
+
+def q_salted_join(spark, sf_dir):
+    """Hot-key-safe salted join (joins.py): results must be
+    row-identical to the plain join the oracle runs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    return salted_join(li, dim, on="l_orderkey", how="left", salts=8)
+
+
+def q_time_grid(spark, sf_dir):
+    """Regular 6-hour grid per user carrying the as-of event value
+    (temporal.py time_grid_resample) — oracled by DuckDB
+    generate_series + ASOF join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", F.round("value", 4).alias("val"))
+    return time_grid_resample(ev, step="6 hours", cols=["val"],
+                              key="user_id", ts_col="ts")
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 8 BPE merges learned distributed over documents.text
+    (bpe.py). Iterative driver-loop algorithm — no single SQL oracle
+    exists (rows-only driver check, disclosed); exactness is pinned to
+    the pure-Python reference in tests/test_bpe.py."""
+    return bpe_merge_table(_docs(spark, sf_dir), text_col="text", k=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1542,6 +1605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "token_budget": q_token_budget,
         "winsorize": q_winsorize,
+        "asof_interp": q_asof_interp,
+        "prior_session": q_prior_session,
+        "transitions": q_transitions,
+        "salted_join": q_salted_join,
+        "time_grid": q_time_grid,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2238,6 +2307,77 @@ def oracle_sql() -> dict[str, str]:
                             AS INTEGER)
              END AS med_len_7
       FROM l
+    """
+    d["asof_interp"] = """
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+           r AS (SELECT user_id, ts, round(value, 4) AS val FROM events WHERE event_id % 2 = 0),
+      b AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.val AS bval
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+      f AS (SELECT l.event_id, r.ts AS fts, r.val AS fval
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+      SELECT b.event_id, b.user_id, b.ts,
+             round(CASE WHEN b.bts IS NOT NULL AND f.fts IS NOT NULL
+                         AND f.fts > b.bts
+                        THEN b.bval + (f.fval - b.bval)
+                             * (epoch(b.ts) - epoch(b.bts))
+                             / (epoch(f.fts) - epoch(b.bts))
+                        WHEN b.bts IS NOT NULL THEN b.bval
+                        ELSE f.fval END, 6) AS val_interp
+      FROM b JOIN f USING (event_id)
+    """
+    d["prior_session"] = f"""
+      WITH t AS ({_T}),
+      g AS (SELECT conv_id, turn_idx, ts,
+                   CAST(length(text) AS INTEGER) AS text_len,
+                   lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+            FROM t),
+      s AS (SELECT conv_id, turn_idx, ts, text_len,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > {GAP_SEC}
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                              ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER) AS session_seq
+            FROM g)
+      SELECT conv_id, turn_idx,
+             CASE WHEN session_seq > 0
+                  THEN CAST(count(*) OVER w AS INTEGER) END AS prev_session_n_turns,
+             CASE WHEN session_seq > 0
+                  THEN round(avg(CAST(text_len AS DOUBLE)) OVER w, 6)
+             END AS prev_session_mean_text_len,
+             CASE WHEN session_seq > 0
+                  THEN round(epoch(ts) - epoch(max(ts) OVER w), 6)
+             END AS secs_since_prev_session_end
+      FROM s
+      WINDOW w AS (PARTITION BY conv_id ORDER BY session_seq
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    """
+    d["transitions"] = f"""
+      WITH t AS ({_T}),
+      p AS (SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                     AS from_role,
+                   role AS to_role
+            FROM t),
+      c AS (SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE from_role IS NOT NULL GROUP BY from_role, to_role)
+      SELECT from_role, to_role, n,
+             round(n / sum(n) OVER (PARTITION BY from_role), 6) AS p
+      FROM c
+    """
+    d["salted_join"] = """
+      SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+      FROM lineitem l
+      LEFT JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+                 WHERE o_orderkey % 2 = 0) o
+        ON l.l_orderkey = o.o_orderkey
+    """
+    d["time_grid"] = """
+      WITH e AS (SELECT user_id, ts, round(value, 4) AS val FROM events),
+      s AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM e GROUP BY user_id),
+      g AS (SELECT user_id,
+                   unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+            FROM s)
+      SELECT g.user_id, g.ts, e.val
+      FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts
     """
     return d
 

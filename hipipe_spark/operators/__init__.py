@@ -1,6 +1,7 @@
 from hipipe_spark.operators import (
     asof,
     boilerplate,
+    bpe,
     contamination,
     core,
     corpus,
@@ -10,6 +11,7 @@ from hipipe_spark.operators import (
     flagship,
     groups,
     inference,
+    joins,
     ordering,
     packing,
     retrieval,
@@ -19,7 +21,8 @@ from hipipe_spark.operators import (
 )
 
 __all__ = [
-    "asof", "boilerplate", "contamination", "core", "corpus", "dedup",
-    "drift", "encoders", "flagship", "groups", "inference", "ordering",
+    "asof", "boilerplate", "bpe", "contamination", "core", "corpus", "dedup",
+    "drift", "encoders", "flagship", "groups", "inference", "joins",
+    "ordering",
     "packing", "retrieval", "sampling", "similarity", "temporal",
 ]

@@ -225,6 +225,91 @@ def asof_join_multi(
     return out
 
 
+def asof_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    tolerance_sec: int | None = None,
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Time-weighted linear interpolation between the bracketing right
+    rows: for each left row at ``ts``, find the latest right row at or
+    before (``b``) and the earliest at or after (``f``) and emit
+    ``b + (f - b) * (ts - ts_b) / (ts_f - ts_b)``. One-sided gaps hold
+    the available endpoint; an exact hit returns it unchanged.
+
+    **Leakage note**: the forward bracket reads rows with ``ts' > ts``.
+    This is an OFFLINE gap-fill / label-construction operator (the
+    slowly-varying-signal resample every training-set builder needs),
+    never a serving-time feature — same contract as ``LagLead`` leads,
+    and the ``_interp`` suffix keeps that visible (temporal.py frame
+    rules; BASELINE.md "Temporal integrity").
+
+    Plan shape = ``direction="nearest"``: ONE union + ONE hash exchange
+    on ``by``, two partition-local window sorts (ts asc / desc), then
+    pure column arithmetic — no join, no Python, whole-stage codegen
+    end-to-end; hot conversations can pre-split with the bucketed
+    recipe. ``tolerance_sec`` drops a bracket side farther than the
+    cutoff (the other side then holds).
+
+    ``value_cols`` must be numeric; outputs are DOUBLE.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {on, *by}]
+    lcols = left.columns
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast("double").alias(f"__r_{c}") for c in value_cols],
+        F.lit(1).alias("__side"),
+    )
+    r = right.select(
+        *[
+            (F.col(c) if c in {on, *by} else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).cast("double").alias(f"__r_{c}") for c in value_cols],
+        F.lit(0).alias("__side"),  # right sorts first at equal ts: exact hits match
+    )
+    u = l.unionByName(r)
+    wb = (Window.partitionBy(*by).orderBy(F.col(on), F.col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    right_on = F.when(F.col("__side") == 0, F.col(on))
+    sel = ["*"]
+    for c in value_cols:
+        sel.append(F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}"))
+        sel.append(F.last(F.col(f"__r_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}"))
+    sel.append(F.last(right_on, ignorenulls=True).over(wb).alias("__b_ts"))
+    sel.append(F.last(right_on, ignorenulls=True).over(wf).alias("__f_ts"))
+    out = u.select(*sel).filter(F.col("__side") == 1)
+    ts_l = _epoch_sec(F.col(on))
+    ts_b, ts_f = _epoch_sec(F.col("__b_ts")), _epoch_sec(F.col("__f_ts"))
+    b_ok = F.col("__b_ts").isNotNull()
+    f_ok = F.col("__f_ts").isNotNull()
+    if tolerance_sec is not None:
+        b_ok = b_ok & ((ts_l - ts_b) <= float(tolerance_sec))
+        f_ok = f_ok & ((ts_f - ts_l) <= float(tolerance_sec))
+    # CASE branches evaluate lazily: the division only runs on the
+    # interior-gap branch where ts_f > ts_b (ANSI mode would otherwise
+    # throw DIVIDE_BY_ZERO on exact hits)
+    frac = (ts_l - ts_b) / (ts_f - ts_b)
+    proj = []
+    for c in value_cols:
+        b_v, f_v = F.col(f"__b_{c}"), F.col(f"__f_{c}")
+        proj.append(
+            F.when(b_ok & f_ok & (F.col("__f_ts") > F.col("__b_ts")),
+                   b_v + (f_v - b_v) * frac)
+            .when(b_ok, b_v)
+            .when(f_ok, f_v)
+            .alias(f"{c}{suffix}")
+        )
+    return out.select(*[F.col(c) for c in lcols], *proj)
+
+
 def _asof_union(left, right, on, by, direction, exact, tol, value_cols, suffix):
     if direction == "nearest":
         return _asof_union_nearest(left, right, on, by, exact, tol,

@@ -1,0 +1,177 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training.
+
+The tokenizer-training step of a training-data pipeline, run where the
+data lives instead of sampling to one machine. The classic algorithm
+(Sennrich et al. 2016, public): start from words as character
+sequences, repeatedly merge the most frequent adjacent symbol pair.
+
+Scale design — the whole point of doing this in Spark:
+
+1. ONE corpus-scale shuffle up front: tokenize + ``groupBy(word)``
+   count. Everything after runs on the distinct-word table (vocab-sized
+   — millions of rows at 100 TB, KBs per executor), so ``k`` merge
+   iterations cost k tiny shuffles over the vocab, never a second pass
+   over the corpus. Counting pairs over (distinct word × count) is
+   exactly equivalent to counting over raw text.
+2. Per-iteration argmax is a ``limit(1).collect()`` of a one-row
+   aggregate — dimension-sized driver traffic, not a hot-path collect.
+3. The merge itself is a pure ``F.aggregate`` left-fold over each
+   word's symbol array (greedy left-to-right, the standard BPE apply
+   order) — JVM-side, no Python. The vocab frame is
+   ``localCheckpoint``-ed per iteration so lineage/codegen depth stays
+   O(1) across iterations instead of O(k).
+
+Determinism: ties on pair count break lexicographically (smallest
+(a, b) in UTF8 byte order) — byte-identical merge tables at any
+parallelism. Verified against the pure-Python reference implementation
+(``hipipe_spark.reference_impl.bpe_reference``) in
+``tests/test_bpe.py``; an iterative driver-loop algorithm, so the
+driver gate records a rows-only row (no single SQL oracle exists —
+disclosed, same class as ``embedding_ivf_topk``).
+
+hipipe parity note: hipipe has no tokenizer training; this extends the
+engine along the task spec's training-data axis (token counting /
+text analysis over ``documents``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hipipe_spark.functions.text import tokens
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("a", T.StringType(), False),
+    T.StructField("b", T.StringType(), False),
+    T.StructField("n", T.LongType(), False),
+])
+
+
+def _chars(col: Column) -> Column:
+    """Word → array of single-character symbols (split("") emits a
+    trailing empty string under Java's limit=-1; drop empties)."""
+    return F.filter(F.split(col, ""), lambda x: x != "")
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into "ab" — the
+    standard BPE apply order ([l,l,l] + (l,l) → [ll, l]). Pure JVM
+    left-fold; try_element_at keeps the empty-accumulator probe safe
+    under ANSI mode."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent-symbol pair frequencies, weighted by word
+    count; overlapping pairs count ([l,l,l] → (l,l) twice)."""
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda j: F.struct(
+            F.element_at(F.col("syms"), j).alias("a"),
+            F.element_at(F.col("syms"), j + 1).alias("b"),
+        ),
+    )
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(F.explode(pair_structs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_merge_table(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    lowercase: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn the first ``k`` BPE merges over ``df[text_col]`` and
+    return the merge table (rank, a, b, n) — rank is 1-based merge
+    order, n the pair's frequency at merge time.
+
+    Stops early when no pair reaches ``min_count``. See module
+    docstring for the scale architecture.
+    """
+    spark: SparkSession = df.sparkSession
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = (
+        df.select(F.explode(tokens(txt)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_chars(F.col("w")).alias("syms"), "cnt")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        # localCheckpoint: truncate lineage so expression/codegen depth
+        # stays constant across iterations (vocab-sized materialization)
+        words = words.select(
+            _merge_pair(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | DataFrame,
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+    lowercase: bool = True,
+    max_merges: int = 64,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus: ``out`` holds each
+    row's text as an array of BPE symbols (words separated by the
+    word-boundary marker ``"▁"`` prefix convention is NOT used — words
+    are segmented independently and concatenated, the simplest public
+    convention; token COUNT features are convention-free).
+
+    Each merge is one narrow ``F.aggregate`` fold — k merges stack k
+    expression layers with no shuffle between them; Spark falls back
+    from codegen to interpreted evaluation if the tree grows past its
+    limit, hence the ``max_merges`` guard (sub-word features rarely
+    need more).
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()  # merge table: k rows
+        merges = [(r["a"], r["b"]) for r in rows]
+    if len(merges) > max_merges:
+        raise ValueError(
+            f"{len(merges)} merges would nest {len(merges)} fold "
+            f"expressions (> max_merges={max_merges}); segment in "
+            "stages or raise the guard explicitly"
+        )
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    word_syms = F.transform(tokens(txt), _chars)  # array<array<string>>
+
+    def _fold(a: str, b: str):
+        # closure factory, NOT a default-arg lambda: an extra bound
+        # param would make F.transform pass the element INDEX into it
+        return lambda s: _merge_pair(s, a, b)
+
+    for a, b in merges:
+        word_syms = F.transform(word_syms, _fold(a, b))
+    return df.withColumn(out, F.flatten(word_syms))

@@ -434,6 +434,57 @@ class CumulativeDistinct(Stage):
         return df
 
 
+class PriorSessionStats(Stage):
+    """Per-turn features of the user's PREVIOUS session: how long it
+    was, its mean of ``value_cols``, and seconds elapsed since it ended
+    — the "returning user" features every engagement / retention model
+    wants, with leakage safety by construction (a previous session is
+    entirely in the past: gap-based sessionization guarantees every row
+    of session ``k-1`` precedes every row of session ``k``).
+
+    Requires a ``session_seq`` column (run :class:`Sessionize` first).
+
+    Zero extra shuffle beyond the sessionize window: the previous
+    session's rows are exactly the frame ``RANGE BETWEEN 1 PRECEDING
+    AND 1 PRECEDING`` over ``ORDER BY session_seq`` within the
+    conversation — no per-session aggregate table, no join back. Emits
+    ``prev_session_n_turns`` (int, null when no prior session),
+    ``prev_session_mean_<col>``, and ``secs_since_prev_session_end``.
+    """
+
+    def __init__(self, value_cols: str | Sequence[str] = (),
+                 key: str = DEFAULT_KEY, ts_col: str = "ts",
+                 seq_col: str = "session_seq"):
+        cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+        super().__init__(f"prior_session({','.join(cols) or ts_col})")
+        self.value_cols, self.key = cols, key
+        self.ts_col, self.seq_col = ts_col, seq_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy(self.key)
+            .orderBy(F.col(self.seq_col).cast("long"))
+            .rangeBetween(-1, -1)
+        )
+        has_prev = F.col(self.seq_col) > 0
+        df = df.withColumn(
+            "prev_session_n_turns",
+            F.when(has_prev, F.count(F.lit(1)).over(w).cast("int")),
+        )
+        prev_end = F.max(F.col(self.ts_col)).over(w)
+        df = df.withColumn(
+            "secs_since_prev_session_end",
+            F.when(has_prev,
+                   F.round(ts_seconds(F.col(self.ts_col)) - ts_seconds(prev_end), 6)),
+        )
+        for c in self.value_cols:
+            df = df.withColumn(
+                f"prev_session_mean_{c}",
+                F.when(has_prev, F.avg(F.col(c).cast("double")).over(w)),
+            )
+        return df
+
+
 class RollingQuantile(Stage):
     """Exact nearest-rank quantile over the last ``lookback``
     strictly-past rows (e.g. median response length of the previous 20
@@ -470,6 +521,81 @@ class RollingQuantile(Stage):
                 F.when(n > 0, F.element_at(arr, idx)),
             )
         return df
+
+
+def transition_matrix(df: DataFrame, col: str = "role",
+                      key: str = DEFAULT_KEY,
+                      order: Sequence[str] = DEFAULT_ORDER) -> DataFrame:
+    """Corpus-level first-order Markov transition matrix over the
+    per-conversation turn order: for every adjacent pair of turns,
+    count (from → to) and the row-conditional probability
+    ``p = n / Σ_to n`` — the turn-taking structure feature (who speaks
+    after whom, how often a tool call follows an assistant turn) and a
+    drift monitor for agent-behavior changes.
+
+    Plan: one window pass (the same (key, order) sort every temporal
+    stage shares — exchange reuse), then a groupBy on the tiny
+    (from, to) grain with map-side partial aggregation, then a window
+    over ``from`` on the already-tiny result. The only corpus-scale
+    exchange is the conversation hash partition; output cardinality is
+    |values|² regardless of input size.
+
+    Emits (from_<col>, to_<col>, n, p) sorted nowhere — order belongs
+    to the caller.
+    """
+    w = ordered_window(key, order)
+    prev = F.lag(F.col(col)).over(w)
+    pairs = (
+        df.select(prev.alias(f"from_{col}"), F.col(col).alias(f"to_{col}"))
+        .filter(F.col(f"from_{col}").isNotNull())
+        .groupBy(f"from_{col}", f"to_{col}")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy(f"from_{col}")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wp), 6)
+    )
+
+
+def time_grid_resample(df: DataFrame, step: str = "15 minutes",
+                       cols: Sequence[str] | None = None,
+                       key: str = DEFAULT_KEY, ts_col: str = "ts",
+                       strategy: str = "union") -> DataFrame:
+    """Resample each conversation onto a regular time grid: one row per
+    ``step`` from its first to its last turn, carrying the as-of
+    (backward) values of ``cols`` — hipipe's ``rebatch`` re-read along
+    the time axis (reference ``stream/rebatch.hpp:151-162`` regroups
+    fixed-size batches; here the fixed size is wall-clock), and the
+    standard irregular→regular conversion before any fixed-rate model.
+
+    Plan: one groupBy(key) min/max aggregate (map-side combined, tiny
+    output), a generator explode of ``sequence(t0, t1, step)`` — grid
+    rows are produced distributed, never on the driver — then one
+    :func:`~hipipe_spark.operators.asof.asof_join` with the chosen
+    strategy (union = one exchange of grid+turns; hot conversations
+    follow the as-of module's bucketed recipe). Grid density is the
+    caller's lever: rows ≈ Σ span/step per conversation.
+
+    Every grid value is the latest turn at or before the grid instant:
+    leakage-free by construction.
+    """
+    from hipipe_spark.operators.asof import asof_join
+
+    if cols is None:
+        cols = [c for c in df.columns if c not in {key, ts_col}]
+    step_sec = _interval_seconds(step)
+    spans = df.groupBy(key).agg(
+        F.min(ts_col).alias("__t0"), F.max(ts_col).alias("__t1")
+    )
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__t0"), F.col("__t1"),
+                       F.expr(f"INTERVAL {step_sec} SECOND"))
+        ).alias(ts_col),
+    )
+    return asof_join(grid, df.select(key, ts_col, *cols), on=ts_col,
+                     by=key, strategy=strategy)
 
 
 def _interval_seconds(text: str) -> int:

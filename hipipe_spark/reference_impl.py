@@ -106,3 +106,66 @@ def allclose_frames(a: pd.DataFrame, b: pd.DataFrame, cols: list[str],
             if not (xa == ya).all():
                 return False
     return True
+
+
+def bpe_reference(texts: list[str], k: int = 10, lowercase: bool = True,
+                  min_count: int = 2) -> list[tuple[int, str, str, int]]:
+    """Single-node BPE merge training (Sennrich et al. 2016, public):
+    the exact convention pinned by operators/bpe.py — whitespace words,
+    overlapping adjacent-pair counts weighted by word frequency, ties
+    broken by lexicographically smallest (a, b), greedy left-to-right
+    merge application. Used as the oracle for the distributed trainer
+    (tests/test_bpe.py)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        if lowercase:
+            t = t.lower()
+        for w in t.split():
+            words[w] += 1
+    vocab: dict[str, list[str]] = {w: list(w) for w in words}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), n = sorted(pairs.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < min_count:
+            break
+        merges.append((rank, a, b, n))
+        for w, s in vocab.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def bpe_segment_reference(text: str, merges: list[tuple[str, str]],
+                          lowercase: bool = True) -> list[str]:
+    """Apply merges in rank order to one text (greedy left-to-right per
+    word, words concatenated) — oracle for operators/bpe.bpe_segment."""
+    if lowercase:
+        text = text.lower()
+    out: list[str] = []
+    for w in text.split():
+        s = list(w)
+        for a, b in merges:
+            nxt: list[str] = []
+            for x in s:
+                if nxt and nxt[-1] == a and x == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(x)
+            s = nxt
+        out.extend(s)
+    return out

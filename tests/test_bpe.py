@@ -1,0 +1,77 @@
+"""Distributed BPE trainer vs the pure-Python reference convention."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.bpe import bpe_merge_table, bpe_segment
+from hipipe_spark.reference_impl import bpe_reference, bpe_segment_reference
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest wide wide wide",
+    "low new wide lowly",
+    "the lowest of the low",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)],
+                                 "doc_id int, text string")
+
+
+def test_merge_table_matches_reference(corpus_df):
+    got = [(r["rank"], r["a"], r["b"], r["n"])
+           for r in bpe_merge_table(corpus_df, k=8).orderBy("rank").collect()]
+    want = bpe_reference(CORPUS, k=8)
+    assert got == want
+    assert len(got) == 8
+    # rank-1 merge must be the globally most frequent pair
+    assert got[0][3] == max(m[3] for m in got)
+
+
+def test_merge_table_on_transcripts(transcripts, transcripts_pdf):
+    got = [(r["rank"], r["a"], r["b"], r["n"])
+           for r in bpe_merge_table(transcripts, text_col="text", k=6)
+           .orderBy("rank").collect()]
+    want = bpe_reference(list(transcripts_pdf["text"]), k=6)
+    assert got == want
+
+
+def test_merge_table_min_count_stops(corpus_df):
+    # absurd threshold -> no merges
+    out = bpe_merge_table(corpus_df, k=5, min_count=10**9)
+    assert out.count() == 0
+
+
+def test_overlapping_pair_convention(spark):
+    # "aaa" counts (a,a) twice; greedy merge yields [aa, a]
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    rows = bpe_merge_table(df, k=2, min_count=1).orderBy("rank").collect()
+    assert (rows[0]["a"], rows[0]["b"], rows[0]["n"]) == ("a", "a", 4)
+    seg = bpe_segment(df, [("a", "a")]).select("bpe_tokens").first()[0]
+    assert seg == ["aa", "a", "aa", "a"]
+
+
+def test_segment_matches_reference(corpus_df):
+    merges_df = bpe_merge_table(corpus_df, k=8)
+    merges = [(r["a"], r["b"]) for r in merges_df.orderBy("rank").collect()]
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_segment(corpus_df, merges_df).collect()}
+    for i, t in enumerate(CORPUS):
+        assert got[i] == bpe_segment_reference(t, merges)
+
+
+def test_segment_guard():
+    import pandas as pd  # noqa: F401
+    with pytest.raises(ValueError):
+        bpe_segment(None, [("a", "b")] * 65)
+
+
+def test_segment_token_count_feature(corpus_df):
+    merges_df = bpe_merge_table(corpus_df, k=4)
+    out = bpe_segment(corpus_df, merges_df).withColumn(
+        "n_bpe", F.size("bpe_tokens"))
+    pdf = out.select("doc_id", "n_bpe").toPandas()
+    assert (pdf["n_bpe"] > 0).all()
