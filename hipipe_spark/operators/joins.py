@@ -59,7 +59,9 @@ def salted_join(
     fact_s = fact.withColumn(
         SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int")
     )
+    # sequence of int literals yields array<int> — no cast (a generator
+    # cannot nest inside another expression)
     dim_s = dim.withColumn(
-        SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).cast("int")
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return fact_s.join(dim_s, on=keys + [SALT], how=how).drop(SALT)

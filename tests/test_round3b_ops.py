@@ -72,7 +72,9 @@ def test_asof_interpolate_tolerance(interp_sides):
     assert got[2] == pytest.approx(30.0)
     assert got[3] == pytest.approx(30.0)      # exact hit always in tol
     assert got[4] == pytest.approx(60.0)      # 12:30 vs 12:00 = 1800s, in
-    assert got[6] == pytest.approx(175.0)
+    # event 6 (10:45): backward 10:00 is 2700s away -> dropped; holds
+    # the in-tolerance forward bracket (11:00 -> 200)
+    assert got[6] == pytest.approx(200.0)
 
 
 def test_asof_interpolate_matches_pandas_on_random(spark, transcripts_pdf):
@@ -217,8 +219,11 @@ def test_time_grid_resample(spark):
 
 def test_time_grid_matches_asof_strategies(transcripts):
     """Grid values must be identical across as-of strategies."""
-    small = transcripts.filter(F.crc32("conv_id") % 7 == 0).select(
-        "conv_id", "ts", F.length("text").cast("int").alias("text_len"))
+    # one row per (conv, ts): equal-ts rows have no defined as-of
+    # winner, so strategies could legitimately differ on them
+    small = (transcripts.filter(F.crc32("conv_id") % 7 == 0)
+             .groupBy("conv_id", "ts")
+             .agg(F.max(F.length("text")).cast("int").alias("text_len")))
     a = time_grid_resample(small, step="10 minutes", cols=["text_len"],
                            strategy="union").toPandas()
     b = time_grid_resample(small, step="10 minutes", cols=["text_len"],
