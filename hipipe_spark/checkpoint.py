@@ -71,7 +71,15 @@ class SnapshotStore:
         """Write df as a new snapshot; returns the snapshot id.
         Partition row counts (the lineage record) are computed in the
         same pass via a post-write scan of parquet footers."""
-        snap = time.strftime("%Y%m%dT%H%M%S") + "-" + uuid.uuid4().hex[:6]
+        # Lexical order must equal commit order for latest(): the id
+        # embeds a fixed-width nanosecond fraction so two commits in the
+        # same wall-clock second still sort chronologically (a random
+        # suffix alone made latest() nondeterministic under fast loops).
+        snap = (
+            time.strftime("%Y%m%dT%H%M%S")
+            + f"-{time.time_ns() % 1_000_000_000:09d}-"
+            + uuid.uuid4().hex[:6]
+        )
         tmp = self._dir(name, f".tmp-{snap}")
         final = self._dir(name, snap)
         t0 = time.time()

@@ -97,6 +97,9 @@ def bpe_merge_table(
     k: int = 10,
     lowercase: bool = True,
     min_count: int = 2,
+    store=None,
+    job_name: str = "bpe",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Learn the first ``k`` BPE merges over ``df[text_col]`` and
     return the merge table (rank, a, b, n) — rank is 1-based merge
@@ -104,19 +107,41 @@ def bpe_merge_table(
 
     Stops early when no pair reaches ``min_count``. See module
     docstring for the scale architecture.
+
+    **Resumable**: pass a :class:`hipipe_spark.checkpoint.SnapshotStore`
+    as ``store`` and every ``checkpoint_every`` merges the vocab state
+    + merge list commit as an atomic snapshot (``<job_name>_words``).
+    A rerun with the same store resumes from the last committed merge —
+    the corpus-scale tokenize+count shuffle is NOT repeated (the north
+    rule's resume-from-checkpoint contract applied to an iterative
+    job; tests prove resume by passing a *different* corpus on the
+    second call). Cache note: per-iteration ``localCheckpoint`` blocks
+    are vocab-sized and freed by Spark's ContextCleaner as soon as the
+    superseded frame is unreferenced driver-side (the loop rebinds
+    ``words`` each round) — no unbounded accumulation.
     """
     spark: SparkSession = df.sparkSession
-    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    words = (
-        df.select(F.explode(tokens(txt)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(_chars(F.col("w")).alias("syms"), "cnt")
-        .localCheckpoint(eager=False)
-    )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, k + 1):
+    words = None
+    if store is not None and store.latest(f"{job_name}_words") is not None:
+        snap = store.latest(f"{job_name}_words")
+        manifest = store.manifest(f"{job_name}_words", snap)
+        done = [tuple(m) for m in manifest.get("merges", [])]
+        if done:
+            merges = [(int(r), str(a), str(b), int(n)) for r, a, b, n in done]
+            words = store.read(spark, f"{job_name}_words", snap)
+    if words is None:
+        txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        words = (
+            df.select(F.explode(tokens(txt)).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(_chars(F.col("w")).alias("syms"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+    last_committed = len(merges)
+    for rank in range(len(merges) + 1, k + 1):
         top = (
             _pair_counts(words)
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
@@ -132,6 +157,11 @@ def bpe_merge_table(
         words = words.select(
             _merge_pair(F.col("syms"), a, b).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
+        if store is not None and (rank % checkpoint_every == 0 or rank == k):
+            store.commit(words, f"{job_name}_words", meta={"merges": merges})
+            last_committed = rank
+    if store is not None and len(merges) > last_committed:
+        store.commit(words, f"{job_name}_words", meta={"merges": merges})
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 

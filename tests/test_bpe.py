@@ -69,6 +69,27 @@ def test_segment_guard():
         bpe_segment(None, [("a", "b")] * 65)
 
 
+def test_resume_from_checkpoint(spark, corpus_df, tmp_path):
+    """A rerun with the same SnapshotStore continues from the last
+    committed merge WITHOUT re-reading the corpus: the second call gets
+    a decoy corpus, so matching the reference proves the vocab state
+    came from the snapshot."""
+    from hipipe_spark.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    first = bpe_merge_table(corpus_df, k=4, store=store,
+                            checkpoint_every=2)
+    assert first.count() == 4
+    decoy = spark.createDataFrame([("zzz qqq xxx",)], "text string")
+    resumed = bpe_merge_table(decoy, k=8, store=store, checkpoint_every=2)
+    got = [(r["rank"], r["a"], r["b"], r["n"])
+           for r in resumed.orderBy("rank").collect()]
+    assert got == bpe_reference(CORPUS, k=8)
+    # snapshot manifest carries the merge list (resume metadata)
+    snap = store.latest("bpe_words")
+    assert len(store.manifest("bpe_words", snap)["merges"]) == 8
+
+
 def test_segment_token_count_feature(corpus_df):
     merges_df = bpe_merge_table(corpus_df, k=4)
     out = bpe_segment(corpus_df, merges_df).withColumn(
