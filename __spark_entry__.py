@@ -1476,10 +1476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only. Slots 1-15: queries with no driver
     row through round 2 (flagship first — the north-rule query).
-    Slots 16-27: new round-3 queries. Slots 28-50: one anchor per
-    operator family. Past 50: redundant-by-construction oracle twins
-    and strategy variants of in-window anchors, each already recorded
-    green in rounds 1-2 and re-checked every round by
+    Slots 16-27: new round-3 queries. Slots 28-30: anchors whose
+    implementation CHANGED in round 3 (two-phase generate_groups /
+    generate_groups_multi, ndim_ops with the resize columns) — they
+    need a fresh driver row to prove the rewrite. Slots 31-50: the
+    late-round-3 operators, rotated into the window this round (they
+    had no driver row yet). Past 50: queries already recorded green by
+    the driver in rounds 1-2 (operator-family anchors rotated out to
+    make room, plus redundant-by-construction oracle twins and strategy
+    variants), each re-checked every round by
     ``tools/check_oracles.py`` (the driver-gate replica)."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -1511,17 +1516,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "training_pipeline": q_training_pipeline,
         "bm25": q_bm25,
-        # -- 28-50: operator-family anchors
+        # -- 28-30: r3-rewritten anchors needing driver re-verification
+        "generate_groups": q_generate_groups,
+        "generate_groups_multi": q_generate_groups_multi,
+        "ndim_ops": q_ndim_ops,
+        # -- 31-50: late-round-3 operators, first driver row this round
+        "tfidf": q_tfidf,
+        "decay_features": q_decay_features,
+        "cum_distinct": q_cum_distinct,
+        "rolling_quantile": q_rolling_quantile,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "cramers_v": q_cramers_v,
+        "mutual_info": q_mutual_info,
+        "quantile_bin": q_quantile_bin,
+        "target_encode": q_target_encode,
+        "standardize": q_standardize,
+        "asof_multi": q_asof_multi,
+        "asof_interp": q_asof_interp,
+        "prior_session": q_prior_session,
+        "transitions": q_transitions,
+        "salted_join": q_salted_join,
+        "time_grid": q_time_grid,
+        "conv_split": q_conv_split,
+        "token_budget": q_token_budget,
+        "bpe_merges": q_bpe_merges,
+        # -- 51+: queries with green driver rows from rounds 1-2 (and
+        #    every check_oracles run since), rotated out of the window
+        #    so never-verified queries get the driver's 50-row budget:
+        #    sessionize / lag_lead / asof_union / filter_dim1 /
+        #    transform_map / index_mapper / pad_mask2 / token_stats /
+        #    fingerprint / exact_dedup / ngram_jaccard / dedup_clusters /
+        #    minhash_lsh / simhash / embedding_topk / embedding_near_dup /
+        #    embedding_ivf_topk / corpus_pipeline / tpch_q3 / join_agg
+        #    join round-2 rotations transform_cond / transform_dim2 /
+        #    filter_dim2 / pad_mask / fixed_groups / session_agg /
+        #    tpch_q1 / rolling / backfill here. Their families stay
+        #    anchored in-window: sessions via flagship + prior_session,
+        #    as-of via flagship/asof_tolerance/asof_multi/asof_interp,
+        #    dedup via ngram_jaccard_capped + contamination, embeddings
+        #    via (r4 rotation), relational via pivot_status..set_ops.
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "asof_union": q_asof_union,
         "filter_dim1": q_filter_dim1,
         "transform_map": q_transform_map,
         "index_mapper": q_index_mapper,
-        "generate_groups": q_generate_groups,
-        "generate_groups_multi": q_generate_groups_multi,
         "pad_mask2": q_pad_mask2,
-        "ndim_ops": q_ndim_ops,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1535,18 +1576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "tpch_q3": q_tpch_q3,
         "join_agg": q_join_agg,
-        # -- 51+: proven twins / strategy variants (no driver row; green
-        #    in CORRECTNESS_r01/r02 and in every check_oracles run).
-        #    transform_cond / transform_dim2 / filter_dim2 / pad_mask /
-        #    fixed_groups / session_agg / tpch_q1 / rolling / backfill
-        #    rotated out of the window in round 3 (rolling and backfill
-        #    stay anchored in-window via rolling_range and
-        #    backfill_bounded)
-        #    (each green in BOTH prior driver rounds; their families
-        #    stay anchored in-window — transform via transform_map +
-        #    ndim_ops/pad_mask2, sessions via sessionize, relational
-        #    joins via tpch_q3/join_agg) to make room for the round-3
-        #    ops above.
         "transform_cond": q_transform_cond,
         "transform_dim2": q_transform_dim2,
         "filter_dim2": q_filter_dim2,
@@ -1578,39 +1607,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "topk_per_group": q_topk_per_group,
         "latest_per_key": q_latest_per_key,
-        # new post-round-3 operators (no driver row yet — rotate into
-        # the 50-row window in round 4; judge-oracle via check_oracles)
+        # late-round-3 operators still awaiting their first driver row
+        # (rotate into the 50-row window in round 4; judge-oracle via
+        # check_oracles until then)
         "boilerplate_lines": q_boilerplate_lines,
         "det_shuffle": q_det_shuffle,
         "temperature_mixture": q_temperature_mixture,
-        "tfidf": q_tfidf,
-        "decay_features": q_decay_features,
-        "cum_distinct": q_cum_distinct,
-        "rolling_quantile": q_rolling_quantile,
-        "psi_drift": q_psi_drift,
         "embedding_topk_int8": q_embedding_topk_int8,
-        "asof_multi": q_asof_multi,
-        "conv_split": q_conv_split,
-        "target_encode": q_target_encode,
-        "standardize": q_standardize,
         "unigram_logprob": q_unigram_logprob,
         "embedding_pool": q_embedding_pool,
         "hash_features": q_hash_features,
         "bigram_pmi": q_bigram_pmi,
-        "quantile_bin": q_quantile_bin,
-        "ks_drift": q_ks_drift,
-        "cramers_v": q_cramers_v,
         "robust_scale": q_robust_scale,
         "ngram_containment": q_ngram_containment,
-        "mutual_info": q_mutual_info,
-        "token_budget": q_token_budget,
         "winsorize": q_winsorize,
-        "asof_interp": q_asof_interp,
-        "prior_session": q_prior_session,
-        "transitions": q_transitions,
-        "salted_join": q_salted_join,
-        "time_grid": q_time_grid,
-        "bpe_merges": q_bpe_merges,
     }
 
 
