@@ -27,7 +27,12 @@ from hipipe_spark.functions.text import (
 from hipipe_spark.operators.asof import asof_interpolate, asof_join
 from hipipe_spark.operators.bpe import bpe_merge_table
 from hipipe_spark.operators.core import Filter, Pad, Transform
-from hipipe_spark.operators.joins import salted_join
+from hipipe_spark.operators.decomposition import (
+    apply_pca, covariance_matrix, fit_pca,
+)
+from hipipe_spark.operators.features import categorical_entropy, make_labels
+from hipipe_spark.operators.joins import interval_join, salted_join
+from hipipe_spark.operators.packing import chunk_overlap
 from hipipe_spark.operators.dedup import (
     embedding_near_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
     simhash_near_pairs,
@@ -1460,6 +1465,81 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merge_table(_docs(spark, sf_dir), text_col="text", k=8)
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval range join (joins.py interval_join): every
+    event inside [user's first purchase, +2h), bucketed onto a 1-hour
+    slice grid so the range predicate becomes an equi-join + exact
+    filter instead of a nested loop. Oracle = plain SQL BETWEEN join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = (ev.filter(F.col("event_type") == "purchase")
+          .groupBy("user_id").agg(F.min("ts").alias("win_start"))
+          .withColumn("win_end",
+                      F.col("win_start") + F.expr("INTERVAL 2 HOURS")))
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts"), iv,
+        time_col="ts", start_col="win_start", end_col="win_end",
+        on="user_id", slice_seconds=3600)
+    return out.select(
+        "event_id", "user_id",
+        F.round(ts_seconds(F.col("win_start")), 6).alias("win_start_s"))
+
+
+def q_event_entropy(spark, sf_dir):
+    """Per-conversation Shannon entropy of the role mix
+    (features.py categorical_entropy) — a distribution feature a
+    transcript curriculum filters on; two map-side-combinable aggs."""
+    t = _transcripts(spark, sf_dir)
+    return categorical_entropy(t, key="conv_id", cat="role",
+                               out_prefix="role")
+
+
+def q_labels_next(spark, sf_dir):
+    """Supervised-target generation (features.py make_labels):
+    next-turn gap / end-of-session flags that DELIBERATELY read the
+    future row — kept disjoint from featurize() output by the leakage
+    suite. Oracle = LEAD window."""
+    t = _transcripts(spark, sf_dir)
+    out = make_labels(t, key="conv_id", ts_col="ts",
+                      order_cols=("turn_idx",), gap=1800.0)
+    return out.select("conv_id", "turn_idx", "label_next_gap",
+                      "label_is_last", "label_session_end")
+
+
+def q_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunking of long documents (packing.py
+    chunk_overlap): window 50 tokens, stride 30 (20-token overlap);
+    stops at the first chunk reaching the document end. Pure per-row
+    explode arithmetic — no shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("toks"))
+    out = chunk_overlap(toks, "toks", window=50, stride=30,
+                        id_cols=("doc_id",), out_col="chunk")
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_len",
+        F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
+
+
+def q_embedding_cov(spark, sf_dir):
+    """Exact sample covariance of the first 8 embedding coordinates
+    (decomposition.py covariance_matrix) — the SQL-expressible anchor
+    for fit_pca's moment pass (the eigh step itself is pytest-pinned
+    against numpy)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_matrix(e, "embedding", dims=8)
+
+
+def q_embedding_pca(spark, sf_dir):
+    """Distributed PCA fit (one moment pass) + JVM-side projection onto
+    the top-4 components (decomposition.py). eigh is not SQL-expressible
+    — rows-only driver check (disclosed); exactness vs numpy PCA is
+    pytest-pinned (allclose) and the covariance input is fully oracled
+    by embedding_cov."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(e, "embedding", k=4)
+    return apply_pca(e, "embedding", model, round_to=4).select(
+        "vec_id", "pc0", "pc1", "pc2", "pc3")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1621,6 +1701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale": q_robust_scale,
         "ngram_containment": q_ngram_containment,
         "winsorize": q_winsorize,
+        "interval_join": q_interval_join,
+        "event_entropy": q_event_entropy,
+        "labels_next": q_labels_next,
+        "chunk_overlap": q_chunk_overlap,
+        "embedding_cov": q_embedding_cov,
+        "embedding_pca": q_embedding_pca,
     }
 
 
@@ -3223,4 +3309,76 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
                  mean_text_len_10, tool_filled
           FROM b
         """,
+        "interval_join": """
+          WITH iv AS (SELECT user_id, MIN(ts) AS ws FROM events
+                      WHERE event_type = 'purchase' GROUP BY user_id)
+          SELECT e.event_id, e.user_id, round(epoch(iv.ws), 6) AS win_start_s
+          FROM events e JOIN iv ON e.user_id = iv.user_id
+          WHERE e.ts >= iv.ws AND e.ts < iv.ws + INTERVAL 2 HOUR
+        """,
+        "event_entropy": f"""
+          WITH t AS ({_T}),
+          c AS (SELECT conv_id, role, COUNT(*) AS c
+                FROM t GROUP BY conv_id, role)
+          SELECT conv_id,
+                 CAST(SUM(c) AS BIGINT) AS role_n,
+                 CAST(COUNT(*) AS INT) AS role_n_cats,
+                 round(ln(CAST(SUM(c) AS DOUBLE))
+                       - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6)
+                   AS role_entropy,
+                 CASE WHEN COUNT(*) > 1 THEN
+                   round((ln(CAST(SUM(c) AS DOUBLE))
+                          - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c))
+                         / ln(CAST(COUNT(*) AS DOUBLE)), 6)
+                 ELSE 0.0 END AS role_norm_entropy
+          FROM c GROUP BY conv_id
+        """,
+        "labels_next": f"""
+          WITH t AS ({_T})
+          SELECT conv_id, turn_idx,
+                 round(epoch(lead(ts) OVER w) - epoch(ts), 6)
+                   AS label_next_gap,
+                 (lead(ts) OVER w) IS NULL AS label_is_last,
+                 ((lead(ts) OVER w) IS NULL
+                  OR epoch(lead(ts) OVER w) - epoch(ts) > 1800.0)
+                   AS label_session_end
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        """,
+        "chunk_overlap": r"""
+          WITH d AS (SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\s+')
+                 END AS toks
+               FROM documents),
+          s AS (SELECT doc_id, toks, len(toks) AS n
+                FROM d WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, n,
+                 UNNEST(range(0, CAST(ceil(greatest(0, n - 50) / 30.0)
+                                      AS BIGINT) + 1)) AS ci
+                FROM s)
+          SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                 CAST(ci * 30 AS INT) AS chunk_start,
+                 CAST(least(50, n - ci * 30) AS INT) AS chunk_len,
+                 array_to_string(
+                   toks[CAST(ci * 30 + 1 AS BIGINT)
+                        : CAST(least(ci * 30 + 50, n) AS BIGINT)], ' ')
+                   AS chunk_text
+          FROM c
+        """,
+        "embedding_cov": """
+          WITH idx AS (SELECT i.range AS i, j.range AS j
+                       FROM range(8) AS i, range(8) AS j
+                       WHERE j.range >= i.range),
+          e AS (SELECT embedding FROM embeddings)
+          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                 round((SUM(CAST(embedding[i+1] AS DOUBLE)
+                            * CAST(embedding[j+1] AS DOUBLE))
+                        - SUM(CAST(embedding[i+1] AS DOUBLE))
+                          * SUM(CAST(embedding[j+1] AS DOUBLE)) / COUNT(*))
+                       / (COUNT(*) - 1), 6) AS cov
+          FROM e CROSS JOIN idx GROUP BY i, j
+        """,
+        # embedding_pca: rows-only by construction (driver-side eigh is
+        # not SQL-expressible); anchored by embedding_cov + pytest
+        # allclose vs numpy PCA.
     }

@@ -65,3 +65,92 @@ def salted_join(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return fact_s.join(dim_s, on=keys + [SALT], how=how).drop(SALT)
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    *,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | Sequence[str] | None = None,
+    how: str = "inner",
+    slice_seconds: int | None = None,
+    closed: str = "left",
+) -> DataFrame:
+    """Join each ``facts`` row to every ``intervals`` row whose
+    ``[start, end)`` window contains ``facts[time_col]`` (optionally
+    also matching equi-keys ``on``) — the point-in-interval range join
+    hipipe expresses as an in-core column scan (reference
+    ``stream/transform.hpp`` — single-node streams never join; at
+    cluster scale the range predicate IS the problem).
+
+    ``closed``: ``"left"`` = ``start <= t < end`` (default),
+    ``"both"`` = ``start <= t <= end``.
+
+    Strategy — why not a plain ``facts.join(intervals, range_pred)``:
+    a pure theta join compiles to BroadcastNestedLoopJoin (fine only
+    while intervals broadcast) or a cartesian product. With
+    ``slice_seconds`` set, both sides are bucketed onto a time grid:
+    each interval explodes into the ``(end-start)/slice + 1`` slices it
+    covers, facts map to exactly ONE slice, and the join becomes an
+    equi-join on ``on + [slice]`` followed by the exact range filter —
+    shuffle-partitionable, AQE-skew-splittable, no nested loop. Slice
+    replication is bounded by the longest interval (document/cap your
+    interval length); pick ``slice_seconds`` ≈ the median interval
+    length so the explode factor stays ~2.
+
+    With ``slice_seconds=None`` the plain predicate join is used
+    (correct at any size, only sensible when one side broadcasts).
+
+    ``how="left"`` keeps unmatched facts (interval columns null).
+    """
+    from hipipe_spark.operators.temporal import ts_seconds
+
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(f"interval_join supports inner/left, got {how!r}")
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    t = ts_seconds(F.col(time_col))
+    lo = ts_seconds(F.col(start_col))
+    hi = ts_seconds(F.col(end_col))
+    in_range = (t >= lo) & ((t <= hi) if closed == "both" else (t < hi))
+
+    if slice_seconds is None:
+        pred = in_range
+        for k in keys:
+            pred = pred & (facts[k] == intervals[k])
+        joined = facts.join(intervals, pred, how)
+        return joined.drop(*[intervals[k] for k in keys])
+
+    if slice_seconds <= 0:
+        raise ValueError("slice_seconds must be positive")
+    s = F.lit(float(slice_seconds))
+    SLICE, FID = "__slice", "__fid"
+    facts_id = facts.withColumn(FID, F.monotonically_increasing_id())
+    facts_s = facts_id.withColumn(SLICE, F.floor(t / s))
+    # sequence(floor(lo/s), floor(hi/s)) covers every slice the interval
+    # touches; hi exactly on a slice boundary with closed="left" still
+    # generates that (empty) last slice — harmless, filtered exactly.
+    iv_s = intervals.withColumn(
+        SLICE, F.explode(F.sequence(F.floor(lo / s), F.floor(hi / s)))
+    )
+    joined = facts_s.join(iv_s, on=keys + [SLICE], how="inner").filter(
+        in_range
+    ).drop(SLICE)
+    if how == "inner":
+        return joined.drop(FID)
+    # left: add back facts with no interval — anti-join on the synthetic
+    # row id (narrow key; all-columns equality would choke on map types
+    # and shuffle the full row width)
+    unmatched = facts_id.join(
+        joined.select(FID).distinct(), on=FID, how="left_anti"
+    )
+    for c in joined.columns:
+        if c not in facts_id.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(joined.schema[c].dataType)
+            )
+    return joined.unionByName(unmatched).drop(FID)

@@ -170,3 +170,69 @@ def pack_greedy(df: DataFrame, order_col: str, tokens_col: str,
     return (df.withColumn("__one", F.lit(1))
               .groupBy("__one").applyInPandas(assign, schema=schema)
               .drop("__one"))
+
+
+def chunk_overlap(
+    df: DataFrame,
+    tokens_col: str,
+    window: int,
+    stride: int | None = None,
+    id_cols: Sequence[str] = ("doc_id",),
+    out_col: str = "chunk",
+) -> DataFrame:
+    """Sliding-window chunking WITHIN each document: cut
+    ``df[tokens_col]`` (array) into chunks of ``window`` tokens
+    starting every ``stride`` tokens, so consecutive chunks overlap by
+    ``window - stride`` — the long-document layout for models whose
+    context is shorter than the document (each token appears in
+    ≤ ceil(window/stride) chunks, and every window-length span is seen
+    contiguously at least once).
+
+    Emits one row per (document, chunk): ``id_cols``, ``chunk_idx``
+    (0-based), ``chunk_start`` (0-based token offset), ``out_col``
+    (the token slice; the final chunk is the tail and may be shorter),
+    ``chunk_len``. Empty documents produce no rows.
+
+    Chunk starts are 0, stride, 2·stride, …, stopping at the FIRST
+    start whose chunk reaches the document end (last start =
+    stride·⌈(len-window)/stride⌉, floored at 0) — a doc shorter than
+    ``window`` yields exactly one chunk, and no start is emitted whose
+    content is already a suffix of the previous chunk. Contrast with
+    :func:`pack_chunks`: packing cuts the CONCATENATED corpus stream
+    into disjoint fixed blocks (pretraining); overlap chunking stays
+    inside one document and duplicates boundary context (long-doc SFT,
+    retrieval indexing). Pure per-row explode arithmetic — narrow,
+    no shuffle, no Python.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    stride = window if stride is None else stride
+    if not 1 <= stride <= window:
+        raise ValueError(f"stride must be in [1, window], got {stride}")
+    n = F.size(F.col(tokens_col))
+    # last start = stride * ceil((n - window)/stride), floored at 0:
+    # the first start whose chunk [start, start+window) reaches the end
+    last = F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(window)) / F.lit(stride)) * F.lit(stride),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long"))
+    out = (
+        df.filter(n > 0)
+        .select(
+            *id_cols,
+            F.col(tokens_col).alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            *id_cols,
+            F.col("chunk_idx").cast("int"),
+            F.col("chunk_start").cast("int"),
+            # F.slice start is 1-based
+            F.slice(
+                F.col("__toks"), F.col("chunk_start") + F.lit(1), window
+            ).alias(out_col),
+        )
+        .withColumn("chunk_len", F.size(F.col(out_col)))
+    )
+    return out
