@@ -1519,6 +1519,35 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py hard_negative_mine): per
+    anchor vector, the 5 most cosine-similar corpus vectors with a
+    DIFFERENT label, restricted to the semi-hard band cosine >= 0.1 —
+    the contrastive-training negative sampler. Broadcast query side,
+    label + band predicates inside the scan, one final top-k window."""
+    from hipipe_spark.operators.similarity import hard_negative_mine
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    out = hard_negative_mine(em, q, k=5, min_sim=0.1)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """PREFIX-FILTERED exact Jaccard join (dedup.py
+    ngram_jaccard_prefix_pairs): the inverted index holds only each
+    doc's rarest ``|x| − ⌈t·|x|⌉ + 1`` grams (global order = ascending
+    doc frequency), plus a size-ratio length filter — complete by the
+    prefix-filtering principle, so the output is IDENTICAL to
+    ngram_jaccard while hub grams never reach the candidate join.
+    Oracle = the same plain inverted-index SQL, proving equivalence."""
+    from hipipe_spark.operators.dedup import ngram_jaccard_prefix_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_prefix_pairs(d, "doc_id", "text", n=1,
+                                      threshold=0.5)\
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_embedding_cov(spark, sf_dir):
     """Exact sample covariance of the first 8 embedding coordinates
     (decomposition.py covariance_matrix) — the SQL-expressible anchor
@@ -1565,7 +1594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the driver in rounds 1-2 (operator-family anchors rotated out to
     make room, plus redundant-by-construction oracle twins and strategy
     variants), each re-checked every round by
-    ``tools/check_oracles.py`` (the driver-gate replica)."""
+    ``tools/check_oracles.py`` (the driver-gate replica).
+
+    Round-4 rotation backlog (never driver-verified; verified green by
+    the oracle replica): boilerplate_lines, det_shuffle,
+    temperature_mixture, embedding_topk_int8, unigram_logprob,
+    embedding_pool, hash_features, bigram_pmi, robust_scale,
+    ngram_containment, winsorize, plus everything added after them
+    (interval_join .. hard_negatives at the dict tail). 50 window
+    slots < 56+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -1707,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_overlap": q_chunk_overlap,
         "embedding_cov": q_embedding_cov,
         "embedding_pca": q_embedding_pca,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -1800,6 +1839,8 @@ def oracle_sql() -> dict[str, str]:
     lcg_ok = det_hash_i64_sql("o_orderkey", 3)
     d = _oracle_sql_dict(lcg_ok)
     d["rolling_bucketed"] = d["rolling"]          # identical semantics by design
+    # prefix filtering is complete: same output as the plain inverted index
+    d["ngram_jaccard_prefix"] = d["ngram_jaccard"]
     d["embedding_topk_numpy"] = d["embedding_topk"]  # same result, BLAS impl
     d["embedding_ivf_full"] = d["embedding_topk"]  # full probe == exact top-k
     d["embedding_lsh_topk"] = d["embedding_topk"]  # probe_all == exact top-k
@@ -3381,4 +3422,27 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "hard_negatives": """
+          WITH c AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT vec_id, label, v FROM c WHERE vec_id < 5),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CASE WHEN list_sum(list_transform(q.v, x -> x * x)) > 0
+                         AND list_sum(list_transform(c.v, x -> x * x)) > 0
+                   THEN list_dot_product(q.v, c.v) /
+                        (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                         sqrt(list_sum(list_transform(c.v, x -> x * x))))
+                   ELSE 0.0 END AS cos_raw
+            FROM c, q
+            WHERE c.vec_id <> q.vec_id
+              AND c.label IS DISTINCT FROM q.label)
+          SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id)
+                  AS rank
+                FROM scored WHERE cos_raw >= 0.1)
+          WHERE rank <= 5
+        """,
     }

@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     # round-3 feature-eng extensions (late): 8-lag decay fold over one
     # window sort; int8-quantized ANN (integer dots, broadcast queries)
     "decay_features", "embedding_topk_int8",
+    # round-3 final: sliced range join, PPJoin prefix-filtered jaccard,
+    # label-excluded hard-negative mining
+    "interval_join", "ngram_jaccard_prefix", "hard_negatives",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))

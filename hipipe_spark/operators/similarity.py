@@ -117,6 +117,63 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str | None = None,
+    min_sim: float | None = None,
+    max_sim: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: per
+    query, the ``k`` most cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the confusable negatives
+    a trainer pairs with each anchor (public recipe: in-batch negatives
+    + mined hard negatives, e.g. DPR / sentence-transformers).
+
+    ``min_sim``/``max_sim`` carve the SEMI-HARD band (FaceNet-style):
+    negatives below ``min_sim`` are too easy to carry gradient signal,
+    above ``max_sim`` are suspected label noise / unflagged duplicates;
+    both bounds inclusive, None = unbounded.
+
+    Output: (query_id, neighbor_id, cosine, rank) — rank 1 = hardest.
+    Same scale shape as :func:`brute_force_topk`: the corpus never
+    shuffles except the final per-query top-k; the query set (with its
+    labels) broadcasts; the label-mismatch predicate and band filter
+    run inside the joined scan, so pruned pairs never reach the window.
+    Queries whose label is NULL match everything non-null (null-safe
+    inequality); corpus rows with NULL labels are kept as negatives for
+    any labeled query.
+    """
+    qid = query_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__nlbl"),
+        F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(label_col).alias("__qlbl"),
+        F.col(vec_col).cast("array<double>").alias("qvec"))
+    cos = cosine_sim(F.col("qvec"), F.col("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("neighbor_id") != F.col("query_id"))
+                & ~F.col("__nlbl").eqNullSafe(F.col("__qlbl")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    if min_sim is not None:
+        scored = scored.filter(F.col("cosine") >= float(min_sim))
+    if max_sim is not None:
+        scored = scored.filter(F.col("cosine") <= float(max_sim))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
     import numpy as np
     import pandas as pd

@@ -1,3 +1,3 @@
-from hipipe_spark.sources import csv, multimodal
+from hipipe_spark.sources import csv, dataframe, iceberg, multimodal
 
-__all__ = ["csv", "multimodal"]
+__all__ = ["csv", "dataframe", "iceberg", "multimodal"]
