@@ -1519,6 +1519,30 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_render_convs(spark, sf_dir):
+    """Conversation → SFT training example (transcripts.py
+    render_conversations): one row per conversation with the
+    role-templated rendered text plus assistant turn/char share (the
+    assistant-only-loss signal stats). One map-side-combinable
+    collect + per-group array sort."""
+    from hipipe_spark.operators.transcripts import render_conversations
+    t = _transcripts(spark, sf_dir)
+    return render_conversations(t, template="plain")
+
+
+def q_truncate_convs(spark, sf_dir):
+    """Head+tail context truncation (transcripts.py truncate_context):
+    keep the first 1 + last 3 turns per conversation (system prompt +
+    recent exchange), drop the middle; short conversations pass
+    through whole. One exchange shared by the ordered row_number and
+    the group count."""
+    from hipipe_spark.operators.transcripts import truncate_context
+    t = _transcripts(spark, sf_dir)
+    out = truncate_context(t, head=1, tail=3)
+    return out.select("conv_id", "turn_idx", "role",
+                      "kept_rank", "conv_turns")
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (similarity.py hard_negative_mine): per
     anchor vector, the 5 most cosine-similar corpus vectors with a
@@ -1746,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "hard_negatives": q_hard_negatives,
+        "render_convs": q_render_convs,
+        "truncate_convs": q_truncate_convs,
     }
 
 
@@ -3422,6 +3448,34 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "render_convs": f"""
+          WITH t AS ({_T})
+          SELECT conv_id,
+                 CAST(COUNT(*) AS INT) AS n_turns,
+                 string_agg(role || ': ' || text, chr(10)
+                            ORDER BY turn_idx, role, text) AS rendered,
+                 CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                      AS INT) AS assistant_turns,
+                 CASE WHEN SUM(length(text)) > 0 THEN
+                   round(CAST(SUM(CASE WHEN role = 'assistant'
+                                       THEN length(text) ELSE 0 END)
+                              AS DOUBLE) / SUM(length(text)), 6)
+                 ELSE 0.0 END AS assistant_char_frac
+          FROM t GROUP BY conv_id
+        """,
+        "truncate_convs": f"""
+          WITH t AS ({_T}),
+          r AS (SELECT conv_id, turn_idx, role,
+                       row_number() OVER
+                         (PARTITION BY conv_id ORDER BY turn_idx)
+                         AS kept_rank,
+                       COUNT(*) OVER (PARTITION BY conv_id) AS conv_turns
+                FROM t)
+          SELECT conv_id, turn_idx, role,
+                 CAST(kept_rank AS INT) AS kept_rank,
+                 CAST(conv_turns AS INT) AS conv_turns
+          FROM r WHERE kept_rank <= 1 OR kept_rank > conv_turns - 3
+        """,
         "hard_negatives": """
           WITH c AS (SELECT vec_id, label,
                             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

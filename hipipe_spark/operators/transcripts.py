@@ -1,0 +1,115 @@
+"""Conversation-level SFT-prep operators over transcript tables.
+
+The input-hint table shape (conv_id, turn_idx, role, text, tool, ts)
+feeds supervised fine-tuning pipelines through two standard steps this
+module distributes:
+
+- :func:`render_conversations` — flatten each conversation into ONE
+  training text under a role template (the conversation → example
+  step), plus the loss-accounting stats a data curator filters on
+  (assistant turn/char share: an example with no assistant content
+  carries no gradient signal under assistant-only loss).
+- :func:`truncate_context` — head+tail turn truncation (keep the
+  system prompt / first turns AND the most recent turns, drop the
+  middle) for conversations longer than the model context.
+
+Both are one shuffle on the conversation key; per-group state is
+conversation-sized (arrays of turns), never corpus-sized. All logic is
+JVM expressions — collect_list + array_sort + transform/array_join —
+no Python in the row path.
+
+hipipe parity note: hipipe's column streams have no conversation
+grouping concept (reference ``stream/transform.hpp`` operates on
+in-core batch columns); these extend the engine along the task-spec
+transcript axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TEMPLATES = {
+    # role-prefixed lines, the simplest public convention
+    "plain": lambda role, text: F.concat(role, F.lit(": "), text),
+    # ChatML-style blocks (public convention, e.g. OpenAI cookbook)
+    "chatml": lambda role, text: F.concat(
+        F.lit("<|im_start|>"), role, F.lit("\n"), text, F.lit("<|im_end|>")),
+}
+
+
+def render_conversations(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    template: str = "plain",
+    sep: str = "\n",
+) -> DataFrame:
+    """One row per conversation: ``n_turns``, ``rendered`` (turns
+    sorted by ``order_col``, each formatted by ``template``, joined by
+    ``sep``), ``assistant_turns``, and ``assistant_char_frac`` (share
+    of TEXT characters in assistant turns — the assistant-only-loss
+    signal fraction; 0.0 when the conversation has no text at all).
+
+    One hash aggregation on ``key`` (map-side combinable collect), then
+    per-group array_sort + transform — group state is one
+    conversation's turns. Turn order ties on ``order_col`` are broken
+    by (role, text) via the struct sort, deterministically.
+    """
+    if template not in TEMPLATES:
+        raise ValueError(f"unknown template {template!r}; "
+                         f"options: {sorted(TEMPLATES)}")
+    fmt = TEMPLATES[template]
+    turns = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("r"),
+        F.col(text_col).alias("t"),
+    )))
+    rendered = F.array_join(
+        F.transform(turns, lambda s: fmt(s["r"], s["t"])), sep)
+    is_asst = F.col(role_col) == "assistant"
+    total_chars = F.sum(F.length(text_col))
+    asst_chars = F.sum(F.when(is_asst, F.length(text_col)).otherwise(0))
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        rendered.alias("rendered"),
+        F.sum(is_asst.cast("int")).cast("int").alias("assistant_turns"),
+        F.when(total_chars > 0,
+               F.round(asst_chars.cast("double") / total_chars, 6))
+        .otherwise(F.lit(0.0)).alias("assistant_char_frac"),
+    )
+
+
+def truncate_context(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    head: int = 0,
+    tail: int = 0,
+    order_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep the first ``head`` and last ``tail`` turns of each
+    conversation, dropping the middle — the context-window truncation
+    that preserves the system prompt AND the recent exchange.
+    Conversations with ≤ head+tail turns pass through whole. Adds
+    ``kept_rank`` (1-based position among the group's ordered turns)
+    and ``conv_turns`` (the group's pre-truncation size).
+
+    One exchange on ``key``; the ordered row_number and the unordered
+    group count share the partitioning. ``order_extra`` breaks
+    ``order_col`` ties (pass ts / an id for full determinism).
+    """
+    if head < 0 or tail < 0 or head + tail == 0:
+        raise ValueError("need head >= 0, tail >= 0, head + tail >= 1")
+    wo = Window.partitionBy(key).orderBy(order_col, *order_extra)
+    wa = Window.partitionBy(key)
+    rn: Column = F.row_number().over(wo)
+    n: Column = F.count(F.lit(1)).over(wa)
+    return (
+        df.withColumn("kept_rank", rn)
+        .withColumn("conv_turns", n.cast("int"))
+        .filter((F.col("kept_rank") <= head)
+                | (F.col("kept_rank") > F.col("conv_turns") - tail))
+    )
