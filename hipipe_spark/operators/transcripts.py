@@ -53,8 +53,10 @@ def render_conversations(
     of TEXT characters in assistant turns — the assistant-only-loss
     signal fraction; 0.0 when the conversation has no text at all).
 
-    One hash aggregation on ``key`` (map-side combinable collect), then
-    per-group array_sort + transform — group state is one
+    One hash aggregation on ``key`` — note collect_list partials don't
+    SHRINK shuffle volume (every turn crosses the wire once, which is
+    this op's information-theoretic lower bound; the stats columns do
+    combine) — then per-group array_sort + transform, group state one
     conversation's turns. Turn order ties on ``order_col`` are broken
     by (role, text) via the struct sort, deterministically.
     """
