@@ -46,6 +46,7 @@ def render_conversations(
     text_col: str = "text",
     template: str = "plain",
     sep: str = "\n",
+    cap_tail: int | None = None,
 ) -> DataFrame:
     """One row per conversation: ``n_turns``, ``rendered`` (turns
     sorted by ``order_col``, each formatted by ``template``, joined by
@@ -59,7 +60,17 @@ def render_conversations(
     combine) — then per-group array_sort + transform, group state one
     conversation's turns. Turn order ties on ``order_col`` are broken
     by (role, text) via the struct sort, deterministically.
+
+    ``cap_tail`` — the monster-conversation guard: keep only each
+    conversation's LAST ``cap_tail`` turns before rendering (via
+    :func:`truncate_context`). A pathological multi-million-turn
+    conversation otherwise materializes as ONE group's array in one
+    task; with the cap, per-group state is bounded by construction.
+    ``n_turns``/stats then describe the capped conversation.
     """
+    if cap_tail is not None:
+        df = truncate_context(df, key=key, order_col=order_col,
+                              tail=cap_tail)
     if template not in TEMPLATES:
         raise ValueError(f"unknown template {template!r}; "
                          f"options: {sorted(TEMPLATES)}")

@@ -81,6 +81,14 @@ def test_truncate_validation(long_conv):
         truncate_context(long_conv, head=-1, tail=2)
 
 
+def test_render_cap_tail(convs):
+    out = {r.conv_id: r.asDict() for r in
+           render_conversations(convs, cap_tail=2).collect()}
+    assert out["a"]["rendered"] == "user: hello\nassistant: hi there"
+    assert out["a"]["n_turns"] == 2
+    assert out["a"]["assistant_char_frac"] == pytest.approx(8 / 13, abs=1e-6)
+
+
 def test_truncate_overlap_no_duplicates(long_conv):
     # head+tail spanning the whole conversation must not duplicate rows
     out = truncate_context(long_conv, head=6, tail=6).filter("conv_id = 'x'")
