@@ -1519,6 +1519,19 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup removal keeping the BEST cluster member instead of the
+    min id (dedup.py dedup_clusters keep_by): canonical = longest text
+    (ties → min id) — the production knob (keep the highest-quality
+    copy). Same clustering as dedup_clusters + one component-keyed
+    window."""
+    from hipipe_spark.operators.dedup import dedup_clusters
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)\
+        .withColumn("qlen", F.length("text"))
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
+    return dedup_clusters(d, pairs, id_col="doc_id", keep_by="qlen")
+
+
 def q_render_convs(spark, sf_dir):
     """Conversation → SFT training example (transcripts.py
     render_conversations): one row per conversation with the
@@ -1772,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "render_convs": q_render_convs,
         "truncate_convs": q_truncate_convs,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3448,6 +3462,39 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "dedup_keep_best": r"""
+          WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS g
+            FROM d WHERE trim(text) <> ''),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+          shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM toks a JOIN toks b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pr AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+          e AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+          reach(a, b) AS (
+            SELECT a, b FROM e
+            UNION
+            SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+          comp AS (
+            SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+            FROM d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id)
+          SELECT c.doc_id, c.component,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY length(d2.text) DESC, c.doc_id)
+                   = 1 AS keep
+          FROM comp c JOIN d d2 ON d2.doc_id = c.doc_id
+        """,
         "render_convs": f"""
           WITH t AS ({_T})
           SELECT conv_id,

@@ -138,15 +138,26 @@ def apply_pca(
     model: dict,
     out_prefix: str = "pc",
     round_to: int | None = None,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project ``df[vec_col]`` onto the fitted components: adds columns
     ``{out_prefix}0..{k-1}`` = (x − μ)·vₖ. Pure JVM fold per component
     (the component vector and the scalar μ·vₖ are literals) — no
-    Python, no shuffle, whole-stage-codegen friendly."""
+    Python, no shuffle, whole-stage-codegen friendly.
+
+    ``whiten=True`` scales each projection by 1/√explained_var so the
+    output components have unit variance (the standard pre-ANN /
+    pre-clustering normalization; folded into the component literals,
+    zero extra runtime cost; components with ~0 variance are left
+    unscaled rather than dividing by ~0)."""
     mean = np.asarray(model["mean"], dtype=np.float64)
     out = df
     for r, comp in enumerate(model["components"]):
         v = np.asarray(comp, dtype=np.float64)
+        if whiten:
+            ev = float(model["explained_var"][r])
+            if ev > 1e-12:
+                v = v / np.sqrt(ev)
         c = float(mean @ v)
         lit_v = F.array(*[F.lit(float(x)) for x in v])
         proj: Column = F.aggregate(

@@ -573,15 +573,36 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+                   a_col: str = "id_a", b_col: str = "id_b",
+                   keep_by: str | None = None,
+                   keep_order: str = "desc") -> DataFrame:
     """Corpus-level near-dup removal: cluster the candidate pairs into
-    components, keep the canonical (min-id) doc per component. Output:
-    (doc_id, component, keep)."""
+    components, keep ONE canonical doc per component. Output:
+    (doc_id, component, keep).
+
+    ``keep_by=None`` (default): canonical = min id (zero extra cost —
+    the component label IS the min id).
+
+    ``keep_by=<column of df>``: canonical = the cluster member with the
+    best value of that column (``keep_order="desc"`` = highest wins,
+    e.g. a quality score; ``"asc"`` = lowest, e.g. a spam score), ties
+    broken by min id — what production near-dedup actually wants: keep
+    the BEST copy, not the one with the smallest id. Costs one extra
+    shuffle on the component key; partitions are cluster-sized (the
+    exact-dup prepass upstream keeps giant clusters collapsed)."""
     comp = connected_components(pairs, df.select(id_col), a_col, b_col,
                                 node_col=id_col)
-    return comp.select(
-        F.col("node").alias(id_col), "component",
-        (F.col("node") == F.col("component")).alias("keep"),
+    base = comp.select(F.col("node").alias(id_col), "component")
+    if keep_by is None:
+        return base.withColumn("keep", F.col(id_col) == F.col("component"))
+    if keep_order not in ("desc", "asc"):
+        raise ValueError(f"keep_order must be desc/asc, got {keep_order!r}")
+    q = F.col("__q").desc() if keep_order == "desc" else F.col("__q").asc()
+    w = Window.partitionBy("component").orderBy(q, F.col(id_col).asc())
+    return (
+        base.join(df.select(id_col, F.col(keep_by).alias("__q")), id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .drop("__q")
     )
 
 

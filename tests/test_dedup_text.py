@@ -259,3 +259,28 @@ def test_ngram_containment_catches_quotes(spark):
     assert got0[(0, 3)] == (2 / 8, 2 / 3)
     assert got0[(2, 3)] == (1 / 3, 1 / 3)
     assert (0, 2) not in got0  # no shared gram -> never a candidate
+
+
+def test_dedup_clusters_keep_best(spark):
+    """keep_by: canonical = best quality (desc), ties -> min id;
+    asc mode inverts; singletons always keep."""
+    from hipipe_spark.operators.dedup import dedup_clusters
+    docs = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a a", 9.0), (3, "a b", 9.0),  # one cluster
+         (7, "zzz", 1.0)],                                  # singleton
+        "doc_id long, text string, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")
+    best = {r.doc_id: r.keep
+            for r in dedup_clusters(docs, pairs, keep_by="q").collect()}
+    # q=9.0 tie between 2 and 3 -> min id 2 wins; singleton 7 keeps
+    assert best == {1: False, 2: True, 3: False, 7: True}
+    worst = {r.doc_id: r.keep
+             for r in dedup_clusters(docs, pairs, keep_by="q",
+                                     keep_order="asc").collect()}
+    assert worst == {1: True, 2: False, 3: False, 7: True}
+    minid = {r.doc_id: r.keep
+             for r in dedup_clusters(docs, pairs).collect()}
+    assert minid == {1: True, 2: False, 3: False, 7: True}
+    with pytest.raises(ValueError):
+        dedup_clusters(docs, pairs, keep_by="q", keep_order="sideways")

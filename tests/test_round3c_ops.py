@@ -252,6 +252,20 @@ def test_apply_pca_matches_numpy(emb):
     assert np.allclose(got, want, atol=1e-8)
 
 
+def test_apply_pca_whitened_unit_variance(emb):
+    df, X = emb
+    model = fit_pca(df, "embedding", k=3)
+    out = apply_pca(df, "embedding", model, whiten=True)\
+        .orderBy("vec_id").collect()
+    got = np.asarray([[r["pc0"], r["pc1"], r["pc2"]] for r in out])
+    V = np.asarray(model["components"])
+    want = ((X - np.asarray(model["mean"])) @ V.T
+            / np.sqrt(np.asarray(model["explained_var"])))
+    assert np.allclose(got, want, atol=1e-8)
+    # whitened components have unit sample variance
+    assert np.allclose(got.var(axis=0, ddof=1), 1.0, atol=1e-6)
+
+
 def test_fit_pca_validation(emb):
     df, _ = emb
     with pytest.raises(ValueError):
