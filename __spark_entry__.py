@@ -1519,6 +1519,25 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_source_report(spark, sf_dir):
+    """Corpus-composition governance table (corpus.py source_report):
+    per source×lang doc/char/token counts + corpus shares. One
+    map-side-combinable agg; the share divisions run on the group-sized
+    frame (dimension-sized, constant cost at any corpus size)."""
+    from hipipe_spark.operators.corpus import source_report
+    return source_report(_docs(spark, sf_dir))
+
+
+def q_source_cap(spark, sf_dir):
+    """Dominance capping (corpus.py cap_per_group): keep the 30
+    longest docs per source (C4-style per-domain cap), ties -> min
+    doc_id; one window exchange on the source key."""
+    from hipipe_spark.operators.corpus import cap_per_group
+    d = _docs(spark, sf_dir)
+    return cap_per_group(d, "source", cap=30, order_by="n_chars")\
+        .select("doc_id", "source", "n_chars")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Near-dup removal keeping the BEST cluster member instead of the
     min id (dedup.py dedup_clusters keep_by): canonical = longest text
@@ -1786,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_convs": q_render_convs,
         "truncate_convs": q_truncate_convs,
         "dedup_keep_best": q_dedup_keep_best,
+        "source_report": q_source_report,
+        "source_cap": q_source_cap,
     }
 
 
@@ -3462,6 +3483,35 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "source_report": r"""
+          WITH a AS (
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   SUM(length(text)) AS n_chars,
+                   SUM(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                       END) AS n_tokens,
+                   round(AVG(length(text)), 6) AS mean_chars
+            FROM documents GROUP BY source, lang)
+          SELECT source, lang,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 mean_chars,
+                 round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6)
+                   AS doc_share,
+                 round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+                   AS token_share
+          FROM a
+        """,
+        "source_cap": """
+          SELECT doc_id, source, n_chars
+          FROM (SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                         AS rk
+                FROM documents)
+          WHERE rk <= 30
+        """,
         "dedup_keep_best": r"""
           WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
           toks AS (

@@ -199,3 +199,75 @@ def corpus_stages(eval_docs: DataFrame, id_col: str = "doc_id",
 
     return [("filter", _filter), ("dedup", _dedup),
             ("decontaminate", _decontaminate), ("pack", _pack)]
+
+
+# ----------------------------------------------------- corpus governance
+def source_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition report per ``group_cols``: ``n_docs``,
+    ``n_chars``, ``n_tokens``, mean doc length, and each group's
+    ``doc_share`` / ``token_share`` of the whole corpus — the
+    governance table every curation run publishes (what fraction of
+    the training set is each source×language?).
+
+    One hash aggregation (all sums combine map-side) + the share
+    division against corpus totals computed as window sums over the
+    GROUP-sized frame (dimension-sized single-partition work, constant
+    cost regardless of corpus size). No second corpus scan.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count(F.col(text_col))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.sum(toks).alias("n_tokens"),
+        F.round(F.avg(F.length(text_col)), 6).alias("mean_chars"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        *group_cols, "n_docs", "n_chars", "n_tokens", "mean_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wall), 6)
+        .alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(wall), 6)
+        .alias("token_share"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 1000,
+    order_by: str | None = None,
+    order: str = "desc",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dominance capping: keep at most ``cap`` docs per ``group_col``
+    (the C4/RefinedWeb-style per-domain cap that stops one crawler-
+    friendly site from dominating the mixture). ``order_by`` picks
+    WHICH docs survive (e.g. a quality score, ``order="desc"`` = best
+    first); ``order_by=None`` ranks by ``id_col`` — deterministic,
+    partition-independent. Ties always break on ``id_col``.
+
+    One window exchange on ``group_col``; a monster group sorts in one
+    task — for corpora where a single source exceeds executor memory,
+    pre-filter with a Bernoulli sample or raise ``cap`` granularity
+    (group on source×time-slice), same trade documented on
+    ``generate_groups``.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if order_by is None:
+        cols = [F.col(id_col).asc()]
+    else:
+        c = F.col(order_by)
+        cols = [c.desc() if order == "desc" else c.asc(),
+                F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*cols)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap).drop("__rk"))

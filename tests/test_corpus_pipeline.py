@@ -73,3 +73,40 @@ def test_build_training_set_near_dedup(spark):
                         "bands": 32},
     ).orderBy("doc_id").collect()
     assert [r["doc_id"] for r in out] == [1, 3]
+
+
+def test_source_report_shares(spark):
+    from hipipe_spark.operators.corpus import source_report
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "en", "s1"),
+         (3, "f", "de", "s2"), (4, "", "de", "s2")],
+        "doc_id long, text string, lang string, source string")
+    out = {(r.source, r.lang): r.asDict()
+           for r in source_report(docs).collect()}
+    s1 = out[("s1", "en")]
+    assert (s1["n_docs"], s1["n_tokens"], s1["n_chars"]) == (2, 5, 8)
+    assert s1["doc_share"] == 0.5
+    assert s1["token_share"] == round(5 / 6, 6)
+    s2 = out[("s2", "de")]
+    assert (s2["n_docs"], s2["n_tokens"]) == (2, 1)
+    assert abs(sum(v["doc_share"] for v in out.values()) - 1.0) < 1e-9
+
+
+def test_cap_per_group(spark):
+    from hipipe_spark.operators.corpus import cap_per_group
+    import pytest as _pt
+    docs = spark.createDataFrame(
+        [(i, "s1", float(i % 3)) for i in range(10)]
+        + [(100, "s2", 9.0)],
+        "doc_id long, source string, q double")
+    kept = cap_per_group(docs, "source", cap=4, order_by="q")
+    s1 = sorted(r.doc_id for r in kept.filter("source = 's1'").collect())
+    # q desc: ids 2,5,8 have q=2.0; then q=1.0 ids 1,4,7 -> tie min id 1
+    assert s1 == [1, 2, 5, 8]
+    assert [r.doc_id for r in kept.filter("source = 's2'").collect()] == [100]
+    # order_by=None: deterministic min-id cap
+    s1_ids = sorted(r.doc_id for r in cap_per_group(docs, "source", cap=3)
+                    .filter("source = 's1'").collect())
+    assert s1_ids == [0, 1, 2]
+    with _pt.raises(ValueError):
+        cap_per_group(docs, "source", cap=0)
