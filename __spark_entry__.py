@@ -1519,6 +1519,16 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_sft_pipeline(spark, sf_dir):
+    """Transcript-side training-set composite (transcripts.py
+    build_sft_examples): render -> min-turns + has-assistant filters ->
+    exact-dedup of the rendered text, one lazy plan with two exchanges
+    (conv-key agg + fingerprint window)."""
+    from hipipe_spark.operators.transcripts import build_sft_examples
+    t = _transcripts(spark, sf_dir)
+    return build_sft_examples(t, min_turns=2, require_assistant=True)
+
+
 def q_source_report(spark, sf_dir):
     """Corpus-composition governance table (corpus.py source_report):
     per source×lang doc/char/token counts + corpus shares. One
@@ -1657,8 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. hard_negatives at the dict tail). 50 window
-    slots < 56+ unverified queries this round — the tail waits."""
+    (interval_join .. source_cap at the dict tail). 50 window
+    slots < 60+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -1807,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "source_report": q_source_report,
         "source_cap": q_source_cap,
+        "sft_pipeline": q_sft_pipeline,
     }
 
 
@@ -3483,6 +3494,29 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "sft_pipeline": f"""
+          WITH t AS ({_T}),
+          r AS (SELECT conv_id,
+                 CAST(COUNT(*) AS INT) AS n_turns,
+                 string_agg(role || ': ' || text, chr(10)
+                            ORDER BY turn_idx, role, text) AS rendered,
+                 CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                      AS INT) AS assistant_turns,
+                 CASE WHEN SUM(length(text)) > 0 THEN
+                   round(CAST(SUM(CASE WHEN role = 'assistant'
+                                       THEN length(text) ELSE 0 END)
+                              AS DOUBLE) / SUM(length(text)), 6)
+                 ELSE 0.0 END AS assistant_char_frac
+                FROM t GROUP BY conv_id),
+          f AS (SELECT * FROM r
+                WHERE n_turns >= 2 AND assistant_turns >= 1),
+          d AS (SELECT *, row_number() OVER
+                  (PARTITION BY md5(rendered) ORDER BY conv_id) AS rn
+                FROM f)
+          SELECT conv_id, n_turns, rendered, assistant_turns,
+                 assistant_char_frac
+          FROM d WHERE rn = 1
+        """,
         "source_report": r"""
           WITH a AS (
             SELECT source, lang, COUNT(*) AS n_docs,

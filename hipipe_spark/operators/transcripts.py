@@ -95,6 +95,49 @@ def render_conversations(
     )
 
 
+def build_sft_examples(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    template: str = "plain",
+    cap_tail: int | None = None,
+    min_turns: int = 2,
+    require_assistant: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """The transcript-side training-set recipe as ONE lazy plan
+    (the conversation analog of ``corpus.build_training_set``):
+
+    1. render each conversation under ``template`` (optionally
+       ``cap_tail``-truncated — the monster-conversation guard);
+    2. drop conversations with fewer than ``min_turns`` turns or (with
+       ``require_assistant``) no assistant content — such examples
+       carry no gradient under assistant-only loss;
+    3. exact-dedup the RENDERED text (``dedup=True``) — templated
+       near-identical conversations collapse to the min-key
+       representative.
+
+    Output: (key, n_turns, rendered, assistant_turns,
+    assistant_char_frac). Shuffle budget: render's conv-key agg +
+    dedup's fingerprint window — two exchanges end-to-end; the filters
+    run between them without extra passes, and Catalyst schedules the
+    whole chain at once.
+    """
+    from hipipe_spark.operators.dedup import exact_dedup
+
+    r = render_conversations(df, key=key, order_col=order_col,
+                             role_col=role_col, text_col=text_col,
+                             template=template, cap_tail=cap_tail)
+    r = r.filter(F.col("n_turns") >= min_turns)
+    if require_assistant:
+        r = r.filter(F.col("assistant_turns") >= 1)
+    if dedup:
+        r = exact_dedup(r, text_col="rendered", id_col=key)
+    return r
+
+
 def truncate_context(
     df: DataFrame,
     key: str = "conv_id",

@@ -94,3 +94,28 @@ def test_truncate_overlap_no_duplicates(long_conv):
     out = truncate_context(long_conv, head=6, tail=6).filter("conv_id = 'x'")
     assert out.count() == 10
     assert out.select("turn_idx").distinct().count() == 10
+
+
+def test_build_sft_examples(spark):
+    from hipipe_spark.operators.transcripts import build_sft_examples
+    rows = [
+        # conv a: valid (2 turns, has assistant)
+        ("a", 0, "user", "hi"), ("a", 1, "assistant", "yo"),
+        # conv b: duplicate rendering of a -> deduped (a < b keeps a)
+        ("b", 0, "user", "hi"), ("b", 1, "assistant", "yo"),
+        # conv c: no assistant -> dropped
+        ("c", 0, "user", "hi"), ("c", 1, "user", "anyone?"),
+        # conv d: single turn -> dropped
+        ("d", 0, "assistant", "alone"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = build_sft_examples(df).collect()
+    assert [r.conv_id for r in out] == ["a"]
+    assert out[0].rendered == "user: hi\nassistant: yo"
+    # dedup off keeps both byte-identical examples
+    both = build_sft_examples(df, dedup=False)
+    assert {r.conv_id for r in both.collect()} == {"a", "b"}
+    # assistant requirement off admits conv c
+    no_req = build_sft_examples(df, require_assistant=False)
+    assert {r.conv_id for r in no_req.collect()} == {"a", "c"}
