@@ -1519,6 +1519,17 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_token_truncate(spark, sf_dir):
+    """Token-budget suffix truncation (transcripts.py
+    truncate_token_budget): keep the longest recent-turns suffix whose
+    whitespace-token total fits the budget — the actual SFT context
+    constraint. One window exchange; reverse running sum in one sort."""
+    from hipipe_spark.operators.transcripts import truncate_token_budget
+    t = _transcripts(spark, sf_dir)
+    return truncate_token_budget(t, budget=40).select(
+        "conv_id", "turn_idx", "turn_tokens", "suffix_tokens")
+
+
 def q_sft_pipeline(spark, sf_dir):
     """Transcript-side training-set composite (transcripts.py
     build_sft_examples): render -> min-turns + has-assistant filters ->
@@ -1818,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_report": q_source_report,
         "source_cap": q_source_cap,
         "sft_pipeline": q_sft_pipeline,
+        "token_truncate": q_token_truncate,
     }
 
 
@@ -3494,6 +3506,22 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "token_truncate": rf"""
+          WITH t AS ({_T}),
+          r AS (SELECT conv_id, turn_idx,
+                  CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS INT) AS turn_tokens
+                FROM t),
+          s AS (SELECT conv_id, turn_idx, turn_tokens,
+                  CAST(SUM(turn_tokens) OVER
+                    (PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS suffix_tokens
+                FROM r)
+          SELECT conv_id, turn_idx, turn_tokens, suffix_tokens
+          FROM s WHERE suffix_tokens <= 40
+        """,
         "sft_pipeline": f"""
           WITH t AS ({_T}),
           r AS (SELECT conv_id,

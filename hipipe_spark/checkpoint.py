@@ -110,6 +110,47 @@ class SnapshotStore:
         return snap
 
 
+    # ------------------------------------------------ lineage surface
+    def history(self, spark: SparkSession, name: str) -> DataFrame:
+        """Snapshot-level lineage as a queryable DataFrame (oldest
+        first): snapshot id, rows, wall seconds, rows/sec, partition
+        count + any commit metadata keys, straight from the manifests
+        — the north-rule 'row-count/throughput metrics' surfaced for
+        SQL instead of file spelunking."""
+        import os
+
+        d = os.path.join(self.root, name)
+        snaps = []
+        if os.path.isdir(d):
+            snaps = [s for s in sorted(os.listdir(d))
+                     if os.path.exists(os.path.join(d, s, "MANIFEST.json"))]
+        rows = [self.manifest(name, s) for s in snaps]
+        return spark.createDataFrame(
+            [(m["snapshot"], m["name"], m["rows"], m["wall_sec"],
+              m.get("rows_per_sec"), m["n_partitions"]) for m in rows],
+            "snapshot string, name string, rows long, wall_sec double, "
+            "rows_per_sec double, n_partitions int")
+
+    def partition_metrics(self, spark: SparkSession, name: str,
+                          snap: str | None = None) -> DataFrame:
+        """Per-partition lineage of one snapshot (default: latest):
+        (snapshot, file, rows) from metrics.jsonl — the per-file row
+        counts recorded at commit time."""
+        import os
+
+        snap = snap or self.latest(name)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for {name}")
+        path = os.path.join(self._dir(name, snap), "metrics.jsonl")
+        recs = []
+        with open(path) as f:
+            for line in f:
+                r = json.loads(line)
+                recs.append((snap, r["file"], int(r["rows"])))
+        return spark.createDataFrame(
+            recs, "snapshot string, file string, rows long")
+
+
 class ResumablePipeline:
     """Named stages, each ``DataFrame -> DataFrame``, committed as
     snapshots; ``run`` resumes from the longest committed prefix."""

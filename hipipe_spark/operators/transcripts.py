@@ -95,6 +95,40 @@ def render_conversations(
     )
 
 
+def truncate_token_budget(
+    df: DataFrame,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    budget: int = 2048,
+    order_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Token-budget truncation: keep the longest SUFFIX of each
+    conversation whose whitespace-token total fits ``budget`` — the
+    actual SFT context constraint (models bound tokens, not turns;
+    recent turns matter most). A single turn larger than the whole
+    budget is dropped with the rest of the prefix (no partial turns).
+
+    Adds ``turn_tokens`` and ``suffix_tokens`` (running total from the
+    END, inclusive of the current turn). One window exchange on
+    ``key``; the reverse running sum is the same sort DESCENDING, so
+    rows stream through one sort — no second pass, no collect.
+    """
+    from hipipe_spark.functions.text import token_count
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    wd = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in order_extra]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = token_count(F.col(text_col))
+    return (
+        df.withColumn("turn_tokens", toks)
+        .withColumn("suffix_tokens", F.sum("turn_tokens").over(wd))
+        .filter(F.col("suffix_tokens") <= budget)
+    )
+
+
 def build_sft_examples(
     df: DataFrame,
     key: str = "conv_id",

@@ -184,3 +184,23 @@ def test_watermark_drops_late_data(spark, tmp_path):
           and r["session_start"] == base.to_pydatetime()]
     assert len(c1) == 1            # emitted once, never re-emitted
     assert c1[0]["n_turns"] == 3   # late turn did not mutate the session
+
+
+def test_lineage_report_dataframes(spark, transcripts, tmp_path):
+    import pytest
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    s1 = store.commit(transcripts.limit(100), "turns")
+    s2 = store.commit(transcripts.limit(250), "turns")
+    hist = store.history(spark, "turns").orderBy("snapshot").collect()
+    assert [h.snapshot for h in hist] == [s1, s2]
+    assert [h.rows for h in hist] == [100, 250]
+    assert all(h.rows_per_sec > 0 for h in hist)
+    pm = store.partition_metrics(spark, "turns")  # latest = s2
+    rows = pm.collect()
+    assert all(r.snapshot == s2 for r in rows)
+    assert sum(r.rows for r in rows) == 250
+    assert store.partition_metrics(spark, "turns", s1).agg(
+        {"rows": "sum"}).collect()[0][0] == 100
+    assert store.history(spark, "missing").count() == 0
+    with pytest.raises(FileNotFoundError):
+        store.partition_metrics(spark, "missing")

@@ -119,3 +119,26 @@ def test_build_sft_examples(spark):
     # assistant requirement off admits conv c
     no_req = build_sft_examples(df, require_assistant=False)
     assert {r.conv_id for r in no_req.collect()} == {"a", "c"}
+
+
+def test_truncate_token_budget(spark):
+    from hipipe_spark.operators.transcripts import truncate_token_budget
+    rows = [
+        ("a", 0, "one two three"),        # 3 tokens
+        ("a", 1, "four five"),            # 2
+        ("a", 2, "six"),                  # 1
+        ("b", 0, "w " * 50),              # 50 tokens, over any budget
+        ("b", 1, "tail turn"),            # 2
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+    out = truncate_token_budget(df, budget=3, text_col="text")
+    a = {r.turn_idx: r.suffix_tokens
+         for r in out.filter("conv_id = 'a'").collect()}
+    # suffix sums from the end: t2=1, t1=3, t0=6 -> keep t1, t2
+    assert a == {1: 3, 2: 1}
+    b = {r.turn_idx for r in out.filter("conv_id = 'b'").collect()}
+    assert b == {1}  # the 50-token turn and everything before it drop
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        truncate_token_budget(df, budget=0)
