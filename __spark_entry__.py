@@ -1519,6 +1519,23 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_hot_keys(spark, sf_dir):
+    """Skew diagnostics (diagnostics.py hot_keys): the 10 heaviest
+    conversations with corpus share + cumulative share — the report
+    that tells you WHICH keys need salting before a join melts. One
+    hash agg; ranking on the key-sized frame."""
+    from hipipe_spark.operators.diagnostics import hot_keys
+    return hot_keys(_transcripts(spark, sf_dir), "conv_id", top_n=10)
+
+
+def q_group_stats(spark, sf_dir):
+    """Group-size distribution (diagnostics.py group_size_stats): one
+    row of exact percentiles + max/mean skew factor over conversation
+    sizes — the number a salted join's salt count comes from."""
+    from hipipe_spark.operators.diagnostics import group_size_stats
+    return group_size_stats(_transcripts(spark, sf_dir), "conv_id")
+
+
 def q_token_truncate(spark, sf_dir):
     """Token-budget suffix truncation (transcripts.py
     truncate_token_budget): keep the longest recent-turns suffix whose
@@ -1830,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "sft_pipeline": q_sft_pipeline,
         "token_truncate": q_token_truncate,
+        "hot_keys": q_hot_keys,
+        "group_stats": q_group_stats,
     }
 
 
@@ -3506,6 +3525,35 @@ def _oracle_sql_dict(lcg_ok: str) -> dict[str, str]:
         # embedding_pca: rows-only by construction (driver-side eigh is
         # not SQL-expressible); anchored by embedding_cov + pytest
         # allclose vs numpy PCA.
+        "hot_keys": f"""
+          WITH t AS ({_T}),
+          c AS (SELECT conv_id, COUNT(*) AS n_rows FROM t GROUP BY conv_id),
+          s AS (SELECT conv_id, CAST(n_rows AS BIGINT) AS n_rows,
+                       round(CAST(n_rows AS DOUBLE)
+                             / SUM(n_rows) OVER (), 6) AS share,
+                       CAST(row_number() OVER
+                         (ORDER BY n_rows DESC, conv_id) AS INT) AS rank
+                FROM c)
+          SELECT conv_id, n_rows, share, rank,
+                 round(SUM(share) OVER
+                   (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW), 6) AS cum_share
+          FROM s WHERE rank <= 10
+        """,
+        "group_stats": f"""
+          WITH t AS ({_T}),
+          c AS (SELECT conv_id, COUNT(*) AS n FROM t GROUP BY conv_id)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(n) AS BIGINT) AS n_rows,
+                 round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6) AS mean_size,
+                 CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50_size,
+                 CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90_size,
+                 CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99_size,
+                 CAST(MAX(n) AS BIGINT) AS max_size,
+                 round(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6)
+                   AS skew_factor
+          FROM c
+        """,
         "token_truncate": rf"""
           WITH t AS ({_T}),
           r AS (SELECT conv_id, turn_idx,
