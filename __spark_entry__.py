@@ -1519,6 +1519,21 @@ def q_chunk_overlap(spark, sf_dir):
         F.concat_ws(" ", F.col("chunk")).alias("chunk_text"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN evaluation harness (similarity.py recall_at_k): per-query
+    recall@5 of the int8-quantized top-k against the exact cosine
+    top-k — the trust-but-verify number computed on top-k RESULTS
+    (|Q|·k rows), never the corpus. Missing queries score 0, not
+    NULL."""
+    from hipipe_spark.operators.similarity import (
+        quantized_topk, recall_at_k)
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(em, q, k=5)
+    approx = quantized_topk(em, q, k=5)
+    return recall_at_k(approx, exact, k=5)
+
+
 def q_hot_keys(spark, sf_dir):
     """Skew diagnostics (diagnostics.py hot_keys): the 10 heaviest
     conversations with corpus share + cumulative share — the report
@@ -1695,7 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. source_cap at the dict tail). 50 window
+    (interval_join .. ann_recall at the dict tail). 50 window
     slots < 60+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -1849,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_truncate": q_token_truncate,
         "hot_keys": q_hot_keys,
         "group_stats": q_group_stats,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -2413,6 +2429,50 @@ def oracle_sql() -> dict[str, str]:
               (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank
             FROM scored)
       WHERE rank <= 5
+    """
+    d["ann_recall"] = """
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+      ex_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CASE WHEN list_sum(list_transform(q.v, x -> x * x)) > 0
+                     AND list_sum(list_transform(c.v, x -> x * x)) > 0
+               THEN list_dot_product(q.v, c.v) /
+                    (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+                     sqrt(list_sum(list_transform(c.v, x -> x * x))))
+               ELSE 0.0 END AS cos_raw
+        FROM c, q WHERE c.vec_id <> q.vec_id),
+      ex AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+                   FROM ex_scored)
+             WHERE rank <= 5),
+      s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS sc FROM c),
+      cq AS (SELECT vec_id,
+                    list_transform(v, x -> CAST(least(127, greatest(-127,
+                      CAST(round(x * (127.0 / sc)) AS INTEGER))) AS BIGINT)) AS q
+             FROM c, s),
+      qq AS (SELECT vec_id, q FROM cq WHERE vec_id < 5),
+      ap_scored AS (
+        SELECT qq.vec_id AS query_id, cq.vec_id AS neighbor_id,
+               CAST(list_dot_product(qq.q, cq.q) AS BIGINT) AS dot_q
+        FROM cq, qq WHERE cq.vec_id <> qq.vec_id),
+      ap AS (SELECT query_id, neighbor_id
+             FROM (SELECT *, row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY dot_q DESC, neighbor_id) AS rank
+                   FROM ap_scored)
+             WHERE rank <= 5),
+      base AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+      h AS (SELECT ex.query_id, COUNT(*) AS n_hit
+            FROM ex JOIN ap USING (query_id, neighbor_id)
+            GROUP BY ex.query_id)
+      SELECT b.query_id,
+             CAST(n_exact AS INT) AS n_exact,
+             CAST(COALESCE(n_hit, 0) AS INT) AS n_hit,
+             round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact, 6) AS recall
+      FROM base b LEFT JOIN h USING (query_id)
     """
     d["psi_drift"] = """
       WITH t AS (

@@ -174,6 +174,53 @@ def hard_negative_mine(
             .filter(F.col("rank") <= k))
 
 
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int | None = None,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ANN evaluation: per-query recall@k of an approximate top-k
+    result against the exact baseline — the number that says whether
+    an IVF/LSH/int8 configuration is trustworthy BEFORE it indexes
+    100 TB. Inputs are two (query_id, neighbor_id, ..., rank) frames
+    (the shape every top-k operator here emits); ``k`` restricts both
+    sides to rank ≤ k (None = use them whole).
+
+    Output: one row per exact-side query — ``n_exact``, ``n_hit``
+    (approx neighbors that appear in the exact set), ``recall`` =
+    n_hit / n_exact. Queries the approx side missed entirely score
+    0.0, not NULL — silent query dropout is precisely what this
+    measures. Aggregate ``avg(recall)`` for the headline number.
+
+    Cost: two dimension-sized joins on (query, neighbor) — this runs
+    on top-k RESULTS (|Q|·k rows), never on the corpus.
+    """
+    a, e = approx, exact
+    if k is not None:
+        a = a.filter(F.col(rank_col) <= k)
+        e = e.filter(F.col(rank_col) <= k)
+    e_pairs = e.select(F.col(query_col).alias("__q"),
+                       F.col(neighbor_col).alias("__n"))
+    a_pairs = a.select(F.col(query_col).alias("__q"),
+                       F.col(neighbor_col).alias("__n"))
+    hits = (e_pairs.join(a_pairs, ["__q", "__n"], "left_semi")
+            .groupBy("__q").agg(F.count(F.lit(1)).alias("n_hit")))
+    base = e_pairs.groupBy("__q").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("n_exact").cast("int"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
     import numpy as np
     import pandas as pd

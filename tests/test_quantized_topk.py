@@ -67,3 +67,26 @@ def test_quantized_parallelism_invariance(spark):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_recall_at_k(spark):
+    from hipipe_spark.operators.similarity import recall_at_k
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank int")
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3),   # 2/3 hits for q1
+         # q2 entirely missing from approx -> recall 0, not NULL
+         (3, 30, 1)],                           # extra query ignored
+        "query_id long, neighbor_id long, rank int")
+    out = {r.query_id: r.asDict()
+           for r in recall_at_k(approx, exact).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_exact"], out[1]["n_hit"]) == (3, 2)
+    assert out[1]["recall"] == round(2 / 3, 6)
+    assert (out[2]["n_hit"], out[2]["recall"]) == (0, 0.0)
+    # k filter restricts both sides
+    k1 = {r.query_id: r.recall
+          for r in recall_at_k(approx, exact, k=1).collect()}
+    assert k1 == {1: 1.0, 2: 0.0}
