@@ -1534,6 +1534,26 @@ def q_ann_recall(spark, sf_dir):
     return recall_at_k(approx, exact, k=5)
 
 
+def q_freq_encode(spark, sf_dir):
+    """Categorical encoders (encoders.py fit_frequency_encoder /
+    apply_frequency_encoder / collapse_rare): frequency-encode and
+    rare-collapse the documents ``lang`` column with the vocabulary
+    FITTED on the even-doc_id half only — the train/eval discipline the
+    encoders exist for. Unseen/below-threshold categories encode 0.0 /
+    ``__other__``."""
+    from hipipe_spark.operators.encoders import (
+        apply_frequency_encoder, collapse_rare, fit_frequency_encoder)
+    docs = _docs(spark, sf_dir)
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    freqs = fit_frequency_encoder(fit, "lang")
+    out = apply_frequency_encoder(docs, freqs, "lang")
+    out = collapse_rare(out, "lang", min_count=50, fit_df=fit)
+    return out.select(
+        "doc_id", "lang",
+        F.round("lang_freq", 6).alias("lang_freq"),
+        "lang_c")
+
+
 def q_hot_keys(spark, sf_dir):
     """Skew diagnostics (diagnostics.py hot_keys): the 10 heaviest
     conversations with corpus share + cumulative share — the report
@@ -1710,7 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. ann_recall at the dict tail). 50 window
+    (interval_join .. freq_encode at the dict tail). 50 window
     slots < 60+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -1865,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": q_hot_keys,
         "group_stats": q_group_stats,
         "ann_recall": q_ann_recall,
+        "freq_encode": q_freq_encode,
     }
 
 
@@ -2473,6 +2494,23 @@ def oracle_sql() -> dict[str, str]:
              CAST(COALESCE(n_hit, 0) AS INT) AS n_hit,
              round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_exact, 6) AS recall
       FROM base b LEFT JOIN h USING (query_id)
+    """
+    d["freq_encode"] = """
+      WITH fit AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      tot AS (SELECT COUNT(*) AS n FROM fit WHERE lang IS NOT NULL),
+      f AS (SELECT lang, COUNT(*) AS cnt FROM fit
+            WHERE lang IS NOT NULL GROUP BY lang),
+      v AS (SELECT lang FROM fit WHERE lang IS NOT NULL
+            GROUP BY lang HAVING COUNT(*) >= 50)
+      SELECT d.doc_id, d.lang,
+             round(COALESCE(CAST(f.cnt AS DOUBLE), 0.0) / tot.n, 6)
+               AS lang_freq,
+             CASE WHEN v.lang IS NOT NULL THEN d.lang
+                  ELSE '__other__' END AS lang_c
+      FROM documents d
+      LEFT JOIN f USING (lang)
+      LEFT JOIN v USING (lang)
+      CROSS JOIN tot
     """
     d["psi_drift"] = """
       WITH t AS (

@@ -208,6 +208,74 @@ def apply_robust_scaler(df: DataFrame, stats: DataFrame, cols: Sequence[str],
     return joined.drop(*drop)
 
 
+def fit_frequency_encoder(fit_df: DataFrame, col: str,
+                          min_count: int = 1) -> DataFrame:
+    """Category frequencies from the FIT frame — the train split, so
+    evaluation data never shapes the encoding. One hash-aggregate
+    shuffle on ``col`` (partial/map-side combine makes the shuffle
+    O(distinct), not O(rows)); categories below ``min_count`` are
+    dropped from the map, so downstream they encode like unseen values.
+    Returns a dimension-sized frame ``(col, {col}__cnt, {col}__freq)``
+    meant for broadcast in :func:`apply_frequency_encoder` — after a
+    sane ``min_count`` cutoff a categorical vocabulary is MB-sized even
+    when the corpus is 100 TB; for a pathological high-cardinality
+    column skip the broadcast and pass ``broadcast=False`` downstream."""
+    total = fit_df.filter(F.col(col).isNotNull()).count()
+    return (
+        fit_df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias(f"{col}__cnt"))
+        .filter(F.col(f"{col}__cnt") >= int(min_count))
+        .withColumn(f"{col}__freq",
+                    F.col(f"{col}__cnt") / F.lit(float(total or 1)))
+    )
+
+
+def apply_frequency_encoder(df: DataFrame, freqs: DataFrame, col: str,
+                            suffix: str = "_freq",
+                            broadcast: bool = True) -> DataFrame:
+    """Replace the category with its fit-frame relative frequency —
+    the count-encoding trick that gives tree models and linear heads a
+    monotone "how common is this" signal without a width explosion.
+    Unseen / below-``min_count`` / null categories encode 0.0 (absent
+    from the fit map means "rare" — that IS the information). Broadcast
+    left join, scan-local — ``df`` never shuffles."""
+    m = freqs.select(col, f"{col}__freq")
+    joined = df.join(F.broadcast(m) if broadcast else m, col, "left")
+    return (joined
+            .withColumn(f"{col}{suffix}",
+                        F.coalesce(F.col(f"{col}__freq"), F.lit(0.0)))
+            .drop(f"{col}__freq"))
+
+
+def collapse_rare(df: DataFrame, col: str, min_count: int = 2,
+                  other: str = "__other__", fit_df: DataFrame | None = None,
+                  suffix: str = "_c", broadcast: bool = True) -> DataFrame:
+    """Collapse long-tail categories into one ``other`` bucket: values
+    seen fewer than ``min_count`` times in the fit frame (default:
+    ``df`` itself) — plus values never seen there at all, and nulls —
+    become ``other``. The standard cardinality clamp before one-hot /
+    index encoding: at web scale a raw domain or user-agent column has
+    10^8 distinct values, almost all singletons that a model can't
+    learn from but that triple the dictionary.
+
+    Plan: one count aggregate on the fit frame keeps only the frequent
+    vocabulary (dimension-sized by construction), broadcast
+    left-semi-style join back; ``df`` itself never shuffles."""
+    fit = fit_df if fit_df is not None else df
+    vocab = (fit.filter(F.col(col).isNotNull())
+             .groupBy(col)
+             .agg(F.count(F.lit(1)).alias("__cnt"))
+             .filter(F.col("__cnt") >= int(min_count))
+             .select(col, F.lit(True).alias("__keep")))
+    joined = df.join(F.broadcast(vocab) if broadcast else vocab, col, "left")
+    return (joined
+            .withColumn(f"{col}{suffix}",
+                        F.when(F.col("__keep").isNotNull(), F.col(col))
+                        .otherwise(F.lit(other)))
+            .drop("__keep"))
+
+
 def apply_standardizer(df: DataFrame, stats: DataFrame, cols: Sequence[str],
                        by: str | None = None, suffix: str = "_z") -> DataFrame:
     """z = (x - mean) / std with the broadcast fit stats; null when the

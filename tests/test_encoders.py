@@ -181,3 +181,50 @@ def test_winsorize_null_stays_null(spark):
     out = {r["id"]: r["x_clip"] for r in apply_clip(df, stats, ["x"]).collect()}
     assert out[4] is None
     assert out[1] == 25.0 and out[3] == 75.0 and out[2] == 50.0
+
+
+def test_frequency_encoder(spark):
+    from hipipe_spark.operators.encoders import (
+        apply_frequency_encoder, fit_frequency_encoder)
+
+    fit = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)],
+        "id int, cat string")
+    freqs = fit_frequency_encoder(fit, "cat")
+    # frequencies over non-null fit rows: a=3/4, b=1/4
+    fmap = {r["cat"]: r["cat__freq"] for r in freqs.collect()}
+    assert fmap == {"a": 0.75, "b": 0.25}
+
+    apply = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zzz"), (4, None)], "id int, cat string")
+    out = {r["id"]: r["cat_freq"]
+           for r in apply_frequency_encoder(apply, freqs, "cat").collect()}
+    # unseen and null encode 0.0, not NULL
+    assert out == {1: 0.75, 2: 0.25, 3: 0.0, 4: 0.0}
+
+    # min_count drops the tail from the map -> encodes like unseen
+    freqs2 = fit_frequency_encoder(fit, "cat", min_count=2)
+    out2 = {r["id"]: r["cat_freq"]
+            for r in apply_frequency_encoder(apply, freqs2, "cat").collect()}
+    assert out2[2] == 0.0 and out2[1] == 0.75
+
+
+def test_collapse_rare(spark):
+    from hipipe_spark.operators.encoders import collapse_rare
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (5, "de"),
+         (6, "tlh"), (7, None)],
+        "id int, lang string")
+    out = {r["id"]: r["lang_c"]
+           for r in collapse_rare(df, "lang", min_count=2).collect()}
+    assert out[1] == "en" and out[4] == "de"
+    assert out[6] == "__other__" and out[7] == "__other__"
+
+    # fit/apply split: vocabulary frozen on the fit frame
+    fit = df.filter(F.col("id") <= 3)  # only "en" is frequent there
+    out2 = {r["id"]: r["lang_c"]
+            for r in collapse_rare(df, "lang", min_count=2,
+                                   fit_df=fit).collect()}
+    assert out2[1] == "en"
+    assert out2[4] == "__other__"  # frequent overall, unseen in fit
