@@ -1554,6 +1554,40 @@ def q_freq_encode(spark, sf_dir):
         "lang_c")
 
 
+def q_onehot_encode(spark, sf_dir):
+    """Fitted one-hot (encoders.py fit_onehot / apply_onehot): vocab
+    positions by (count DESC, value ASC) from the even-doc_id fit half,
+    broadcast-applied to all docs as sparse index + dense indicator
+    vector. Unseen/rare/null -> -1 / all-zeros."""
+    from hipipe_spark.operators.encoders import apply_onehot, fit_onehot
+    docs = _docs(spark, sf_dir)
+    fit = docs.filter(F.col("doc_id") % 2 == 0)
+    vocab = fit_onehot(fit, "lang", min_count=50)
+    return apply_onehot(docs, vocab, "lang", dense=True).select(
+        "doc_id", "lang", "lang_idx", "lang_vec")
+
+
+def q_lift_report(spark, sf_dir):
+    """Decile/lift table (features.py lift_table): document length as
+    the score vs is-English as the label, 10 quantile bins, per-bin +
+    top-down cumulative rates and lifts. Exact percentile edges here
+    for the bit-stable oracle; percentile_approx is the 100-TB fit
+    path."""
+    from hipipe_spark.operators.features import lift_table
+    t = _docs(spark, sf_dir).select(
+        F.length("text").cast("double").alias("text_len"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return lift_table(t, "text_len", "y", n_bins=10, exact=True)
+
+
+def q_conv_tempo(spark, sf_dir):
+    """Per-conversation pacing features (features.py conv_tempo):
+    turn count, span, inter-turn gap stats and burstiness. One
+    conversation-bounded window sort + one map-side-combinable agg."""
+    from hipipe_spark.operators.features import conv_tempo
+    return conv_tempo(_transcripts(spark, sf_dir))
+
+
 def q_hot_keys(spark, sf_dir):
     """Skew diagnostics (diagnostics.py hot_keys): the 10 heaviest
     conversations with corpus share + cumulative share — the report
@@ -1886,6 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": q_group_stats,
         "ann_recall": q_ann_recall,
         "freq_encode": q_freq_encode,
+        "onehot_encode": q_onehot_encode,
+        "lift_report": q_lift_report,
+        "conv_tempo": q_conv_tempo,
     }
 
 
@@ -2511,6 +2548,68 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN f USING (lang)
       LEFT JOIN v USING (lang)
       CROSS JOIN tot
+    """
+    d["onehot_encode"] = """
+      WITH fit AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      f AS (SELECT lang, COUNT(*) AS cnt FROM fit
+            WHERE lang IS NOT NULL GROUP BY lang HAVING COUNT(*) >= 50),
+      v AS (SELECT lang,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, lang) - 1
+                        AS INTEGER) AS pos
+            FROM f),
+      n AS (SELECT COUNT(*) AS dim FROM v)
+      SELECT d.doc_id, d.lang,
+             CAST(COALESCE(v.pos, -1) AS INTEGER) AS lang_idx,
+             list_transform(range(0, n.dim),
+               i -> CASE WHEN i = v.pos THEN 1 ELSE 0 END) AS lang_vec
+      FROM documents d LEFT JOIN v USING (lang) CROSS JOIN n
+    """
+    d["lift_report"] = """
+      WITH s AS (SELECT CAST(length(text) AS DOUBLE) AS x,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents),
+      st AS (SELECT quantile_cont(x,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+             FROM s),
+      b AS (SELECT CAST(len(list_filter(st.bs, e -> e <= x)) AS INTEGER)
+              AS bin, y FROM s, st),
+      p AS (SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM b GROUP BY bin),
+      tot AS (SELECT CAST(SUM(n_pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                AS ov FROM p)
+      SELECT bin, n, n_pos,
+             round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+             CASE WHEN ov > 0
+                  THEN round((CAST(n_pos AS DOUBLE) / n) / ov, 6)
+             END AS lift,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             round(CAST(SUM(n_pos) OVER w AS DOUBLE)
+                   / CAST(SUM(n) OVER w AS DOUBLE), 6) AS cum_rate,
+             CASE WHEN ov > 0
+                  THEN round((CAST(SUM(n_pos) OVER w AS DOUBLE)
+                              / CAST(SUM(n) OVER w AS DOUBLE)) / ov, 6)
+             END AS cum_lift
+      FROM p, tot
+      WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+      ORDER BY bin DESC
+    """
+    d["conv_tempo"] = f"""
+      WITH t AS ({_T}),
+      g AS (SELECT conv_id, epoch(ts) AS es,
+                   epoch(ts) - lag(epoch(ts)) OVER
+                     (PARTITION BY conv_id ORDER BY ts, turn_idx) AS gap
+            FROM t)
+      SELECT conv_id,
+             CAST(COUNT(*) AS INTEGER) AS n_turns,
+             round(MAX(es) - MIN(es), 6) AS duration_s,
+             round(AVG(gap), 6) AS mean_gap,
+             round(stddev_samp(gap), 6) AS std_gap,
+             round(MAX(gap), 6) AS max_gap,
+             CASE WHEN (AVG(gap) + stddev_samp(gap)) > 0
+                  THEN round((stddev_samp(gap) - AVG(gap))
+                             / (stddev_samp(gap) + AVG(gap)), 6)
+             END AS burstiness
+      FROM g GROUP BY conv_id
     """
     d["psi_drift"] = """
       WITH t AS (

@@ -276,6 +276,62 @@ def collapse_rare(df: DataFrame, col: str, min_count: int = 2,
             .drop("__keep"))
 
 
+def fit_onehot(fit_df: DataFrame, col: str, min_count: int = 1,
+               max_categories: int | None = None) -> DataFrame:
+    """Fitted one-hot vocabulary: ``(col, {col}__pos)`` with positions
+    0..V-1 assigned by (count DESC, value ASC) — deterministic across
+    runs and cluster sizes, so feature column ``k`` always means the
+    same category. Fit on the TRAIN split; categories below
+    ``min_count`` (and beyond ``max_categories``, the width clamp) are
+    dropped and later encode as all-zeros / index -1, exactly like
+    unseen eval-time values.
+
+    Plan: one map-side-combinable count aggregate, then a rank over the
+    surviving vocabulary. The rank window is unpartitioned — fine
+    because a one-hot vocabulary is dimension-sized BY CONSTRUCTION
+    (nobody one-hots 10^8 categories; that's what
+    :func:`fit_frequency_encoder` / :func:`collapse_rare` are for)."""
+    counts = (fit_df.filter(F.col(col).isNotNull())
+              .groupBy(col)
+              .agg(F.count(F.lit(1)).alias("__cnt"))
+              .filter(F.col("__cnt") >= int(min_count)))
+    w = Window.orderBy(F.desc("__cnt"), F.asc(col))
+    vocab = counts.withColumn(
+        f"{col}__pos", (F.row_number().over(w) - 1).cast("int"))
+    if max_categories is not None:
+        vocab = vocab.filter(F.col(f"{col}__pos") < int(max_categories))
+    return vocab.select(col, f"{col}__pos")
+
+
+def apply_onehot(df: DataFrame, vocab: DataFrame, col: str,
+                 dense: bool = False, broadcast: bool = True) -> DataFrame:
+    """Encode ``col`` against the fitted vocabulary: ``{col}_idx`` (int
+    position, -1 for unseen / rare / null) and, with ``dense=True``,
+    ``{col}_vec`` — an ``array<int>`` of length V with a single 1 (all
+    zeros for unseen). The sparse index is the scale path: a dense
+    vector multiplies storage by V, so it's opt-in and meant for
+    model-input materialization at the very end of a pipeline.
+
+    Plan: broadcast left join (vocab is dimension-sized), vector built
+    as a scan-local array expression — ``df`` never shuffles. The one
+    driver-side action is ``vocab.count()`` for V (dense only)."""
+    m = vocab.select(col, f"{col}__pos")
+    joined = df.join(F.broadcast(m) if broadcast else m, col, "left")
+    out = joined.withColumn(
+        f"{col}_idx",
+        F.coalesce(F.col(f"{col}__pos"), F.lit(-1)).cast("int"))
+    if dense:
+        dim = vocab.count()
+        if dim == 0:  # sequence(0, -1) would count DOWN, not be empty
+            vec = F.array().cast("array<int>")
+        else:
+            vec = F.transform(
+                F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+                lambda i: (i == F.col(f"{col}_idx")).cast("int"))
+        out = out.withColumn(f"{col}_vec", vec)
+    return out.drop(f"{col}__pos")
+
+
 def apply_standardizer(df: DataFrame, stats: DataFrame, cols: Sequence[str],
                        by: str | None = None, suffix: str = "_z") -> DataFrame:
     """z = (x - mean) / std with the broadcast fit stats; null when the

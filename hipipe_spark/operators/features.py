@@ -94,3 +94,79 @@ def make_labels(
             nxt.isNull() | (next_gap > F.lit(float(gap))),
         )
     )
+
+
+def lift_table(df: DataFrame, score: str, label: str, n_bins: int = 10,
+               exact: bool = False) -> DataFrame:
+    """Decile/lift report for a score against a binary label: one row
+    per quantile bin of ``score`` (bin ``n_bins - 1`` = highest scores)
+    with ``n``, ``n_pos``, ``rate``, ``lift`` (bin rate / overall
+    rate), and top-down cumulative ``cum_n`` / ``cum_rate`` /
+    ``cum_lift`` — the table a ranking-model review starts from, and a
+    drift check when recomputed per data slice.
+
+    Plan: quantile edges via :func:`~hipipe_spark.operators.encoders.
+    fit_buckets` (``exact=False`` → mergeable percentile_approx sketch,
+    the 100-TB path), bin assignment as a broadcast scan-local
+    expression, then ONE map-side-combinable aggregate to ``n_bins``
+    rows. The cumulative window runs over those ``n_bins`` rows —
+    dimension-sized by construction, single partition is free. Overall
+    rate comes from a window total over the same rows: no driver-side
+    collect, no second pass over the data."""
+    from hipipe_spark.operators.encoders import apply_buckets, fit_buckets
+
+    bounds = fit_buckets(df, [score], n_buckets=n_bins, exact=exact)
+    binned = apply_buckets(df, bounds, [score])
+    lbl = F.col(label).cast("double")
+    per_bin = (binned
+               .filter(F.col(f"{score}_bin").isNotNull())
+               .groupBy(F.col(f"{score}_bin").cast("int").alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(lbl).cast("long").alias("n_pos")))
+    all_w = Window.partitionBy()
+    cum_w = Window.partitionBy().orderBy(F.desc("bin")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    overall = F.sum("n_pos").over(all_w) / F.sum("n").over(all_w)
+    rate = F.col("n_pos") / F.col("n")
+    cum_rate = F.sum("n_pos").over(cum_w) / F.sum("n").over(cum_w)
+    return (per_bin
+            .withColumn("rate", F.round(rate, 6))
+            .withColumn("lift", F.when(overall > 0,
+                                       F.round(rate / overall, 6)))
+            .withColumn("cum_n", F.sum("n").over(cum_w))
+            .withColumn("cum_rate", F.round(cum_rate, 6))
+            .withColumn("cum_lift", F.when(overall > 0,
+                                           F.round(cum_rate / overall, 6)))
+            .orderBy(F.desc("bin")))
+
+
+def conv_tempo(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
+               order_cols: tuple[str, ...] = ("turn_idx",)) -> DataFrame:
+    """Per-conversation pacing features: ``n_turns``, ``duration_s``,
+    inter-turn gap stats (``mean_gap`` / ``std_gap`` / ``max_gap``,
+    sample stddev — null under two gaps, like the SQL twin) and
+    ``burstiness`` = (σ-μ)/(σ+μ) in [-1, 1] (−1 = metronome, →1 =
+    bursty; null when σ+μ is 0 or gaps are missing). These are
+    GROUP-level features: join them back to turns only for models that
+    may legitimately see the whole conversation (retrieval filtering,
+    corpus curation) — they read every turn's timestamp, including
+    the future, so the leakage suite keeps them out of
+    :func:`~hipipe_spark.operators.flagship.featurize`.
+
+    Plan: one window sort per conversation for the lag gap (bounded by
+    conversation length — the same shape and skew profile as lag/lead),
+    then one map-side-combinable aggregate. No per-row Python."""
+    w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
+    es = ts_seconds(F.col(ts_col))
+    gap = es - F.lag(es).over(w)
+    g = df.select(key, es.alias("__es"), gap.alias("__gap"))
+    mu, sd = F.avg("__gap"), F.stddev_samp("__gap")
+    return (g.groupBy(key)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_turns"),
+                 F.round(F.max("__es") - F.min("__es"), 6).alias("duration_s"),
+                 F.round(mu, 6).alias("mean_gap"),
+                 F.round(sd, 6).alias("std_gap"),
+                 F.round(F.max("__gap"), 6).alias("max_gap"),
+                 F.when((mu + sd) > 0,
+                        F.round((sd - mu) / (sd + mu), 6))
+                 .alias("burstiness")))

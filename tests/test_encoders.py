@@ -228,3 +228,42 @@ def test_collapse_rare(spark):
                                    fit_df=fit).collect()}
     assert out2[1] == "en"
     assert out2[4] == "__other__"  # frequent overall, unseen in fit
+
+
+def test_onehot(spark):
+    from hipipe_spark.operators.encoders import apply_onehot, fit_onehot
+
+    fit = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"),
+         (7, None)],
+        "id int, cat string")
+    vocab = fit_onehot(fit, "cat", min_count=2)
+    pos = {r["cat"]: r["cat__pos"] for r in vocab.collect()}
+    # count-desc, value-asc: a(3) -> 0, b(2) -> 1; c(1) dropped
+    assert pos == {"a": 0, "b": 1}
+
+    apply = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "zz"), (5, None)],
+        "id int, cat string")
+    out = {r["id"]: (r["cat_idx"], r["cat_vec"])
+           for r in apply_onehot(apply, vocab, "cat", dense=True).collect()}
+    assert out[1] == (0, [1, 0])
+    assert out[2] == (1, [0, 1])
+    assert out[3] == (-1, [0, 0])   # below min_count in fit
+    assert out[4] == (-1, [0, 0])   # never seen
+    assert out[5] == (-1, [0, 0])   # null
+
+
+def test_onehot_max_categories_and_empty(spark):
+    from hipipe_spark.operators.encoders import apply_onehot, fit_onehot
+
+    fit = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id int, cat string")
+    vocab = fit_onehot(fit, "cat", max_categories=2)
+    # a(2) -> 0, then ties b/c(1 each) broken by value: b -> 1, c clipped
+    assert {r["cat"]: r["cat__pos"] for r in vocab.collect()} == \
+        {"a": 0, "b": 1}
+
+    empty_vocab = fit_onehot(fit, "cat", min_count=99)
+    out = apply_onehot(fit, empty_vocab, "cat", dense=True).collect()
+    assert all(r["cat_idx"] == -1 and r["cat_vec"] == [] for r in out)

@@ -152,3 +152,48 @@ def test_decay_bucketed_equals_plain(transcripts):
     assert np.allclose(plain["decay_wsum"], bucketed["decay_wsum"])
     assert np.allclose(plain["text_len_decay_sum"],
                        bucketed["text_len_decay_sum"])
+
+
+def test_lift_table(spark):
+    from hipipe_spark.operators.features import lift_table
+
+    # scores 1..100, label 1 iff score > 80: top bins catch all positives
+    df = spark.createDataFrame(
+        [(float(i), 1 if i > 80 else 0) for i in range(1, 101)],
+        "x double, y int")
+    out = lift_table(df, "x", "y", n_bins=10, exact=True).collect()
+    rows = {r["bin"]: r for r in out}
+    assert len(rows) == 10 and rows[9]["n"] == 10
+    assert rows[9]["rate"] == 1.0 and rows[8]["rate"] == 1.0
+    assert rows[7]["rate"] == 0.0
+    # overall rate 0.2 -> lift of a pure bin = 5
+    assert rows[9]["lift"] == 5.0
+    # cumulative from the top: bins 9+8 = 20 rows, all positive
+    assert rows[8]["cum_n"] == 20 and rows[8]["cum_rate"] == 1.0
+    assert rows[0]["cum_n"] == 100 and rows[0]["cum_rate"] == 0.2
+    assert rows[0]["cum_lift"] == 1.0
+
+
+def test_conv_tempo(spark):
+    import datetime as dt
+
+    from hipipe_spark.operators.features import conv_tempo
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c1", i, base + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 10, 20, 90])]
+    rows += [("c2", 0, base)]  # single turn: no gaps
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = {r["conv_id"]: r for r in conv_tempo(df).collect()}
+
+    c1 = out["c1"]
+    assert c1["n_turns"] == 4 and c1["duration_s"] == 90.0
+    assert c1["mean_gap"] == 30.0 and c1["max_gap"] == 70.0
+    # gaps (10, 10, 70): sample var = 2400/2 = 1200, std = 34.641016
+    assert abs(c1["std_gap"] - 34.641016) < 1e-5
+    assert abs(c1["burstiness"] - (34.641016 - 30) / (34.641016 + 30)) < 1e-5
+
+    c2 = out["c2"]
+    assert c2["n_turns"] == 1 and c2["duration_s"] == 0.0
+    assert c2["mean_gap"] is None and c2["std_gap"] is None
+    assert c2["burstiness"] is None
