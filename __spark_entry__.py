@@ -1588,6 +1588,55 @@ def q_conv_tempo(spark, sf_dir):
     return conv_tempo(_transcripts(spark, sf_dir))
 
 
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence fit table (encoders.py fit_woe): per-source
+    class counts, smoothed WoE against the is-English label, and each
+    category's information-value contribution. One agg + window totals
+    on the dimension-sized category frame."""
+    from hipipe_spark.operators.encoders import fit_woe
+    fit = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).withColumn(
+        "y", (F.col("lang") == "en").cast("int"))
+    return fit_woe(fit, "source", "y")
+
+
+def q_woe_encode(spark, sf_dir):
+    """WoE apply (encoders.py apply_woe): broadcast the fitted
+    per-source WoE onto every document; unseen/null encode 0.0 (the
+    log-odds neutral point). The encoded frame never shuffles."""
+    from hipipe_spark.operators.encoders import apply_woe, fit_woe
+    docs = _docs(spark, sf_dir)
+    fit = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "y", (F.col("lang") == "en").cast("int"))
+    woe = fit_woe(fit, "source", "y")
+    return apply_woe(docs, woe, "source").select(
+        "doc_id", "source", "source_woe")
+
+
+def q_time_split(spark, sf_dir):
+    """Purged temporal split audit (sampling.py time_split): train
+    strictly before cutoff-embargo, test at/after cutoff, the 1-day
+    boundary band purged — rows a lookback feature could leak across.
+    Scan-local labeling; this query audits the volumes per split."""
+    from hipipe_spark.operators.sampling import time_split
+    t = _transcripts(spark, sf_dir)
+    s = time_split(t, "2024-01-20 00:00:00", embargo_s=86400.0)
+    return (s.groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.countDistinct("conv_id").alias("n_convs")))
+
+
+def q_bigram_ppl(spark, sf_dir):
+    """Bigram-LM self-perplexity (retrieval.py bigram_perplexity):
+    add-k bigram model fitted on the corpus itself, each doc scored by
+    mean transition log-prob over BOS..EOS — the sequence-aware step up
+    from the unigram KenLM stand-in. Counts ≪ corpus; two equi-joins."""
+    from hipipe_spark.operators.retrieval import bigram_perplexity
+    out = bigram_perplexity(_docs(spark, sf_dir), k=0.5)
+    return out.select("id", "n_events",
+                      F.round("logprob", 5).alias("logprob"),
+                      F.round("ppl", 4).alias("ppl"))
+
+
 def q_hot_keys(spark, sf_dir):
     """Skew diagnostics (diagnostics.py hot_keys): the 10 heaviest
     conversations with corpus share + cumulative share — the report
@@ -1764,7 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. freq_encode at the dict tail). 50 window
+    (interval_join .. bigram_ppl at the dict tail, incl. the late-r3
+    feature-eng batch: freq_encode, onehot_encode, lift_report,
+    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl). 50 window
     slots < 60+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -1923,6 +1974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onehot_encode": q_onehot_encode,
         "lift_report": q_lift_report,
         "conv_tempo": q_conv_tempo,
+        "woe_iv": q_woe_iv,
+        "woe_encode": q_woe_encode,
+        "time_split": q_time_split,
+        "bigram_ppl": q_bigram_ppl,
     }
 
 
@@ -2610,6 +2665,69 @@ def oracle_sql() -> dict[str, str]:
                              / (stddev_samp(gap) + AVG(gap)), 6)
              END AS burstiness
       FROM g GROUP BY conv_id
+    """
+    _WOE_CTES = """
+      fit AS (SELECT *, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE doc_id % 2 = 0),
+      c AS (SELECT source, COUNT(*) AS n, SUM(y) AS pos
+            FROM fit WHERE source IS NOT NULL GROUP BY source),
+      t AS (SELECT CAST(SUM(pos) AS DOUBLE) AS pt,
+                   CAST(SUM(n - pos) AS DOUBLE) AS nt FROM c),
+      w AS (SELECT source,
+                   CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+                   (pos + 0.5) / (pt + 1.0) AS pp,
+                   (n - pos + 0.5) / (nt + 1.0) AS pn
+            FROM c, t)
+    """
+    d["woe_iv"] = f"""
+      WITH {_WOE_CTES}
+      SELECT source, n AS source__n, pos AS source__pos,
+             round(ln(pp / pn), 6) AS source__woe,
+             round((pp - pn) * ln(pp / pn), 6) AS source__iv
+      FROM w
+    """
+    d["woe_encode"] = f"""
+      WITH {_WOE_CTES}
+      SELECT d.doc_id, d.source,
+             COALESCE(round(ln(w.pp / w.pn), 6), 0.0) AS source_woe
+      FROM documents d LEFT JOIN w USING (source)
+    """
+    d["time_split"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id,
+                   CASE WHEN epoch(ts) <
+                          epoch(TIMESTAMP '2024-01-20 00:00:00') - 86400.0
+                        THEN 'train'
+                        WHEN epoch(ts) >=
+                          epoch(TIMESTAMP '2024-01-20 00:00:00')
+                        THEN 'test'
+                        ELSE 'purged' END AS split
+            FROM t)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM s GROUP BY split
+    """
+    d["bigram_ppl"] = f"""
+      WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks
+                 FROM documents),
+      ev AS (SELECT id,
+                    unnest(list_prepend(chr(2), toks)) AS ctx,
+                    unnest(list_append(toks, chr(3))) AS nxt
+             FROM d),
+      big AS (SELECT ctx, nxt, COUNT(*) AS cb FROM ev GROUP BY ctx, nxt),
+      cx AS (SELECT ctx, CAST(SUM(cb) AS DOUBLE) AS cc FROM big GROUP BY ctx),
+      v AS (SELECT CAST(COUNT(DISTINCT nxt) AS DOUBLE) AS vv FROM ev),
+      sc AS (SELECT e.id,
+                    ln((COALESCE(b.cb, 0) + 0.5)
+                       / (COALESCE(c.cc, 0) + 0.5 * v.vv)) AS lnp
+             FROM ev e
+             LEFT JOIN big b ON e.ctx = b.ctx AND e.nxt = b.nxt
+             LEFT JOIN cx c ON e.ctx = c.ctx
+             CROSS JOIN v)
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(AVG(lnp), 5) AS logprob,
+             round(exp(-AVG(lnp)), 4) AS ppl
+      FROM sc GROUP BY id
     """
     d["psi_drift"] = """
       WITH t AS (

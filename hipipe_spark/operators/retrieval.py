@@ -205,3 +205,76 @@ def bigram_pmi(docs: DataFrame, id_col: str = "doc_id",
         / ((F.col("n_a").cast("double") / F.lit(tu))
            * (F.col("n_b").cast("double") / F.lit(tu))))
     return joined.select("tok_a", "tok_b", "n_ab", pmi.alias("pmi"))
+
+
+# Sentence-boundary sentinels for the bigram LM: control chars that
+# whitespace tokenization can't produce from normal text (and that the
+# DuckDB oracle reproduces as chr(2)/chr(3)).
+BOS, EOS = "\x02", "\x03"
+
+
+def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: float = 0.5,
+                      fit_docs: DataFrame | None = None) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM — one
+    step up from :func:`unigram_logprob` toward CCNet's KenLM quality
+    filter: documents whose token SEQUENCES (not just token choices)
+    are improbable under the corpus LM are boilerplate/spam/noise
+    candidates, and unlike the unigram score this catches shuffled or
+    keyword-stuffed text.
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V)
+
+    over the event chain ``BOS w_1 … w_n EOS`` (n+1 events; an empty
+    doc scores the single BOS→EOS event), with ``V`` = the fit
+    corpus's observed outcome vocabulary (distinct next-tokens incl.
+    EOS) and unseen contexts backing off to the uniform 1/V. The LM is
+    fitted on ``fit_docs`` (default: ``docs`` itself — self-perplexity,
+    the quality-filter setting; pass the train split for held-out
+    scoring). Output: (id, n_events, logprob = mean ln P, ppl =
+    exp(-logprob); null logprob/ppl only for null text).
+
+    Scale shape: ONE tokenization per frame; bigram counts are a
+    partial-aggregated groupBy on (ctx, nxt); context counts derive
+    from the bigram table (no second corpus pass); scoring is two
+    equi-joins of the event stream against the count tables — the same
+    join-the-counts-back shape as :func:`unigram_logprob`, with AQE
+    absorbing stopword-bigram skew. The single driver-side scalar is
+    V. At web scale the count tables are ≪ corpus (they grow with
+    vocabulary², capped hard by Heaps' law, not with corpus size)."""
+    fit = fit_docs if fit_docs is not None else docs
+
+    def _events(frame: DataFrame, with_id: bool) -> DataFrame:
+        t = tokens(F.lower(F.col(text_col)))
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        zipped = F.arrays_zip(
+            F.concat(F.array(F.lit(BOS)), t).alias("ctx"),
+            F.concat(t, F.array(F.lit(EOS))).alias("nxt"))
+        ev = frame.select(*cols, F.explode_outer(zipped).alias("e"))
+        keep = ["id"] if with_id else []
+        return ev.select(*keep, F.col("e.ctx").alias("ctx"),
+                         F.col("e.nxt").alias("nxt"))
+
+    fit_ev = _events(fit, with_id=False).filter(F.col("ctx").isNotNull())
+    big = fit_ev.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("__cb"))
+    ctxc = big.groupBy("ctx").agg(F.sum("__cb").alias("__cc"))
+    v = big.select("nxt").distinct().count()
+    if v == 0:  # empty/null-only fit corpus: nothing to score against
+        return docs.select(F.col(id_col).alias("id"),
+                           F.lit(0).cast("long").alias("n_events"),
+                           F.lit(None).cast("double").alias("logprob"),
+                           F.lit(None).cast("double").alias("ppl"))
+    kf = float(k)
+    lnp = F.log((F.coalesce(F.col("__cb"), F.lit(0)).cast("double") + kf)
+                / (F.coalesce(F.col("__cc"), F.lit(0)).cast("double")
+                   + kf * float(v)))
+    scored = (_events(docs, with_id=True)
+              .join(big, ["ctx", "nxt"], "left")
+              .join(ctxc, ["ctx"], "left")
+              .withColumn("__lnp", lnp))
+    n_ev = F.count("ctx")
+    mean_lp = F.when(n_ev > 0, F.sum("__lnp") / n_ev)
+    return (scored.groupBy("id")
+            .agg(n_ev.cast("long").alias("n_events"),
+                 mean_lp.alias("logprob"),
+                 F.exp(-mean_lp).alias("ppl")))

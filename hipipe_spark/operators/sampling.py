@@ -177,3 +177,28 @@ def sample_to_token_budget(df: DataFrame, key: str, tokens_col: str,
         .filter(F.col("tok_cum") <= int(budget))
         .drop("__ord", "__excl"))
     return register_cached(out, *getattr(cum, "_hipipe_cached", ()))
+
+
+def time_split(df: DataFrame, cutoff: str, embargo_s: float = 0.0,
+               ts_col: str = "ts", out: str = "split") -> DataFrame:
+    """Purged temporal train/test split: ``train`` strictly before
+    ``cutoff - embargo_s``, ``test`` at/after ``cutoff``, and the
+    boundary band labeled ``purged`` — rows a windowed/lagged feature
+    computed on the train side could have read from the test side (or
+    vice versa), so neither split may keep them. The embargo should be
+    at least the longest feature lookback horizon; with
+    ``embargo_s=0`` nothing is purged and this is a plain temporal
+    split. Rows stay labeled rather than dropped so the purge volume
+    is auditable (``groupBy(out).count()``).
+
+    Scan-local expression on an untouched plan — the filter for either
+    split pushes down to the source scan, and at 100 TB a
+    ts-partitioned table turns it into partition pruning."""
+    from hipipe_spark.operators.temporal import ts_seconds
+    es = ts_seconds(F.col(ts_col))
+    cut = ts_seconds(F.lit(cutoff).cast("timestamp"))
+    return df.withColumn(
+        out,
+        F.when(es < cut - F.lit(float(embargo_s)), F.lit("train"))
+        .when(es >= cut, F.lit("test"))
+        .otherwise(F.lit("purged")))

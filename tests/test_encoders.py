@@ -267,3 +267,30 @@ def test_onehot_max_categories_and_empty(spark):
     empty_vocab = fit_onehot(fit, "cat", min_count=99)
     out = apply_onehot(fit, empty_vocab, "cat", dense=True).collect()
     assert all(r["cat_idx"] == -1 and r["cat_vec"] == [] for r in out)
+
+
+def test_woe(spark):
+    import math
+
+    from hipipe_spark.operators.encoders import apply_woe, fit_woe
+
+    # cat a: 3 pos / 1 neg; cat b: 1 pos / 3 neg; totals 4 pos, 4 neg
+    rows = [("a", 1)] * 3 + [("a", 0)] + [("b", 1)] + [("b", 0)] * 3
+    fit = spark.createDataFrame(
+        [(i, c, y) for i, (c, y) in enumerate(rows)],
+        "id int, cat string, y int")
+    woe = fit_woe(fit, "cat", "y", smoothing=0.5)
+    got = {r["cat"]: r for r in woe.collect()}
+    pp_a, pn_a = 3.5 / 5.0, 1.5 / 5.0
+    assert abs(got["a"]["cat__woe"] - round(math.log(pp_a / pn_a), 6)) < 1e-9
+    assert abs(got["a"]["cat__iv"]
+               - round((pp_a - pn_a) * math.log(pp_a / pn_a), 6)) < 1e-9
+    # symmetric classes -> symmetric woe
+    assert abs(got["a"]["cat__woe"] + got["b"]["cat__woe"]) < 1e-6
+
+    apply = spark.createDataFrame(
+        [(1, "a"), (2, "zz"), (3, None)], "id int, cat string")
+    out = {r["id"]: r["cat_woe"]
+           for r in apply_woe(apply, woe, "cat").collect()}
+    assert abs(out[1] - got["a"]["cat__woe"]) < 1e-9
+    assert out[2] == 0.0 and out[3] == 0.0

@@ -129,3 +129,43 @@ def test_bigram_pmi_empty(spark):
 
     docs = spark.createDataFrame([(0, ""), (1, "one")], "doc_id int, text string")
     assert bigram_pmi(docs, min_count=1).count() == 0
+
+
+def test_bigram_perplexity(spark):
+    import math
+
+    from hipipe_spark.operators.retrieval import bigram_perplexity
+
+    # corpus: "a b" twice, "a c" once -> bigrams: (BOS,a)x3, (a,b)x2,
+    # (a,c)x1, (b,EOS)x2, (c,EOS)x1; V = distinct nxt = {a,b,c,EOS} = 4
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string")
+    out = {r["id"]: r for r in bigram_perplexity(docs, k=0.5).collect()}
+
+    V, k = 4.0, 0.5
+    def p(cb, cc):
+        return (cb + k) / (cc + k * V)
+    lp1 = (math.log(p(3, 3)) + math.log(p(2, 3)) + math.log(p(2, 2))) / 3
+    assert out[1]["n_events"] == 3
+    assert abs(out[1]["logprob"] - lp1) < 1e-9
+    assert abs(out[1]["ppl"] - math.exp(-lp1)) < 1e-9
+    # doc 3's rarer (a,c)/(c,EOS) path must score WORSE (higher ppl)
+    assert out[3]["ppl"] > out[1]["ppl"]
+
+
+def test_bigram_perplexity_empty_and_unseen(spark):
+    from hipipe_spark.operators.retrieval import bigram_perplexity
+
+    fit = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, ""), (11, "zz qq")], "doc_id long, text string")
+    out = {r["id"]: r
+           for r in bigram_perplexity(score, fit_docs=fit).collect()}
+    # empty doc: single BOS->EOS event, smoothed-unseen probability
+    assert out[10]["n_events"] == 1 and out[10]["ppl"] is not None
+    # fully unseen tokens: finite score via add-k backoff
+    assert out[11]["n_events"] == 3 and out[11]["ppl"] is not None
+    # unseen transitions are less probable than fitted ones
+    fit_self = {r["id"]: r
+                for r in bigram_perplexity(fit, fit_docs=fit).collect()}
+    assert out[11]["ppl"] > fit_self[1]["ppl"]

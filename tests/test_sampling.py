@@ -158,3 +158,29 @@ def test_token_budget_sample_parallelism_invariant(spark):
         kept[nparts] = sorted(r["doc_id"] for r in res.collect())
         release_cached(res)
     assert kept[1] == kept[5] == kept[32] and len(kept[1]) > 0
+
+
+def test_time_split(spark):
+    import datetime as dt
+
+    from hipipe_spark.operators.sampling import time_split
+
+    cut = dt.datetime(2024, 1, 20)
+    rows = [
+        ("c1", cut - dt.timedelta(days=2)),    # train
+        ("c2", cut - dt.timedelta(hours=12)),  # inside embargo -> purged
+        ("c3", cut),                           # test (at cutoff)
+        ("c4", cut + dt.timedelta(days=1)),    # test
+        ("c5", cut - dt.timedelta(days=1)),    # exactly cutoff-embargo -> purged
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    out = {r["conv_id"]: r["split"]
+           for r in time_split(df, "2024-01-20 00:00:00",
+                               embargo_s=86400.0).collect()}
+    assert out == {"c1": "train", "c2": "purged", "c3": "test",
+                   "c4": "test", "c5": "purged"}
+
+    # zero embargo: nothing purged
+    out0 = {r["conv_id"]: r["split"]
+            for r in time_split(df, "2024-01-20 00:00:00").collect()}
+    assert "purged" not in out0.values()
