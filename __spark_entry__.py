@@ -1594,7 +1594,9 @@ def q_woe_iv(spark, sf_dir):
     category's information-value contribution. One agg + window totals
     on the dimension-sized category frame."""
     from hipipe_spark.operators.encoders import fit_woe
-    fit = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).withColumn(
+    # fit on doc_id % 3 > 0: the 2/3 "train" half. (% 2 would alias the
+    # synthetic source column, which cycles with doc_id, to evens only.)
+    fit = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 > 0).withColumn(
         "y", (F.col("lang") == "en").cast("int"))
     return fit_woe(fit, "source", "y")
 
@@ -1605,7 +1607,7 @@ def q_woe_encode(spark, sf_dir):
     log-odds neutral point). The encoded frame never shuffles."""
     from hipipe_spark.operators.encoders import apply_woe, fit_woe
     docs = _docs(spark, sf_dir)
-    fit = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+    fit = docs.filter(F.col("doc_id") % 3 > 0).withColumn(
         "y", (F.col("lang") == "en").cast("int"))
     woe = fit_woe(fit, "source", "y")
     return apply_woe(docs, woe, "source").select(
@@ -2668,7 +2670,7 @@ def oracle_sql() -> dict[str, str]:
     """
     _WOE_CTES = """
       fit AS (SELECT *, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-              FROM documents WHERE doc_id % 2 = 0),
+              FROM documents WHERE doc_id % 3 > 0),
       c AS (SELECT source, COUNT(*) AS n, SUM(y) AS pos
             FROM fit WHERE source IS NOT NULL GROUP BY source),
       t AS (SELECT CAST(SUM(pos) AS DOUBLE) AS pt,
