@@ -1627,6 +1627,17 @@ def q_time_split(spark, sf_dir):
                   F.countDistinct("conv_id").alias("n_convs")))
 
 
+def q_freshness(spark, sf_dir):
+    """Feature-freshness audit (diagnostics.py freshness_report): match
+    rate + staleness percentiles of the standard events as-of
+    enrichment, one output row. Exact percentiles for the oracle;
+    percentile_approx is the 100-TB path."""
+    from hipipe_spark.operators.diagnostics import freshness_report
+    left, right = _asof_sides(spark, sf_dir)
+    return freshness_report(left, right, on="ts", by="user_id",
+                            strategy="union", exact=True)
+
+
 def q_bigram_ppl(spark, sf_dir):
     """Bigram-LM self-perplexity (retrieval.py bigram_perplexity):
     add-k bigram model fitted on the corpus itself, each doc scored by
@@ -1815,9 +1826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. bigram_ppl at the dict tail, incl. the late-r3
+    (interval_join .. freshness at the dict tail, incl. the late-r3
     feature-eng batch: freq_encode, onehot_encode, lift_report,
-    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl). 50 window
+    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness). 50 window
     slots < 60+ unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -1980,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_encode": q_woe_encode,
         "time_split": q_time_split,
         "bigram_ppl": q_bigram_ppl,
+        "freshness": q_freshness,
     }
 
 
@@ -2730,6 +2742,26 @@ def oracle_sql() -> dict[str, str]:
              round(AVG(lnp), 5) AS logprob,
              round(exp(-AVG(lnp)), 4) AS ppl
       FROM sc GROUP BY id
+    """
+    d["freshness"] = """
+      WITH l AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_id % 2 = 1),
+      r AS (SELECT user_id, ts FROM events WHERE event_id % 2 = 0),
+      j AS (SELECT l.ts AS lts, r.ts AS rts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts),
+      s AS (SELECT CASE WHEN rts IS NOT NULL THEN 1 ELSE 0 END AS m,
+                   epoch(lts) - epoch(rts) AS st
+            FROM j)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+             CAST(SUM(m) AS BIGINT) AS n_matched,
+             round(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS match_rate,
+             round(AVG(st), 6) AS mean_staleness,
+             round(quantile_cont(st, 0.5), 6) AS p50_staleness,
+             round(quantile_cont(st, 0.9), 6) AS p90_staleness,
+             round(quantile_cont(st, 0.99), 6) AS p99_staleness,
+             round(MAX(st), 6) AS max_staleness
+      FROM s
     """
     d["psi_drift"] = """
       WITH t AS (

@@ -71,3 +71,47 @@ def group_size_stats(df: DataFrame, key_cols: str | list[str],
         F.max("n").cast("bigint").alias("max_size"),
         F.round(F.max("n") / mean, 6).alias("skew_factor"),
     )
+
+
+def freshness_report(left: DataFrame, right: DataFrame, on: str = "ts",
+                     by: str = "conv_id", strategy: str = "union",
+                     exact: bool = False,
+                     ps: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Feature-freshness audit of a point-in-time enrichment: as-of
+    join ``left`` to ``right`` and report, in ONE row, the match rate
+    and the staleness distribution (left ts − matched right ts,
+    seconds; percentiles over matched rows only). The feature-store
+    health check: a p99 staleness of hours where the SLA says minutes,
+    or a match rate quietly dropping, is how stale-feature bugs
+    actually surface — long before any model metric moves.
+
+    Plan: the right side's own timestamp rides through the as-of join
+    as a value column (works with every strategy — union / broadcast /
+    cogroup / bucketed — no join-internals access needed), then one
+    aggregate to a single row. ``exact=False`` uses the mergeable
+    percentile_approx sketch (the 100-TB path); ``exact=True`` is for
+    oracle/test settings."""
+    from hipipe_spark.operators.asof import asof_join
+    from hipipe_spark.operators.temporal import ts_seconds
+
+    r = right.select(by, on).withColumn("__rts", F.col(on))
+    j = asof_join(left.select(by, on), r, on=on, by=by, strategy=strategy,
+                  value_cols=["__rts"])
+    stale = ts_seconds(F.col(on)) - ts_seconds(F.col("__rts"))
+    s = j.select(F.col("__rts").isNotNull().cast("int").alias("m"),
+                 stale.alias("st"))
+    if exact:
+        q = F.percentile(F.col("st"), F.array(*[F.lit(p) for p in ps]))
+    else:
+        q = F.percentile_approx(F.col("st"), list(ps), 10000)
+    aggs = [F.count(F.lit(1)).alias("n_left"),
+            F.sum("m").cast("long").alias("n_matched"),
+            F.round(F.sum("m") / F.count(F.lit(1)), 6).alias("match_rate"),
+            F.round(F.avg("st"), 6).alias("mean_staleness"),
+            F.round(F.max("st"), 6).alias("max_staleness"),
+            q.alias("__q")]
+    out = s.agg(*aggs)
+    pcols = [F.round(F.col("__q")[i], 6).alias(
+        f"p{int(round(p * 100))}_staleness") for i, p in enumerate(ps)]
+    return out.select("n_left", "n_matched", "match_rate",
+                      "mean_staleness", *pcols, "max_staleness")

@@ -42,3 +42,24 @@ def test_hot_keys_multi_key(spark):
         "x string, y int, v int")
     out = hot_keys(df, ["x", "y"], top_n=2).orderBy("rank").collect()
     assert [(r.x, r.y, r.n_rows) for r in out] == [("a", 1, 4), ("a", 2, 1)]
+
+
+def test_freshness_report(spark):
+    import datetime as dt
+
+    from hipipe_spark.operators.diagnostics import freshness_report
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u1", base + dt.timedelta(seconds=s)) for s in (10, 100, 1000)]
+        + [("u2", base)],  # u2 has no right rows -> unmatched
+        "conv_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", base)], "conv_id string, ts timestamp")
+    row = freshness_report(left, right, exact=True).collect()[0]
+    assert row["n_left"] == 4 and row["n_matched"] == 3
+    assert row["match_rate"] == 0.75
+    # staleness over matched rows: (10, 100, 1000)
+    assert row["max_staleness"] == 1000.0
+    assert row["p50_staleness"] == 100.0
+    assert abs(row["mean_staleness"] - (1110.0 / 3)) < 1e-6
