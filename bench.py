@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     # round-3 final: sliced range join, PPJoin prefix-filtered jaccard,
     # label-excluded hard-negative mining
     "interval_join", "ngram_jaccard_prefix", "hard_negatives",
+    # round-3 continuation: bigram-LM self-perplexity (count tables +
+    # two equi-joins) and the as-of staleness audit (join + one agg)
+    "bigram_ppl", "freshness",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
