@@ -256,10 +256,16 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
                          F.col("e.nxt").alias("nxt"))
 
     fit_ev = _events(fit, with_id=False).filter(F.col("ctx").isNotNull())
-    big = fit_ev.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("__cb"))
+    # persist the bigram table: it feeds the context-count derivation,
+    # the V scalar, and the scoring join — unpersisted, each would
+    # re-scan the fit corpus. Caller owns the release (register_cached
+    # contract, as with the dedup pair generators).
+    big = (fit_ev.groupBy("ctx", "nxt")
+           .agg(F.count(F.lit(1)).alias("__cb")).persist())
     ctxc = big.groupBy("ctx").agg(F.sum("__cb").alias("__cc"))
     v = big.select("nxt").distinct().count()
     if v == 0:  # empty/null-only fit corpus: nothing to score against
+        big.unpersist()
         return docs.select(F.col(id_col).alias("id"),
                            F.lit(0).cast("long").alias("n_events"),
                            F.lit(None).cast("double").alias("logprob"),
@@ -274,7 +280,9 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
               .withColumn("__lnp", lnp))
     n_ev = F.count("ctx")
     mean_lp = F.when(n_ev > 0, F.sum("__lnp") / n_ev)
-    return (scored.groupBy("id")
-            .agg(n_ev.cast("long").alias("n_events"),
-                 mean_lp.alias("logprob"),
-                 F.exp(-mean_lp).alias("ppl")))
+    out = (scored.groupBy("id")
+           .agg(n_ev.cast("long").alias("n_events"),
+                mean_lp.alias("logprob"),
+                F.exp(-mean_lp).alias("ppl")))
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, big)
