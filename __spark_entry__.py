@@ -1794,6 +1794,47 @@ def q_embedding_pca(spark, sf_dir):
         "vec_id", "pc0", "pc1", "pc2", "pc3")
 
 
+def q_group_znorm(spark, sf_dir):
+    """Within-group z-normalization (encoders.py group_znorm): each
+    turn's text length scaled by ITS conversation's mean/stddev — the
+    leakage-safe local normalization (moments never cross groups, so
+    train/test splits can't leak). One conversation-bounded unbounded
+    window; degenerate groups emit 0.0."""
+    from hipipe_spark.operators.encoders import group_znorm
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("double"))
+    return group_znorm(t, "text_len", by="conv_id").select(
+        "conv_id", "turn_idx", "text_len", "text_len_z")
+
+
+def q_turn_similarity(spark, sf_dir):
+    """Consecutive-turn edit-distance features (features.py
+    turn_similarity): Levenshtein + normalized similarity vs the
+    previous turn and the previous SAME-ROLE turn — the assistant-loop
+    / tool-echo detector. Texts capped at 64 chars before the O(len²)
+    distance; both windows conversation-bounded."""
+    from hipipe_spark.operators.features import turn_similarity
+    t = _transcripts(spark, sf_dir)
+    return turn_similarity(t, cap=64).select(
+        "conv_id", "turn_idx", "lev_prev", "sim_prev",
+        "lev_prev_role", "sim_prev_role")
+
+
+def q_feature_corr(spark, sf_dir):
+    """Pairwise Pearson feature correlation (features.py feature_corr):
+    all d·(d−1)/2 F.corr aggregates in ONE map-side-combinable scan,
+    melted to one row per pair on the single-row aggregate — the
+    pre-training feature-QA pass that finds near-duplicate columns."""
+    from hipipe_spark.operators.features import feature_corr
+    d = _docs(spark, sf_dir).select(
+        F.length("text").cast("double").alias("len_chars"),
+        F.length(F.regexp_replace("text", "[^A-Z]", ""))
+         .cast("double").alias("n_upper"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+         .cast("double").alias("n_digits"))
+    return feature_corr(d, ["len_chars", "n_upper", "n_digits"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1828,8 +1869,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ngram_containment, winsorize, plus everything added after them
     (interval_join .. freshness at the dict tail, incl. the late-r3
     feature-eng batch: freq_encode, onehot_encode, lift_report,
-    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness). 50 window
-    slots < 60+ unverified queries this round — the tail waits."""
+    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness,
+    group_znorm, turn_similarity, feature_corr). 50 window slots < 60+
+    unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -1992,6 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "bigram_ppl": q_bigram_ppl,
         "freshness": q_freshness,
+        "group_znorm": q_group_znorm,
+        "turn_similarity": q_turn_similarity,
+        "feature_corr": q_feature_corr,
     }
 
 
@@ -2967,6 +3012,58 @@ def oracle_sql() -> dict[str, str]:
             FROM s)
       SELECT g.user_id, g.ts, e.val
       FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.ts >= e.ts
+    """
+    d["group_znorm"] = f"""
+      WITH t AS ({_T}),
+      g AS (SELECT conv_id, turn_idx,
+                   CAST(length(text) AS DOUBLE) AS text_len,
+                   AVG(CAST(length(text) AS DOUBLE))
+                     OVER (PARTITION BY conv_id) AS m,
+                   stddev_samp(CAST(length(text) AS DOUBLE))
+                     OVER (PARTITION BY conv_id) AS sd
+            FROM t)
+      SELECT conv_id, turn_idx, text_len,
+             CASE WHEN sd > 0 THEN round((text_len - m) / sd, 6)
+                  ELSE 0.0 END AS text_len_z
+      FROM g
+    """
+    d["turn_similarity"] = f"""
+      WITH t AS ({_T}),
+      c AS (SELECT conv_id, turn_idx, role, ts,
+                   substr(text, 1, 64) AS tx
+            FROM t),
+      p AS (SELECT conv_id, turn_idx, tx,
+                   lag(tx) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, turn_idx) AS pv,
+                   lag(tx) OVER (PARTITION BY conv_id, role
+                                 ORDER BY ts, turn_idx) AS pvr
+            FROM c)
+      SELECT conv_id, turn_idx,
+             CAST(levenshtein(tx, pv) AS INTEGER) AS lev_prev,
+             round(1.0 - levenshtein(tx, pv)
+                   / greatest(length(tx), length(pv), 1), 6) AS sim_prev,
+             CAST(levenshtein(tx, pvr) AS INTEGER) AS lev_prev_role,
+             round(1.0 - levenshtein(tx, pvr)
+                   / greatest(length(tx), length(pvr), 1), 6)
+               AS sim_prev_role
+      FROM p
+    """
+    d["feature_corr"] = """
+      WITH f AS (SELECT CAST(length(text) AS DOUBLE) AS a,
+                        CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                             AS DOUBLE) AS b,
+                        CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                             AS DOUBLE) AS c
+                 FROM documents)
+      SELECT 'len_chars' AS col_a, 'n_upper' AS col_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(a, b), 6) AS corr FROM f
+      UNION ALL
+      SELECT 'len_chars', 'n_digits', CAST(count(*) AS BIGINT),
+             round(corr(a, c), 6) FROM f
+      UNION ALL
+      SELECT 'n_upper', 'n_digits', CAST(count(*) AS BIGINT),
+             round(corr(b, c), 6) FROM f
     """
     return d
 

@@ -400,3 +400,42 @@ def apply_woe(df: DataFrame, woe: DataFrame, col: str,
             .withColumn(f"{col}{suffix}",
                         F.coalesce(F.col(f"{col}__woe"), F.lit(0.0)))
             .drop(f"{col}__woe"))
+
+
+def group_znorm(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    by: str = DEFAULT_KEY,
+    suffix: str = "_z",
+) -> DataFrame:
+    """WITHIN-group z-normalization: ``x → (x − mean_g) / std_g`` where
+    the moments come from the row's own ``by`` group (sample stddev).
+    Groups with zero/undefined variance (constant or single-row) emit
+    0.0 — the mean-centered neutral point, mirroring
+    :func:`apply_standardizer`'s degenerate-column rule.
+
+    This is the leakage-SAFE normalization for group-local context
+    ("how long is this turn relative to ITS conversation") — the
+    moments never cross conversations, so there is nothing to leak
+    from a train/test split. For corpus-level scaling use
+    :func:`fit_standardizer` on the train split +
+    :func:`apply_standardizer`.
+
+    Plan: one whole-partition window aggregate per ``by`` group (no
+    ORDER BY → no sort-within-frame; Spark computes the unbounded
+    frame in one pass). Partition size is bounded by group size — at
+    10^12 turns the conversation key keeps every partition small; a
+    GLOBAL znorm via this path would be one task and is exactly what
+    fit/apply_standardizer exists to avoid.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = Window.partitionBy(by)
+    for c in cols:
+        x = F.col(c).cast("double")
+        m = F.avg(x).over(w)
+        sd = F.stddev_samp(x).over(w)
+        df = df.withColumn(
+            f"{c}{suffix}",
+            F.when(sd > 0, F.round((x - m) / sd, 6)).otherwise(F.lit(0.0)),
+        )
+    return df

@@ -170,3 +170,103 @@ def conv_tempo(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
                  F.when((mu + sd) > 0,
                         F.round((sd - mu) / (sd + mu), 6))
                  .alias("burstiness")))
+
+
+def turn_similarity(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str | None = "role",
+    cap: int = 256,
+) -> DataFrame:
+    """Consecutive-turn edit-distance features — the assistant-loop /
+    echo detector. For every turn: Levenshtein distance and normalized
+    similarity against (a) the previous turn in the conversation and
+    (b) the previous turn by the SAME role (``role_col``; pass None to
+    skip). High same-role similarity across many turns is the classic
+    degenerate-model signature ("the assistant repeats itself"); high
+    cross-role similarity flags tool echo chains. Complements the
+    WITHIN-document Gopher repetition stats in
+    :mod:`hipipe_spark.functions.text` (`dup_ngram_frac` et al.) —
+    this one reads ACROSS turns, never inside one.
+
+    ``sim_prev`` = 1 − lev / max(len_a, len_b, 1) in [0, 1]; 1.0 means
+    byte-identical (after the cap), null on the first turn.
+
+    Scale notes: texts are capped to ``cap`` chars BEFORE the distance
+    — Levenshtein is O(len²) per row, so the cap bounds worst-case
+    per-row cost no matter what a 100 TB corpus contains (a 1 MB tool
+    dump would otherwise own the task). Both windows partition by
+    conversation (± role), so partitions stay conversation-bounded —
+    the lag/lead skew profile, no global sort. All JVM expressions;
+    no Python.
+
+    Reference contrast: hipipe's ``transform`` sees one in-core batch
+    (``stream/transform.hpp``) — cross-row text comparison would need
+    its buffered column view; here it is one window lag.
+    """
+    t = F.substring(F.col(text_col), 1, cap)
+    order = [F.col(o) for o in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    out = df.withColumn("__t", t)
+    prev = F.lag("__t").over(w)
+    lev = F.levenshtein(F.col("__t"), prev)
+    sim = F.lit(1.0) - lev / F.greatest(
+        F.length("__t"), F.length(prev), F.lit(1))
+    out = (out.withColumn("lev_prev", lev.cast("int"))
+              .withColumn("sim_prev", F.round(sim, 6)))
+    if role_col is not None:
+        wr = Window.partitionBy(key, role_col).orderBy(*order)
+        prev_r = F.lag("__t").over(wr)
+        lev_r = F.levenshtein(F.col("__t"), prev_r)
+        sim_r = F.lit(1.0) - lev_r / F.greatest(
+            F.length("__t"), F.length(prev_r), F.lit(1))
+        out = (out.withColumn("lev_prev_role", lev_r.cast("int"))
+                  .withColumn("sim_prev_role", F.round(sim_r, 6)))
+    return out.drop("__t")
+
+
+def feature_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric feature columns in ONE
+    scan — the feature-QA pass run before training (near-duplicate
+    features inflate importance and waste width; |corr| ≈ 1 pairs get
+    pruned). Returns one row per unordered pair: ``col_a``, ``col_b``,
+    ``n_pairs`` (rows where both are non-null), ``corr`` (rounded 6,
+    null when either side is constant).
+
+    Plan: all d·(d−1)/2 ``F.corr`` aggregates evaluate in a single
+    map-side-combinable pass over the input — one scan at any corpus
+    size, reduced state is O(d²) scalars. The pair melt happens on the
+    ONE-row aggregate result, not the corpus. For wide d (hundreds of
+    columns) assemble an array column and use
+    :func:`hipipe_spark.operators.decomposition.covariance_matrix`
+    instead — same single-scan shape, BLAS per batch.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        # covar/stddev instead of F.corr: under ANSI mode (Spark 4
+        # default) Corr THROWS DIVIDE_BY_ZERO on a zero-variance
+        # column; the F.when guard short-circuits the division and
+        # yields the same null-on-constant semantics as DuckDB corr().
+        xa = F.when(both, F.col(a))
+        xb = F.when(both, F.col(b))
+        cov = F.covar_samp(xa, xb)
+        sa, sb = F.stddev_samp(xa), F.stddev_samp(xb)
+        aggs.append(
+            F.when((sa > 0) & (sb > 0), cov / (sa * sb))
+            .alias(f"__r__{a}__{b}"))
+        aggs.append(F.count(F.when(both, 1)).alias(f"__n__{a}__{b}"))
+    row = df.agg(*aggs)
+    melted = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__n__{a}__{b}").cast("bigint").alias("n_pairs"),
+            F.round(F.col(f"__r__{a}__{b}"), 6).alias("corr"),
+        )
+        for a, b in pairs
+    ])
+    return row.select(F.inline(melted))
