@@ -1835,6 +1835,86 @@ def q_feature_corr(spark, sf_dir):
     return feature_corr(d, ["len_chars", "n_upper", "n_digits"])
 
 
+def q_impute(spark, sf_dir):
+    """Missing-value imputation (encoders.py fit_impute/apply_impute):
+    median fill FITTED on the doc_id%3>0 train split, broadcast-applied
+    with a missingness indicator. Exact percentile for the oracle;
+    percentile_approx is the 100-TB fit path."""
+    from hipipe_spark.operators.encoders import apply_impute, fit_impute
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0,
+               F.col("n_chars").cast("double")).alias("x"))
+    fit = d.filter(F.col("doc_id") % 3 > 0)
+    fills = fit_impute(fit, ["x"], strategy="median", exact=True)
+    return apply_impute(d, fills, ["x"]).select(
+        "doc_id", "x", "x__was_null", F.round("x_f", 6).alias("x_f"))
+
+
+def q_walk_forward(spark, sf_dir):
+    """Walk-forward CV audit (sampling.py walk_forward_splits): 4
+    expanding-window folds over the transcript time span with a 1-day
+    embargo — per-fold train/purged/test volumes plus boundary epochs.
+    Two corpus scans (span + slice histogram); fold math runs on the
+    10-row histogram."""
+    from hipipe_spark.operators.sampling import walk_forward_splits
+    t = _transcripts(spark, sf_dir)
+    return walk_forward_splits(t, n_folds=4, embargo_s=86400.0)
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-document keyword extraction (retrieval.py
+    distinctive_terms): top-3 TF-IDF terms per doc over the real
+    inverted index (explode → tf → df → join → per-doc top-k window);
+    min_df=2 prunes hapax terms before the join."""
+    from hipipe_spark.operators.retrieval import distinctive_terms
+    return distinctive_terms(_docs(spark, sf_dir), top_k=3, min_df=2)
+
+
+def q_future_label(spark, sf_dir):
+    """Horizon labels (features.py future_window_label): count and
+    text-length sum of STRICTLY-later same-conversation turns within
+    10 minutes — range-frame [0,h] minus the [0,0] tie group, one
+    shared conversation window, no self-join."""
+    from hipipe_spark.operators.features import future_window_label
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("double"))
+    out = future_window_label(t, horizon_s=600.0, value="text_len")
+    return out.select("conv_id", "turn_idx",
+                      "label_future_count", "label_future_sum")
+
+
+def q_role_streak(spark, sf_dir):
+    """Run-length features (features.py role_streak): consecutive
+    same-role streak position + 0-based island index per conversation
+    — the gaps-and-islands double-row_number identity, three windows
+    sharing one conversation exchange."""
+    from hipipe_spark.operators.features import role_streak
+    t = _transcripts(spark, sf_dir)
+    return role_streak(t).select(
+        "conv_id", "turn_idx", "role", "role_streak", "role_island")
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (analytics.py funnel): view → click → purchase
+    within 7 days of the first view, greedy-earliest completion times
+    via chained filtered min-aggregates — one lazy plan, per-step user
+    counts + conversion rate."""
+    from hipipe_spark.operators.analytics import funnel
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"], within_s=604800.0)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort-retention triangle (analytics.py cohort_retention):
+    1-day epoch periods, per (cohort, age) distinct active users and
+    retention vs the cohort's age-0 size. Entity-keyed aggregates
+    only; the triangle itself is dimension-sized."""
+    from hipipe_spark.operators.analytics import cohort_retention
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period_s=86400.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1870,8 +1950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (interval_join .. freshness at the dict tail, incl. the late-r3
     feature-eng batch: freq_encode, onehot_encode, lift_report,
     conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness,
-    group_znorm, turn_similarity, feature_corr). 50 window slots < 60+
-    unverified queries this round — the tail waits."""
+    group_znorm, turn_similarity, feature_corr, impute, walk_forward,
+    distinctive_terms, future_label, role_streak, funnel,
+    cohort_retention). 50 window slots < 60+ unverified queries this
+    round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2037,6 +2119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_znorm": q_group_znorm,
         "turn_similarity": q_turn_similarity,
         "feature_corr": q_feature_corr,
+        "impute": q_impute,
+        "walk_forward": q_walk_forward,
+        "distinctive_terms": q_distinctive_terms,
+        "future_label": q_future_label,
+        "role_streak": q_role_streak,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3064,6 +3153,150 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT 'n_upper', 'n_digits', CAST(count(*) AS BIGINT),
              round(corr(b, c), 6) FROM f
+    """
+    d["impute"] = """
+      WITH d AS (SELECT doc_id,
+                        CASE WHEN doc_id % 7 <> 0
+                             THEN CAST(n_chars AS DOUBLE) END AS x
+                 FROM documents),
+      f AS (SELECT quantile_cont(x, 0.5) AS fill
+            FROM d WHERE doc_id % 3 > 0)
+      SELECT doc_id, x,
+             CASE WHEN x IS NULL THEN 1 ELSE 0 END AS x__was_null,
+             round(COALESCE(x, fill), 6) AS x_f
+      FROM d, f
+    """
+    d["walk_forward"] = f"""
+      WITH t AS ({_T}),
+      span AS (SELECT min(epoch(ts)) AS t0, max(epoch(ts)) AS t1 FROM t),
+      d AS (SELECT epoch(ts) AS es FROM t),
+      c AS (SELECT CASE WHEN t1 > t0
+                        THEN least(4, CAST(floor((es - t0)
+                                          / ((t1 - t0) / 5.0)) AS INTEGER))
+                        ELSE 0 END AS s,
+                   es FROM d, span),
+      e AS (SELECT s,
+                   CASE WHEN es >= t0 + (s + 1) * ((t1 - t0) / 5.0)
+                                   - 86400.0
+                        THEN 1 ELSE 0 END AS emb
+            FROM c, span),
+      h AS (SELECT s, emb, count(*) AS n FROM e GROUP BY s, emb),
+      folds AS (SELECT CAST(range AS INTEGER) AS fold FROM range(1, 5)),
+      agg AS (SELECT fold,
+                     CAST(sum(CASE WHEN s < fold - 1
+                                     OR (s = fold - 1 AND emb = 0)
+                                   THEN n ELSE 0 END) AS BIGINT) AS n_train,
+                     CAST(sum(CASE WHEN s = fold - 1 AND emb = 1
+                                   THEN n ELSE 0 END) AS BIGINT) AS n_purged,
+                     CAST(sum(CASE WHEN s = fold THEN n ELSE 0 END)
+                          AS BIGINT) AS n_test
+              FROM folds CROSS JOIN h GROUP BY fold)
+      SELECT fold,
+             round(t0 + fold * (t1 - t0) / 5.0 - 86400.0, 6) AS train_end_s,
+             round(t0 + fold * (t1 - t0) / 5.0, 6) AS test_start_s,
+             round(t0 + (fold + 1) * (t1 - t0) / 5.0, 6) AS test_end_s,
+             n_train, n_purged, n_test
+      FROM agg CROSS JOIN span
+    """
+    d["distinctive_terms"] = f"""
+      WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks
+                 FROM documents),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+      p AS (SELECT id, unnest(toks) AS term FROM d),
+      tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM p GROUP BY id, term),
+      dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY term HAVING count(*) >= 2),
+      s AS (SELECT tf.id, tf.term, tf.tf, dfr.df,
+                   round(tf.tf * (ln((nd + 1.0) / (dfr.df + 1.0)) + 1.0), 6)
+                     AS score
+            FROM tf JOIN dfr USING (term) CROSS JOIN nn),
+      r AS (SELECT *, row_number() OVER
+              (PARTITION BY id ORDER BY score DESC, term ASC) AS rk
+            FROM s)
+      SELECT id, term, tf, df, score, CAST(rk AS INTEGER) AS "rank"
+      FROM r WHERE rk <= 3
+    """
+    d["future_label"] = f"""
+      WITH t AS ({_T}),
+      g AS (SELECT conv_id, turn_idx, epoch(ts) AS es,
+                   CAST(length(text) AS DOUBLE) AS v
+            FROM t),
+      w AS (SELECT conv_id, turn_idx,
+                   (count(*) OVER wh - count(*) OVER w0) AS fc,
+                   (COALESCE(sum(v) OVER wh, 0)
+                    - COALESCE(sum(v) OVER w0, 0)) AS fs
+            FROM g
+            WINDOW wh AS (PARTITION BY conv_id ORDER BY es
+                          RANGE BETWEEN CURRENT ROW AND 600 FOLLOWING),
+                   w0 AS (PARTITION BY conv_id ORDER BY es
+                          RANGE BETWEEN CURRENT ROW AND CURRENT ROW))
+      SELECT conv_id, turn_idx,
+             CAST(fc AS BIGINT) AS label_future_count,
+             CASE WHEN fc > 0 THEN round(fs, 6) ELSE 0.0 END
+               AS label_future_sum
+      FROM w
+    """
+    d["role_streak"] = f"""
+      WITH t AS ({_T}),
+      m AS (SELECT conv_id, turn_idx, role, ts,
+                   row_number() OVER
+                     (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                 - row_number() OVER
+                     (PARTITION BY conv_id, role ORDER BY ts, turn_idx)
+                   AS mk
+            FROM t),
+      s AS (SELECT conv_id, turn_idx, role, ts,
+                   CAST(row_number() OVER
+                     (PARTITION BY conv_id, role, mk
+                      ORDER BY ts, turn_idx) AS INTEGER) AS role_streak
+            FROM m)
+      SELECT conv_id, turn_idx, role, role_streak,
+             CAST(sum(CASE WHEN role_streak = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                        ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER)
+               AS role_island
+      FROM s
+    """
+    d["funnel"] = """
+      WITH e AS (SELECT user_id AS k, epoch(ts) AS ets, event_type AS et
+                 FROM events),
+      s1 AS (SELECT k, min(ets) AS t, min(ets) AS t0
+             FROM e WHERE et = 'view' GROUP BY k),
+      s2 AS (SELECT e.k, s1.t0, min(e.ets) AS t
+             FROM e JOIN s1 ON e.k = s1.k AND e.ets >= s1.t
+             WHERE e.et = 'click' GROUP BY e.k, s1.t0
+             HAVING min(e.ets) - s1.t0 <= 604800.0),
+      s3 AS (SELECT e.k, s2.t0, min(e.ets) AS t
+             FROM e JOIN s2 ON e.k = s2.k AND e.ets >= s2.t
+             WHERE e.et = 'purchase' GROUP BY e.k, s2.t0
+             HAVING min(e.ets) - s2.t0 <= 604800.0),
+      u AS (SELECT 1 AS step, 'view' AS name,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+      SELECT step, name, n_users,
+             CASE WHEN max(CASE WHEN step = 1 THEN n_users END) OVER () > 0
+                  THEN round(CAST(n_users AS DOUBLE)
+                             / max(CASE WHEN step = 1 THEN n_users END)
+                               OVER (), 6)
+             END AS conv_rate
+      FROM u
+    """
+    d["cohort_retention"] = """
+      WITH a AS (SELECT DISTINCT user_id AS k,
+                        CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS p
+                 FROM events),
+      f AS (SELECT k, min(p) AS cohort FROM a GROUP BY k),
+      j AS (SELECT a.k, f.cohort, a.p - f.cohort AS age
+            FROM a JOIN f USING (k)),
+      c AS (SELECT cohort, age, CAST(count(DISTINCT k) AS BIGINT)
+                     AS n_active
+            FROM j GROUP BY cohort, age),
+      sz AS (SELECT cohort, n_active AS csize FROM c WHERE age = 0)
+      SELECT c.cohort, c.age, c.n_active,
+             round(CAST(c.n_active AS DOUBLE) / sz.csize, 6) AS retention
+      FROM c JOIN sz USING (cohort)
     """
     return d
 

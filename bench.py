@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     # round-3 continuation: bigram-LM self-perplexity (count tables +
     # two equi-joins) and the as-of staleness audit (join + one agg)
     "bigram_ppl", "freshness",
+    # round-3 late: full inverted-index TF-IDF keywords (explode +
+    # two aggs + join + per-doc top-k window) and the three-window
+    # gaps-and-islands run-length features
+    "distinctive_terms", "role_streak",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))

@@ -1,0 +1,122 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The reference pipeline stops at row/column transforms; a production
+events table also gets asked the two classic sequence questions —
+"how many users completed step A, then B, then C?" (funnel) and "of
+the users who arrived in period P, how many were still active k
+periods later?" (cohort retention). Both are expressed as chained
+hash aggregates on the entity key — no windows over the corpus, no
+per-row Python — so they keep the map-side-combine scale shape of
+the rest of the engine.
+
+Reference contrast: hipipe's column transforms
+(``include/hipipe/core/stream/transform.hpp``) see one in-core batch
+and cannot relate rows across an entity's history; these operators
+exist only because Spark's shuffle makes the entity regroup cheap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.temporal import ts_seconds
+
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           key: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts",
+           within_s: float | None = None) -> DataFrame:
+    """Ordered-funnel table: one row per step with ``step`` (1-based),
+    ``name``, ``n_users`` (entities whose EARLIEST completion of steps
+    1..k is ordered ``t1 ≤ t2 ≤ … ≤ tk``), and ``conv_rate`` =
+    n_users(step k) / n_users(step 1). ``within_s`` additionally
+    requires the whole chain to finish within that many seconds of
+    step 1 (the classic "signup → first query → first export within
+    7 days").
+
+    Completion uses the standard greedy-earliest rule: step k's time
+    is the MIN event time of type ``steps[k]`` at/after step k-1's
+    time — the earliest possible completion, so a user is counted iff
+    ANY ordered subsequence exists.
+
+    Plan: one filtered min-aggregate per step, each joined to the
+    previous step's per-entity time (k-1 equi-joins on the
+    high-cardinality entity key, broadcast-eligible as the funnel
+    narrows); each step's scan carries a pushed type filter. The
+    result is ONE lazy plan (a k-row union of scalar counts + a
+    k-row window for the conversion rate) — no eager driver-side
+    counting, so callers compose it like any other operator. Step k's
+    branch re-derives steps 1..k-1 inside the union; with small k the
+    repeated subplans are filtered scans + shrinking aggregates, and
+    exchange reuse collapses the shared prefixes.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    es = ts_seconds(F.col(ts_col))
+    prev = None
+    parts = []
+    for i, s in enumerate(steps):
+        stage = events.filter(F.col(type_col) == s).select(
+            F.col(key).alias("__k"), es.alias("__ts"))
+        if prev is None:
+            cur = stage.groupBy("__k").agg(F.min("__ts").alias("__t"))
+            cur = cur.withColumn("__t0", F.col("__t"))
+        else:
+            cur = (stage.join(prev, "__k")
+                   .filter(F.col("__ts") >= F.col("__t"))
+                   .groupBy("__k", "__t0")
+                   .agg(F.min("__ts").alias("__t")))
+        if within_s is not None and i > 0:
+            cur = cur.filter(
+                F.col("__t") - F.col("__t0") <= F.lit(float(within_s)))
+        parts.append(cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(i + 1).alias("step"), F.lit(s).alias("name"), "n_users"))
+        prev = cur.select("__k", "__t", "__t0")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = (Window.orderBy("step")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    base = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w)
+    return out.withColumn(
+        "conv_rate",
+        F.when(base > 0, F.round(F.col("n_users") / base, 6)))
+
+
+def cohort_retention(events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts",
+                     period_s: float = 604800.0) -> DataFrame:
+    """Cohort-retention triangle: entities are bucketed by their FIRST
+    event period (``cohort`` — epoch-seconds divided by ``period_s``,
+    engine-portable, no calendar arithmetic), and each later period of
+    activity increments ``age`` = period − cohort. Returns one row per
+    (cohort, age): ``n_active`` distinct entities plus ``retention`` =
+    n_active / cohort size (age 0 row is the cohort size itself,
+    retention 1.0).
+
+    Plan: one per-entity min aggregate (cohort assignment), one
+    distinct on (entity, period), one broadcast-scale join back, one
+    count aggregate — every shuffle keys on the entity or the
+    dimension-sized (cohort, age) pair.
+    """
+    es = ts_seconds(F.col(ts_col))
+    period = F.floor(es / F.lit(float(period_s))).cast("bigint")
+    acts = (events.select(F.col(key).alias("__k"),
+                          period.alias("__p")).distinct())
+    first = acts.groupBy("__k").agg(F.min("__p").alias("__cohort"))
+    joined = acts.join(first, "__k").select(
+        "__k", "__cohort", (F.col("__p") - F.col("__cohort")).alias("__age"))
+    per_cell = (joined.groupBy(F.col("__cohort").alias("cohort"),
+                               F.col("__age").alias("age"))
+                .agg(F.countDistinct("__k").alias("n_active")))
+    size = (per_cell.filter(F.col("age") == 0)
+            .select("cohort", F.col("n_active").alias("__size")))
+    return (per_cell.join(size, "cohort")
+            .select("cohort", "age",
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.round(F.col("n_active") / F.col("__size"), 6)
+                     .alias("retention")))

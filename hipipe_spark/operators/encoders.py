@@ -402,6 +402,51 @@ def apply_woe(df: DataFrame, woe: DataFrame, col: str,
             .drop(f"{col}__woe"))
 
 
+def fit_impute(fit_df: DataFrame, cols: Sequence[str],
+               strategy: str = "median", exact: bool = False,
+               accuracy: int = 10000) -> DataFrame:
+    """Missing-value fill statistics from the FIT frame (train split):
+    ``strategy="median"`` (default) or ``"mean"``. Like
+    :func:`fit_buckets`, median uses the mergeable
+    ``percentile_approx`` sketch by default — the only sane single-pass
+    shape at 100 TB — with ``exact=True`` (interpolated
+    ``percentile_cont`` rule) reserved for oracle/test settings.
+    Returns a one-row frame of ``{col}__fill`` values meant for
+    broadcast in :func:`apply_impute`. An all-null fit column yields a
+    null fill (apply then leaves the column unfilled and the indicator
+    still marks it)."""
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if strategy == "mean":
+            agg = F.avg(x)
+        elif strategy == "median":
+            agg = (F.percentile(x, F.lit(0.5)) if exact
+                   else F.percentile_approx(x, 0.5, accuracy))
+        else:
+            raise ValueError(f"unknown impute strategy {strategy!r}")
+        aggs.append(agg.alias(f"{c}__fill"))
+    return fit_df.agg(*aggs)
+
+
+def apply_impute(df: DataFrame, fills: DataFrame, cols: Sequence[str],
+                 suffix: str = "_f", indicator: bool = True) -> DataFrame:
+    """Fill nulls with the broadcast fit statistics; with
+    ``indicator=True`` (default) also emit ``{col}__was_null`` (0/1) —
+    missingness is itself signal (MNAR features), and models should see
+    it rather than a silently-invented median. A narrow map over the
+    scan — ``df`` never shuffles at any scale."""
+    joined = df.crossJoin(F.broadcast(fills))
+    for c in cols:
+        x = F.col(c).cast("double")
+        if indicator:
+            joined = joined.withColumn(
+                f"{c}__was_null", F.when(x.isNull(), 1).otherwise(0))
+        joined = joined.withColumn(
+            f"{c}{suffix}", F.coalesce(x, F.col(f"{c}__fill")))
+    return joined.drop(*[f"{c}__fill" for c in cols])
+
+
 def group_znorm(
     df: DataFrame,
     cols: str | Sequence[str],

@@ -270,3 +270,86 @@ def feature_corr(df: DataFrame, cols: list[str]) -> DataFrame:
         for a, b in pairs
     ])
     return row.select(F.inline(melted))
+
+
+def future_window_label(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    horizon_s: float = 3600.0,
+    value: str | None = None,
+    prefix: str = "label_",
+) -> DataFrame:
+    """Horizon labels that deliberately read the future: for each row,
+    the count (and, with ``value``, the sum) of STRICTLY-LATER rows of
+    the same ``key`` within ``(ts, ts + horizon_s]`` — "does the user
+    come back within the hour", "how many tool calls follow in the
+    next 5 minutes". Like :func:`make_labels`, these are targets, not
+    features: the leakage suite pins ``featurize()`` output disjoint
+    from ``label_*``.
+
+    Strict futurity with a RANGE frame: Spark range frames are
+    boundary-inclusive, so ``[0, h]`` minus ``[0, 0]`` (the row's own
+    ts tie group, itself included) leaves ``(0, h]`` exactly — ties at
+    the row's own timestamp never count as future. One
+    conversation-bounded window sort shared by both frames; no
+    self-join, no shuffle beyond the key exchange.
+    """
+    from hipipe_spark.operators.temporal import ts_seconds
+    es = ts_seconds(F.col(ts_col))
+    base = Window.partitionBy(key).orderBy(es)
+    w_h = base.rangeBetween(0, int(horizon_s))
+    w_0 = base.rangeBetween(0, 0)
+    out = df.withColumn(
+        f"{prefix}future_count",
+        (F.count(F.lit(1)).over(w_h) - F.count(F.lit(1)).over(w_0))
+        .cast("bigint"))
+    if value is not None:
+        x = F.col(value).cast("double")
+        diff = (F.coalesce(F.sum(x).over(w_h), F.lit(0.0))
+                - F.coalesce(F.sum(x).over(w_0), F.lit(0.0)))
+        out = out.withColumn(
+            f"{prefix}future_sum",
+            F.when(F.col(f"{prefix}future_count") > 0,
+                   F.round(diff, 6)).otherwise(F.lit(0.0)))
+    return out
+
+
+def role_streak(
+    df: DataFrame,
+    col: str = "role",
+    key: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Run-length (gaps-and-islands) features over a categorical turn
+    column: ``{col}_streak`` — how many consecutive turns (including
+    this one) carry the same value — and ``{col}_island`` — the
+    0-based index of the run within the conversation. Five identical
+    ``role='tool'`` rows in a row show ``streak 1..5`` on one island;
+    paired with :func:`turn_similarity` this is the degenerate
+    agent-loop detector (same role, same text, long streak).
+
+    The classic two-window identity: ``island = row_number − per-value
+    row_number`` is constant within a run and distinct across runs of
+    the same value; streak position is a row_number inside
+    ``(key, value, island)``. Islands are renumbered 0..n by dense
+    ordering of their first row so the id is stable and compact. All
+    three windows share the conversation exchange — partition sizes
+    stay conversation-bounded at any corpus size.
+    """
+    order = [F.col(o) for o in order_cols]
+    w_all = Window.partitionBy(key).orderBy(*order)
+    w_val = Window.partitionBy(key, col).orderBy(*order)
+    marker = (F.row_number().over(w_all)
+              - F.row_number().over(w_val))
+    out = df.withColumn("__mk", marker)
+    w_run = Window.partitionBy(key, col, "__mk").orderBy(*order)
+    out = out.withColumn(f"{col}_streak", F.row_number().over(w_run))
+    # island index = number of run STARTS seen so far in the conv - 1
+    is_start = (F.col(f"{col}_streak") == 1).cast("int")
+    out = out.withColumn(
+        f"{col}_island",
+        (F.sum(is_start).over(
+            w_all.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .cast("int"))
+    return out.drop("__mk")

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hipipe_spark.functions.text import tokens
@@ -286,3 +286,50 @@ def bigram_perplexity(docs: DataFrame, id_col: str = "doc_id",
                 F.exp(-mean_lp).alias("ppl")))
     from hipipe_spark.operators.core import register_cached
     return register_cached(out, big)
+
+
+def distinctive_terms(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", top_k: int = 3,
+                      min_df: int = 1, max_df: int | None = None,
+                      round_to: int = 6) -> DataFrame:
+    """Per-document top-k DISTINCTIVE terms by TF-IDF — keyword
+    extraction over the whole corpus (what is THIS conversation about,
+    relative to everything else). For every document, the ``top_k``
+    terms maximizing ``tf · (ln((N+1)/(df+1)) + 1)`` (the
+    :func:`tfidf_scores` idf), ties broken by term ascending. Returns
+    ``(id, term, tf, df, score, rank)``.
+
+    Unlike the fixed-query scorers above, this ranks ALL terms, so it
+    builds the real inverted index: one explode + groupBy(id, term)
+    for tf, one groupBy(term) for df, one equi-join of the per-term df
+    back onto the postings, one per-document top-k window. Every
+    shuffle key is high-cardinality (term, id) — no single-task stage
+    at any corpus size. ``min_df``/``max_df`` prune the df frame
+    BEFORE the join (hub/stopword terms never re-enter the postings
+    join — the same guard as ngram_jaccard's ``max_df``), and the
+    window partitions by document, so skew is bounded by document
+    length, not corpus size.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    postings = (docs.select(F.col(id_col).alias("id"),
+                            F.explode(toks).alias("term"))
+                .groupBy("id", "term")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    n_docs = docs.count()
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct("id").cast("bigint").alias("df"))
+    dfreq = dfreq.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    scored = postings.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf").cast("double")
+            * (F.log((F.lit(float(n_docs)) + 1.0)
+                     / (F.col("df").cast("double") + 1.0)) + 1.0),
+            round_to))
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("id", "term", "tf", "df", "score", "rank"))

@@ -202,3 +202,69 @@ def time_split(df: DataFrame, cutoff: str, embargo_s: float = 0.0,
         F.when(es < cut - F.lit(float(embargo_s)), F.lit("train"))
         .when(es >= cut, F.lit("test"))
         .otherwise(F.lit("purged")))
+
+
+def walk_forward_splits(df: DataFrame, n_folds: int = 3,
+                        embargo_s: float = 0.0,
+                        ts_col: str = "ts") -> DataFrame:
+    """Walk-forward (expanding-window) time-series cross-validation
+    audit: the [min ts, max ts] span is cut into ``n_folds + 1``
+    equal-width slices; fold ``i`` tests on slice ``i`` and trains on
+    everything strictly before that slice's start minus ``embargo_s``
+    (the purged band a lookback feature could leak across — the k-fold
+    generalization of :func:`time_split`). Returns one row per fold:
+    ``fold, train_end_s, test_start_s, test_end_s, n_train, n_purged,
+    n_test`` — the volumes each CV iteration would see, so degenerate
+    folds (empty train, all-purged) surface before any model runs.
+
+    Plan shape: one min/max aggregate, then ONE pass classifying every
+    row into its (slice, in-embargo-band) cell — a 2·(n_folds+1)-row
+    histogram — and the per-fold sums run on that histogram crossed
+    with the fold ids. The corpus is scanned twice total (span +
+    histogram) and never shuffled on anything wider than the
+    ``n_folds+1``-value slice key; fold count never multiplies the row
+    stream.
+    """
+    from hipipe_spark.operators.temporal import ts_seconds
+    es = ts_seconds(F.col(ts_col))
+    span = df.agg(F.min(es).alias("__t0"), F.max(es).alias("__t1"))
+    d = df.select(es.alias("__es")).crossJoin(F.broadcast(span))
+    width = (F.col("__t1") - F.col("__t0")) / F.lit(float(n_folds + 1))
+    s = F.when(
+        F.col("__t1") > F.col("__t0"),
+        F.least(F.lit(n_folds),
+                F.floor((F.col("__es") - F.col("__t0")) / width)
+                 .cast("int")),
+    ).otherwise(F.lit(0))
+    # within the embargo band just before the row's NEXT slice boundary
+    emb = (F.col("__es") >=
+           F.col("__t0") + (s + 1).cast("double") * F.coalesce(
+               width, F.lit(0.0)) - F.lit(float(embargo_s)))
+    hist = (d.groupBy(s.alias("__slice"), emb.cast("int").alias("__emb"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    folds = (df.sparkSession.range(1, n_folds + 1)
+             .select(F.col("id").cast("int").alias("fold")))
+    sl, em, n = F.col("__slice"), F.col("__emb"), F.col("__n")
+    fd = F.col("fold")
+    out = (folds.crossJoin(hist).groupBy("fold").agg(
+        F.sum(F.when((sl < fd - 1) | ((sl == fd - 1) & (em == 0)), n)
+               .otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when((sl == fd - 1) & (em == 1), n)
+               .otherwise(0)).cast("bigint").alias("n_purged"),
+        F.sum(F.when(sl == fd, n).otherwise(0))
+         .cast("bigint").alias("n_test")))
+    bounds = (folds.crossJoin(F.broadcast(span)).select(
+        "fold",
+        F.round(F.col("__t0")
+                + fd.cast("double") * (F.col("__t1") - F.col("__t0"))
+                / F.lit(float(n_folds + 1))
+                - F.lit(float(embargo_s)), 6).alias("train_end_s"),
+        F.round(F.col("__t0")
+                + fd.cast("double") * (F.col("__t1") - F.col("__t0"))
+                / F.lit(float(n_folds + 1)), 6).alias("test_start_s"),
+        F.round(F.col("__t0")
+                + (fd + 1).cast("double") * (F.col("__t1") - F.col("__t0"))
+                / F.lit(float(n_folds + 1)), 6).alias("test_end_s")))
+    return bounds.join(out, "fold").select(
+        "fold", "train_end_s", "test_start_s", "test_end_s",
+        "n_train", "n_purged", "n_test")
