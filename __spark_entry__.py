@@ -1915,6 +1915,47 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, period_s=86400.0)
 
 
+def q_target_encode(spark, sf_dir):
+    """Out-of-fold target encoding (encoders.py target_encode_oof):
+    source -> P(lang='en') with leave-one-fold-out statistics — 4
+    det-hash folds keyed on doc_id, smoothing m=20 toward the
+    fold-excluded prior. A row's own label never reaches its own
+    feature; one corpus hash agg, all OOF math on the (category x
+    fold) cell frame."""
+    from hipipe_spark.operators.encoders import target_encode_oof
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        (F.col("lang") == "en").cast("int").alias("y"))
+    out = target_encode_oof(d, "source", "y", key="doc_id",
+                            n_folds=4, smoothing=20.0, seed=3,
+                            round_to=6)
+    return out.select("doc_id", "source", "source__fold", "source__te")
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick encoder (encoders.py hash_features): lang, source
+    and the lang x source cross into a 64-bucket signed sparse vector
+    — det-hash buckets/signs, bit-reproducible by the oracle; pure
+    narrow map, no fit pass, no vocab."""
+    from hipipe_spark.operators.encoders import hash_features
+    d = _docs(spark, sf_dir)
+    return hash_features(
+        d, ["lang", "source", ("lang", "source")],
+        n_buckets=64, seed=7).select(
+        "doc_id", "fh_idx", "fh_val")
+
+
+def q_rolling_quantile(spark, sf_dir):
+    """Exact rolling median (temporal.py rolling_quantile): text length
+    over the last 5 turns per conversation — sorted collect_list ROWS
+    frame + percentile_cont interpolation, O(n log n) per row at
+    constant n, one conversation exchange."""
+    from hipipe_spark.operators.temporal import rolling_quantile
+    t = _transcripts(spark, sf_dir)
+    out = rolling_quantile(t, F.length("text"), q=0.5, n=5, round_to=6)
+    return out.select("conv_id", "turn_idx", "roll_q")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2126,6 +2167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_streak": q_role_streak,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "target_encode": q_target_encode,
+        "feature_hash": q_feature_hash,
+        "rolling_quantile": q_rolling_quantile,
     }
 
 
@@ -3297,6 +3341,79 @@ def oracle_sql() -> dict[str, str]:
       SELECT c.cohort, c.age, c.n_active,
              round(CAST(c.n_active AS DOUBLE) / sz.csize, 6) AS retention
       FROM c JOIN sz USING (cohort)
+    """
+    d["target_encode"] = f"""
+      WITH b AS (SELECT doc_id, source,
+                        CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                             AS DOUBLE) AS y,
+                        CAST(({det_hash_i64_sql('doc_id', 3)}) % 4
+                             AS INTEGER) AS fold
+                 FROM documents),
+      cell AS (SELECT source, fold, sum(y) AS s,
+                      CAST(count(y) AS BIGINT) AS n
+               FROM b GROUP BY source, fold),
+      cw AS (SELECT *, sum(s) OVER (PARTITION BY source) AS cs,
+                    sum(n) OVER (PARTITION BY source) AS cn
+             FROM cell),
+      ft AS (SELECT fold, sum(s) AS fs, sum(n) AS fn
+             FROM cell GROUP BY fold),
+      tot AS (SELECT sum(s) AS ts_, sum(n) AS tn FROM cell),
+      enc AS (SELECT cw.source, cw.fold,
+                     round((cw.cs - cw.s
+                            + 20.0 * ((tot.ts_ - ft.fs)
+                                      / (tot.tn - ft.fn)))
+                           / (cw.cn - cw.n + 20.0), 6) AS te
+              FROM cw JOIN ft USING (fold) CROSS JOIN tot)
+      SELECT b.doc_id, b.source, b.fold AS source__fold,
+             enc.te AS source__te
+      FROM b LEFT JOIN enc
+        ON b.source IS NOT DISTINCT FROM enc.source
+       AND b.fold = enc.fold
+    """
+    _fh = {}
+    for name, val in [
+        ("lang", "COALESCE(CAST(lang AS VARCHAR), '<NULL>')"),
+        ("source", "COALESCE(CAST(source AS VARCHAR), '<NULL>')"),
+        ("langxsource", "COALESCE(CAST(lang AS VARCHAR), '<NULL>') || chr(31)"
+                        " || COALESCE(CAST(source AS VARCHAR), '<NULL>')"),
+    ]:
+        _fh[name] = det_hash_str_i64_sql(f"'{name}=' || ({val})", 7)
+    d["feature_hash"] = f"""
+      WITH h AS (SELECT doc_id,
+                        CAST(({_fh['lang']}) AS BIGINT) AS h1,
+                        CAST(({_fh['source']}) AS BIGINT) AS h2,
+                        CAST(({_fh['langxsource']}) AS BIGINT) AS h3
+                 FROM documents),
+      e AS (SELECT doc_id,
+                   [struct_pack(b := CAST(h1 % 64 AS INTEGER),
+                                s := 1.0 - 2.0 * CAST((h1 // 64) % 2
+                                                      AS DOUBLE)),
+                    struct_pack(b := CAST(h2 % 64 AS INTEGER),
+                                s := 1.0 - 2.0 * CAST((h2 // 64) % 2
+                                                      AS DOUBLE)),
+                    struct_pack(b := CAST(h3 % 64 AS INTEGER),
+                                s := 1.0 - 2.0 * CAST((h3 // 64) % 2
+                                                      AS DOUBLE))] AS es
+            FROM h),
+      i AS (SELECT doc_id, es,
+                   list_sort(list_distinct(
+                     list_transform(es, x -> x.b))) AS fh_idx
+            FROM e)
+      SELECT doc_id, fh_idx,
+             list_transform(fh_idx,
+               bb -> list_sum(list_transform(es,
+                 x -> CASE WHEN x.b = bb THEN x.s ELSE 0.0 END)))
+               AS fh_val
+      FROM i
+    """
+    d["rolling_quantile"] = f"""
+      WITH t AS ({_T})
+      SELECT conv_id, turn_idx,
+             round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5)
+                     OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+               AS roll_q
+      FROM t
     """
     return d
 

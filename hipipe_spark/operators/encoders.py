@@ -484,3 +484,148 @@ def group_znorm(
             F.when(sd > 0, F.round((x - m) / sd, 6)).otherwise(F.lit(0.0)),
         )
     return df
+
+
+def fit_target_encode(fit_df: DataFrame, col: str, label: str,
+                      smoothing: float = 20.0,
+                      round_to: int | None = None) -> DataFrame:
+    """Smoothed global target (mean) encoding fitted on the FIT frame
+    (train split): per category, ``(sum(label) + m·prior) / (count +
+    m)`` with ``prior`` = the fit frame's overall label mean — the
+    standard empirical-Bayes shrinkage, so thin categories pull toward
+    the prior instead of memorizing noise. Returns ``(value, te,
+    prior)`` — ``prior`` rides along (same value every row) so
+    :func:`apply_target_encode` can encode UNSEEN categories without a
+    second fit scan. For encoding the training split itself use
+    :func:`target_encode_oof` (this global fit would let each row see
+    its own label).
+
+    One hash aggregate on the category; the prior is a broadcast
+    one-row cross. The result is category-dimension-sized — broadcast
+    material."""
+    y = F.col(label).cast("double")
+    cat = fit_df.groupBy(F.col(col).alias("value")).agg(
+        F.sum(y).alias("__s"), F.count(y).alias("__n"))
+    prior = fit_df.agg(
+        (F.sum(y) / F.count(y)).alias("prior"))
+    m = F.lit(float(smoothing))
+    te = (F.col("__s") + m * F.col("prior")) / (F.col("__n") + m)
+    if round_to is not None:
+        te = F.round(te, round_to)
+    return (cat.crossJoin(F.broadcast(prior))
+            .select("value", te.alias("te"), "prior"))
+
+
+def apply_target_encode(df: DataFrame, enc: DataFrame, col: str,
+                        out: str | None = None) -> DataFrame:
+    """Broadcast-apply a :func:`fit_target_encode` table; unseen/null
+    categories encode to the fit prior (the log-loss-neutral choice —
+    0.0 would assert 'never positive'). The encoded frame never
+    shuffles."""
+    out = out or f"{col}__te"
+    pri = enc.agg(F.first("prior").alias("__prior"))
+    joined = (df.join(F.broadcast(enc.select(F.col("value").alias(f"__{col}_v"),
+                                             F.col("te").alias("__te"))),
+                      F.col(col).eqNullSafe(F.col(f"__{col}_v")), "left")
+              .crossJoin(F.broadcast(pri)))
+    return (joined.withColumn(out, F.coalesce(F.col("__te"),
+                                              F.col("__prior")))
+            .drop(f"__{col}_v", "__te", "__prior"))
+
+
+def target_encode_oof(df: DataFrame, col: str, label: str, key: str,
+                      n_folds: int = 5, smoothing: float = 20.0,
+                      seed: int = 0, out: str | None = None,
+                      round_to: int | None = None) -> DataFrame:
+    """Out-of-fold target encoding for the TRAINING split itself: rows
+    are assigned a deterministic fold from ``key`` (det-hash — identical
+    across cluster sizes and reproducible by the SQL oracle), and each
+    row's category is encoded using label statistics from the OTHER
+    folds only: ``te = (Σ_c − Σ_cf + m·prior_f) / (n_c − n_cf + m)``
+    with ``prior_f`` the label mean excluding fold f. The row's own
+    label never reaches its own feature — the K-fold analogue of the
+    ordered :class:`TargetEncode`, without its per-category window.
+
+    Plan: ONE corpus hash aggregate to the (category × fold) cell frame
+    (C·k rows — dimension-sized), all leave-one-fold-out arithmetic on
+    that frame (a category window + a fold join + a one-row cross), and
+    one broadcast join back on (category, fold). The corpus shuffles
+    zero times beyond the cell aggregate's map-side combine; adding
+    folds never multiplies the row stream."""
+    from hipipe_spark.functions.hashing import det_hash_i64
+    out = out or f"{col}__te"
+    fold = F.pmod(det_hash_i64(F.col(key), seed), F.lit(n_folds))
+    y = F.col(label).cast("double")
+    base = df.withColumn("__fold", fold.cast("int"))
+    cell = base.groupBy(F.col(col).alias("__v"), "__fold").agg(
+        F.sum(y).alias("__s"), F.count(y).alias("__n"))
+    wc = Window.partitionBy("__v")
+    cell = (cell.withColumn("__cs", F.sum("__s").over(wc))
+                .withColumn("__cn", F.sum("__n").over(wc)))
+    ftot = cell.groupBy("__fold").agg(
+        F.sum("__s").alias("__fs"), F.sum("__n").alias("__fn"))
+    tot = cell.agg(F.sum("__s").alias("__ts"), F.sum("__n").alias("__tn"))
+    m = F.lit(float(smoothing))
+    prior_f = ((F.col("__ts") - F.col("__fs"))
+               / (F.col("__tn") - F.col("__fn")))
+    te = ((F.col("__cs") - F.col("__s") + m * prior_f)
+          / (F.col("__cn") - F.col("__n") + m))
+    if round_to is not None:
+        te = F.round(te, round_to)
+    enc = (cell.join(ftot, "__fold")
+           .crossJoin(F.broadcast(tot))
+           .select("__v", F.col("__fold").alias("__efold"), te.alias(out)))
+    return (base.join(
+        F.broadcast(enc),
+        F.col(col).eqNullSafe(F.col("__v"))
+        & (F.col("__fold") == F.col("__efold")),
+        "left")
+        .drop("__v", "__efold")
+        .withColumnRenamed("__fold", f"{col}__fold"))
+
+
+def hash_features(df: DataFrame,
+                  cols: Sequence[str | tuple[str, ...]],
+                  n_buckets: int = 1024, seed: int = 0,
+                  out: str = "fh") -> DataFrame:
+    """The hashing trick: categorical columns (and column CROSSES,
+    passed as tuples) map to a fixed ``n_buckets``-dimensional sparse
+    vector with ±1 signs — the unbounded-vocabulary encoder (no fit
+    pass, no vocab table, no unseen-category problem; new categories
+    at serve time land in a stable bucket). Emits ``{out}_idx``
+    (sorted distinct buckets) and ``{out}_val`` (signed sums —
+    same-row collisions add, the signature property that keeps the
+    estimator unbiased).
+
+    Bucket and sign derive from :func:`det_hash_str_i64` over
+    ``"name=value"`` (nulls hash as a distinct token), so the vector is
+    identical across cluster sizes and bit-reproducible by the DuckDB
+    oracle. Pure narrow map — array expressions over each row, no
+    shuffle, no fit scan, no UDF; the per-row work is O(f²) in the
+    handful of hashed features, not in ``n_buckets``."""
+    from hipipe_spark.functions.hashing import det_hash_str_i64
+    entries = []
+    for c in cols:
+        if isinstance(c, tuple):
+            name = "x".join(c)
+            val = F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(x).cast("string"),
+                                     F.lit("<NULL>")) for x in c])
+        else:
+            name = c
+            val = F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+        h = det_hash_str_i64(F.concat(F.lit(name + "="), val), seed)
+        b = F.pmod(h, F.lit(n_buckets)).cast("int")
+        s = (F.lit(1.0) - 2.0 * F.pmod(F.floor(h / n_buckets), F.lit(2))
+             .cast("double"))
+        entries.append(F.struct(b.alias("b"), s.alias("s")))
+    earr = F.array(*entries)
+    idx = F.array_sort(F.array_distinct(
+        F.transform(earr, lambda e: e["b"])))
+    val = F.transform(
+        idx,
+        lambda b: F.aggregate(
+            earr, F.lit(0.0),
+            lambda acc, e: acc + F.when(e["b"] == b, e["s"])
+                                  .otherwise(F.lit(0.0))))
+    return df.withColumn(f"{out}_idx", idx).withColumn(f"{out}_val", val)

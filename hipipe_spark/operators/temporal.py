@@ -611,3 +611,38 @@ def _interval_seconds(text: str) -> int:
             "h": 3600, "hour": 3600, "hours": 3600,
             "d": 86400, "day": 86400, "days": 86400}[unit.lower()]
     return int(float(num) * mult)
+
+
+def rolling_quantile(df: DataFrame, value, q: float = 0.5, n: int = 5,
+                     key: str = DEFAULT_KEY,
+                     order: Sequence[str] = DEFAULT_ORDER,
+                     out: str = "roll_q",
+                     round_to: int | None = None) -> DataFrame:
+    """Exact rolling quantile over the last ``n`` rows per key (the
+    robust sibling of the rolling mean — a rolling MEDIAN shrugs off
+    the one 10-minute gap that wrecks an average): sort the window's
+    values and linearly interpolate at ``q`` (the ``percentile_cont``
+    / numpy-linear rule). Nulls are skipped (quantile of the non-null
+    subset); an all-null window yields null.
+
+    Spark has no native windowed percentile, so the window's values
+    ride as a ``collect_list`` ROWS frame — O(n log n) JVM array sort
+    per row, bounded by the CONSTANT ``n``, never by conversation or
+    corpus size. One window exchange on the key, same as
+    :class:`Rolling`; no UDF. For corpus-level quantiles use the
+    mergeable ``percentile_approx`` sketch instead — this operator is
+    for per-entity local context at bounded ``n``.
+    """
+    x = (F.col(value) if isinstance(value, str) else value).cast("double")
+    w = (ordered_window(key, order).rowsBetween(-(n - 1), 0))
+    arr = F.array_sort(F.collect_list(x).over(w))
+    sz = F.size(arr)
+    h = (sz - 1).cast("double") * F.lit(float(q))
+    lo = F.floor(h).cast("int")
+    frac = h - lo.cast("double")
+    lo_v = F.element_at(arr, lo + 1)
+    hi_v = F.element_at(arr, F.least(lo + F.lit(2), sz))
+    res = F.when(sz > 0, lo_v + frac * (hi_v - lo_v))
+    if round_to is not None:
+        res = F.round(res, round_to)
+    return df.withColumn(out, res)
