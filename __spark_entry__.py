@@ -1956,6 +1956,44 @@ def q_rolling_quantile(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "roll_q")
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality gate (validate.py check_rules): four
+    named boolean expectations over documents folded into ONE aggregate
+    scan (conditional counts, map-side combined), melted to a per-rule
+    (n_rows, n_fail, fail_rate) report."""
+    from hipipe_spark.operators.validate import check_rules
+    d = _docs(spark, sf_dir)
+    return check_rules(d, [
+        ("n_chars_positive", F.col("n_chars") > 0),
+        ("len_matches_n_chars", F.length("text") == F.col("n_chars")),
+        ("lang_present", F.col("lang").isNotNull()),
+        ("text_min_len", F.length("text") >= 10),
+    ])
+
+
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit (validate.py fk_audit): orders ->
+    customer with a third of the parent keys withheld, so the orphan
+    path is actually exercised. One parent distinct + one left join +
+    one aggregate; the fact side never shuffles when the key side
+    broadcasts."""
+    from hipipe_spark.operators.validate import fk_audit
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_custkey") % 3 != 0))
+    return fk_audit(orders, cust, "o_custkey", "c_custkey")
+
+
+def q_column_profile(spark, sf_dir):
+    """Single-pass column profiler (validate.py profile_columns): null
+    rate / exact distinct / min / max / mean for three document columns
+    in one aggregate scan (exact distinct for the oracle;
+    approximate=True is the 100-TB HLL path)."""
+    from hipipe_spark.operators.validate import profile_columns
+    return profile_columns(_docs(spark, sf_dir),
+                           ["lang", "source", "n_chars"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2170,6 +2208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "feature_hash": q_feature_hash,
         "rolling_quantile": q_rolling_quantile,
+        "expectations": q_expectations,
+        "fk_audit": q_fk_audit,
+        "column_profile": q_column_profile,
     }
 
 
@@ -3414,6 +3455,76 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
                AS roll_q
       FROM t
+    """
+    d["expectations"] = """
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN NOT (n_chars > 0) THEN 1 ELSE 0 END)
+             AS BIGINT) AS f0,
+        CAST(sum(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END)
+             AS BIGINT) AS f1,
+        CAST(sum(CASE WHEN NOT (lang IS NOT NULL) THEN 1 ELSE 0 END)
+             AS BIGINT) AS f2,
+        CAST(sum(CASE WHEN NOT (length(text) >= 10) THEN 1 ELSE 0 END)
+             AS BIGINT) AS f3
+        FROM documents)
+      SELECT 1 AS rule_no, 'n_chars_positive' AS rule, n AS n_rows,
+             f0 AS n_fail, round(CAST(f0 AS DOUBLE) / n, 6) AS fail_rate
+        FROM a
+      UNION ALL SELECT 2, 'len_matches_n_chars', n, f1,
+             round(CAST(f1 AS DOUBLE) / n, 6) FROM a
+      UNION ALL SELECT 3, 'lang_present', n, f2,
+             round(CAST(f2 AS DOUBLE) / n, 6) FROM a
+      UNION ALL SELECT 4, 'text_min_len', n, f3,
+             round(CAST(f3 AS DOUBLE) / n, 6) FROM a
+    """
+    d["fk_audit"] = """
+      WITH k AS (SELECT DISTINCT c_custkey AS pk FROM customer
+                 WHERE c_custkey % 3 <> 0),
+      j AS (SELECT o.o_custkey AS ck, k.pk
+            FROM orders o LEFT JOIN k ON o.o_custkey = k.pk),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_key,
+                   CAST(sum(CASE WHEN ck IS NOT NULL AND pk IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+            FROM j)
+      SELECT n_rows, n_null_key, n_orphan,
+             round(CAST(n_orphan AS DOUBLE) / n_rows, 6) AS orphan_rate,
+             round(CAST(n_rows - n_orphan - n_null_key AS DOUBLE)
+                   / n_rows, 6) AS match_rate
+      FROM a
+    """
+    d["column_profile"] = """
+      WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null0,
+        CAST(count(DISTINCT lang) AS BIGINT) AS nd0,
+        CAST(min(lang) AS VARCHAR) AS min0,
+        CAST(max(lang) AS VARCHAR) AS max0,
+        avg(TRY_CAST(lang AS DOUBLE)) AS mean0,
+        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null1,
+        CAST(count(DISTINCT source) AS BIGINT) AS nd1,
+        CAST(min(source) AS VARCHAR) AS min1,
+        CAST(max(source) AS VARCHAR) AS max1,
+        avg(TRY_CAST(source AS DOUBLE)) AS mean1,
+        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS null2,
+        CAST(count(DISTINCT n_chars) AS BIGINT) AS nd2,
+        CAST(min(n_chars) AS VARCHAR) AS min2,
+        CAST(max(n_chars) AS VARCHAR) AS max2,
+        avg(CAST(n_chars AS DOUBLE)) AS mean2
+        FROM documents)
+      SELECT 'lang' AS "column", n AS n_rows, null0 AS n_null,
+             round(CAST(null0 AS DOUBLE) / n, 6) AS null_rate,
+             nd0 AS n_distinct, min0 AS min_s, max0 AS max_s,
+             round(mean0, 6) AS mean FROM a
+      UNION ALL SELECT 'source', n, null1,
+             round(CAST(null1 AS DOUBLE) / n, 6), nd1, min1, max1,
+             round(mean1, 6) FROM a
+      UNION ALL SELECT 'n_chars', n, null2,
+             round(CAST(null2 AS DOUBLE) / n, 6), nd2, min2, max2,
+             round(mean2, 6) FROM a
     """
     return d
 

@@ -1,0 +1,153 @@
+"""Data-quality gates: declarative expectations, referential-integrity
+audits, and a single-pass column profiler.
+
+At 100 TB the question "is this table sane?" must itself be a Spark
+plan — a driver-side loop of `df.filter(rule).count()` calls would run
+one corpus scan PER RULE. Everything here folds into one (or two)
+scans regardless of how many rules/columns are checked:
+
+- :func:`check_rules` — N boolean expectations → ONE aggregate pass
+  (each rule is a conditional count, partial-aggregated map-side),
+  melted to a (rule, n_rows, n_fail, fail_rate) report on the
+  driver-sized result row.
+- :func:`flag_violations` — the row-level twin: appends a compact
+  array of failed rule names per row (narrow map, no shuffle) for
+  quarantine-style routing.
+- :func:`fk_audit` — orphan rate of a child key against a parent
+  table: one distinct on the parent key (dimension-sized → broadcast
+  when small) + one left join + one count aggregate.
+- :func:`profile_columns` — per-column null rate / distinct / min /
+  max / mean in one aggregate pass, long-format output; exact
+  count(DISTINCT) costs one expand at small column counts (the oracle
+  setting), ``approximate=True`` swaps in the mergeable HLL sketch —
+  the 100-TB default.
+
+Reference contrast: hipipe validates shape only (column presence and
+batch rectangularity at stream-build time, ``include/hipipe/core/
+stream/create.hpp``); value-level expectations are new surface the
+north rule's lineage/metrics contract implies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame,
+                rules: Sequence[tuple[str, Column]],
+                round_to: int = 6) -> DataFrame:
+    """Evaluate named boolean expectations (True/null = pass, False =
+    fail — a rule on a null value fails only if its predicate says so;
+    wrap with ``isNotNull`` checks to assert presence) in ONE aggregate
+    scan. Returns one row per rule: ``(rule, n_rows, n_fail,
+    fail_rate)``, in the order given."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, cond) in enumerate(rules):
+        aggs.append(F.sum(F.when(~cond, 1).otherwise(0))
+                    .cast("bigint").alias(f"__f{i}"))
+    row = df.agg(*aggs)
+    melted = F.array(*[
+        F.struct(F.lit(i + 1).alias("rule_no"),
+                 F.lit(name).alias("rule"),
+                 F.col("__n").cast("bigint").alias("n_rows"),
+                 F.col(f"__f{i}").alias("n_fail"),
+                 F.when(F.col("__n") > 0,
+                        F.round(F.col(f"__f{i}") / F.col("__n"), round_to))
+                 .otherwise(F.lit(0.0)).alias("fail_rate"))
+        for i, (name, _) in enumerate(rules)
+    ])
+    return row.select(F.inline(melted))
+
+
+def flag_violations(df: DataFrame,
+                    rules: Sequence[tuple[str, Column]],
+                    out: str = "violations") -> DataFrame:
+    """Row-level expectations: append ``{out}`` — the array of rule
+    names this row fails (empty = clean) and ``{out}_n`` — its size.
+    Pure narrow map; route rows with ``F.size(out) > 0`` to a
+    quarantine sink without a second evaluation pass."""
+    arr = F.array(*[F.when(~cond, F.lit(name)) for name, cond in rules])
+    cleaned = F.filter(arr, lambda x: x.isNotNull())
+    return (df.withColumn(out, cleaned)
+            .withColumn(f"{out}_n", F.size(cleaned)))
+
+
+def fk_audit(child: DataFrame, parent: DataFrame, child_key: str,
+             parent_key: str | None = None,
+             round_to: int = 6) -> DataFrame:
+    """Referential-integrity audit: how many child rows reference a key
+    absent from the parent (orphans), plus null-key rows (counted
+    separately — a null FK is a modeling choice, not an orphan).
+    Returns one row: ``(n_rows, n_null_key, n_orphan, orphan_rate,
+    match_rate)``.
+
+    One distinct-project on the parent key (broadcast when
+    dimension-sized — Spark picks it by stats/AQE) + one left join +
+    one aggregate. The child never shuffles when the parent side
+    broadcasts."""
+    pk = parent_key or child_key
+    keys = parent.select(F.col(pk).alias("__pk")).distinct()
+    j = child.join(keys, child[child_key] == F.col("__pk"), "left")
+    ck = j[child_key]
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(ck.isNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_null_key"),
+        F.sum(F.when(ck.isNotNull() & F.col("__pk").isNull(), 1)
+               .otherwise(0)).cast("bigint").alias("n_orphan"),
+    ).select(
+        "n_rows", "n_null_key", "n_orphan",
+        F.when(F.col("n_rows") > 0,
+               F.round(F.col("n_orphan") / F.col("n_rows"), round_to))
+         .otherwise(F.lit(0.0)).alias("orphan_rate"),
+        F.when(F.col("n_rows") > 0,
+               F.round((F.col("n_rows") - F.col("n_orphan")
+                        - F.col("n_null_key")) / F.col("n_rows"), round_to))
+         .otherwise(F.lit(0.0)).alias("match_rate"))
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str],
+                    approximate: bool = False,
+                    round_to: int = 6) -> DataFrame:
+    """Single-pass column profiler: per column ``(column, n_rows,
+    n_null, null_rate, n_distinct, min_s, max_s, mean)`` in long
+    format (min/max stringified so mixed types share one schema; mean
+    only for numeric-castable columns). ``approximate=True`` replaces
+    exact ``count(DISTINCT)`` (an expand — one duplicated stream per
+    profiled column) with ``approx_count_distinct``, the
+    constant-memory HLL sketch that partial-aggregates map-side — at
+    100 TB profile approximately or profile twice."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        x = F.col(c)
+        nd = (F.approx_count_distinct(x) if approximate
+              else F.countDistinct(x))
+        aggs += [
+            F.sum(F.when(x.isNull(), 1).otherwise(0))
+             .cast("bigint").alias(f"__null{i}"),
+            nd.cast("bigint").alias(f"__nd{i}"),
+            F.min(x).cast("string").alias(f"__min{i}"),
+            F.max(x).cast("string").alias(f"__max{i}"),
+            F.avg(x.try_cast("double")).alias(f"__mean{i}"),
+        ]
+    row = df.agg(*aggs)
+    melted = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col("__n").cast("bigint").alias("n_rows"),
+                 F.col(f"__null{i}").alias("n_null"),
+                 F.when(F.col("__n") > 0,
+                        F.round(F.col(f"__null{i}") / F.col("__n"),
+                                round_to)).otherwise(F.lit(0.0))
+                 .alias("null_rate"),
+                 F.col(f"__nd{i}").alias("n_distinct"),
+                 F.col(f"__min{i}").alias("min_s"),
+                 F.col(f"__max{i}").alias("max_s"),
+                 F.round(F.col(f"__mean{i}"), round_to).alias("mean"))
+        for i, c in enumerate(cols)
+    ])
+    return row.select(F.inline(melted))
