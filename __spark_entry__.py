@@ -1994,6 +1994,25 @@ def q_column_profile(spark, sf_dir):
                            ["lang", "source", "n_chars"])
 
 
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.py pq_topk,
+    impl='jvm'): 64-dim embeddings compressed to 4 sub-codes (16
+    codes/subspace) against formula codebooks — encode (per-subspace
+    argmin) and query LUTs as pure unrolled JVM expressions, scoring
+    = 4 array lookups per pair instead of 64 multiplies. Every double
+    is bit-reproducible by the oracle (same left-fold order); trained
+    codebooks (pq_train: sampled k-means++ + distributed Lloyd) are
+    the production path, pytest-anchored."""
+    from hipipe_spark.operators.similarity import (
+        pq_formula_codebooks, pq_topk)
+    em = _embs(spark, sf_dir)
+    q = em.filter(F.col("vec_id") < 5)
+    books = pq_formula_codebooks(m=4, n_codes=16, dsub=16)
+    out = pq_topk(em, q, k=5, m=4, codebooks=books, impl="jvm")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2211,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "fk_audit": q_fk_audit,
         "column_profile": q_column_profile,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 
@@ -3525,6 +3545,76 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT 'n_chars', n, null2,
              round(CAST(null2 AS DOUBLE) / n, 6), nd2, min2, max2,
              round(mean2, 6) FROM a
+    """
+    # PQ-ADC oracle: regenerate the formula codebooks inline and mirror
+    # every left-fold (t-ascending dist/LUT sums, s-ascending dot/xsq)
+    # so each double matches the Spark expression bit-for-bit.
+    _pq_m, _pq_k, _pq_ds = 4, 16, 16
+
+    def _pq_c(s, j, t):
+        return (31 * j + 17 * t + 13 * s) % 23 - 11
+
+    def _fold(terms):
+        return (f"list_reduce(list_prepend(0.0, {terms}), "
+                f"(a, b) -> a + b)")
+
+    _dist, _lut, _sqlit = [], [], []
+    for s in range(_pq_m):
+        t_dist = (f"list_transform(range(0, {_pq_ds}), t -> "
+                  f"(cv[{s * _pq_ds} + t + 1] - CAST((31*j + 17*t "
+                  f"+ {13 * s}) % 23 - 11 AS DOUBLE)) "
+                  f"* (cv[{s * _pq_ds} + t + 1] - CAST((31*j + 17*t "
+                  f"+ {13 * s}) % 23 - 11 AS DOUBLE)))")
+        _dist.append(f"list_transform(range(0, {_pq_k}), "
+                     f"j -> {_fold(t_dist)})")
+        t_lut = (f"list_transform(range(0, {_pq_ds}), t -> "
+                 f"qv[{s * _pq_ds} + t + 1] * CAST((31*j + 17*t "
+                 f"+ {13 * s}) % 23 - 11 AS DOUBLE))")
+        _lut.append(f"list_transform(range(0, {_pq_k}), "
+                    f"j -> {_fold(t_lut)})")
+        _sqlit.append("[" + ", ".join(
+            f"{float(sum(_pq_c(s, j, t) ** 2 for t in range(_pq_ds)))}"
+            for j in range(_pq_k)) + "]")
+    _codes = ", ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INTEGER)"
+        for s in range(_pq_m))
+    _xsq = " + ".join(f"({_sqlit[s]})[codes[{s + 1}] + 1]"
+                      for s in range(_pq_m))
+    _qn = _fold("list_transform(range(0, 64), i -> qv[i+1] * qv[i+1])")
+    _dot = _fold(f"list_transform(range(0, {_pq_m}), "
+                 f"s -> list_extract(list_extract(lut, s + 1), "
+                 f"list_extract(codes, s + 1) + 1))")
+    d["pq_adc_topk"] = f"""
+      WITH c0 AS (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+      cd AS (SELECT neighbor_id,
+                    {', '.join(f'{_dist[s]} AS d{s}'
+                               for s in range(_pq_m))}
+             FROM c0),
+      enc AS (SELECT neighbor_id, [{_codes}] AS codes FROM cd),
+      enc2 AS (SELECT neighbor_id, codes, {_xsq} AS xsq FROM enc),
+      q0 AS (SELECT vec_id AS query_id,
+                    CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 5),
+      ql AS (SELECT query_id,
+                    [{', '.join(_lut)}] AS lut,
+                    sqrt({_qn}) AS qnorm
+             FROM q0),
+      sc AS (SELECT ql.query_id, enc2.neighbor_id,
+                    CASE WHEN enc2.xsq > 0 AND ql.qnorm > 0
+                         THEN ({_dot}) / (ql.qnorm * sqrt(enc2.xsq))
+                         ELSE 0.0 END AS score
+             FROM enc2 CROSS JOIN ql
+             WHERE enc2.neighbor_id <> ql.query_id),
+      r AS (SELECT query_id, neighbor_id, score,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INTEGER)
+                     AS rank
+            FROM sc)
+      SELECT query_id, neighbor_id, round(score, 6) AS score, rank
+      FROM r WHERE rank <= 5
     """
     return d
 
