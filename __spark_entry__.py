@@ -2013,6 +2013,39 @@ def q_pq_adc_topk(spark, sf_dir):
                       F.round("score", 6).alias("score"), "rank")
 
 
+def q_sliding_distinct(spark, sf_dir):
+    """Rolling active-entity counts (analytics.py sliding_distinct):
+    distinct users per 3-day window sliding daily — exact mode (each
+    event explodes into its 3 containing windows, one distinct +
+    count); approximate=True swaps in per-bucket HLL sketches unioned
+    per window (no row fan-out), the 100-TB path, pytest-anchored
+    against exact."""
+    from hipipe_spark.operators.analytics import sliding_distinct
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliding_distinct(ev, window_s=3 * 86400.0, slide_s=86400.0)
+
+
+def q_tool_profile(spark, sf_dir):
+    """Per-conversation tool-usage profile: turn count, distinct
+    tools, Shannon entropy of the tool mix (features.py
+    categorical_entropy — two hash aggs, no window over the corpus),
+    plus the dominant tool (count desc, name asc). The
+    conversation-level fingerprint an agent-behavior dashboard reads."""
+    from hipipe_spark.operators.features import categorical_entropy
+    t = _transcripts(spark, sf_dir)
+    ent = categorical_entropy(t, "conv_id", "tool", out_prefix="tool")
+    counts = t.groupBy("conv_id", "tool").agg(
+        F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("__c").desc(), F.col("tool"))
+    top = (counts.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1)
+           .select("conv_id", F.col("tool").alias("top_tool")))
+    return ent.join(top, "conv_id").select(
+        "conv_id", "tool_n", "tool_n_cats", "tool_entropy",
+        "tool_norm_entropy", "top_tool")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2231,6 +2264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": q_fk_audit,
         "column_profile": q_column_profile,
         "pq_adc_topk": q_pq_adc_topk,
+        "sliding_distinct": q_sliding_distinct,
+        "tool_profile": q_tool_profile,
     }
 
 
@@ -3615,6 +3650,41 @@ def oracle_sql() -> dict[str, str]:
             FROM sc)
       SELECT query_id, neighbor_id, round(score, 6) AS score, rank
       FROM r WHERE rank <= 5
+    """
+    d["sliding_distinct"] = """
+      WITH e AS (SELECT user_id AS k, epoch(ts) AS es FROM events),
+      x AS (SELECT k, unnest(range(
+                CAST(floor((es - 259200.0) / 86400.0) + 1 AS BIGINT),
+                CAST(floor(es / 86400.0) AS BIGINT) + 1)) AS w
+            FROM e),
+      u AS (SELECT DISTINCT k, w FROM x)
+      SELECT round(w * 86400.0, 6) AS window_start_s,
+             round(w * 86400.0 + 259200.0, 6) AS window_end_s,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM u GROUP BY w
+    """
+    d["tool_profile"] = f"""
+      WITH t AS ({_T}),
+      c AS (SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS cc
+            FROM t GROUP BY conv_id, tool),
+      ent AS (SELECT conv_id,
+                     CAST(sum(cc) AS BIGINT) AS tool_n,
+                     CAST(count(*) AS INTEGER) AS tool_n_cats,
+                     round(ln(sum(cc)) - sum(cc * ln(cc)) / sum(cc), 6)
+                       AS tool_entropy,
+                     CASE WHEN count(*) > 1
+                          THEN round((ln(sum(cc))
+                                      - sum(cc * ln(cc)) / sum(cc))
+                                     / ln(CAST(count(*) AS DOUBLE)), 6)
+                          ELSE 0.0 END AS tool_norm_entropy
+              FROM c GROUP BY conv_id),
+      top AS (SELECT conv_id, tool AS top_tool FROM
+                (SELECT conv_id, tool, row_number() OVER
+                   (PARTITION BY conv_id ORDER BY cc DESC, tool) AS rn
+                 FROM c) WHERE rn = 1)
+      SELECT ent.conv_id, tool_n, tool_n_cats, tool_entropy,
+             tool_norm_entropy, top_tool
+      FROM ent JOIN top USING (conv_id)
     """
     return d
 

@@ -120,3 +120,55 @@ def cohort_retention(events: DataFrame, key: str = "user_id",
                     F.col("n_active").cast("bigint").alias("n_active"),
                     F.round(F.col("n_active") / F.col("__size"), 6)
                      .alias("retention")))
+
+
+def sliding_distinct(events: DataFrame, key: str = "user_id",
+                     ts_col: str = "ts", window_s: float = 604800.0,
+                     slide_s: float = 86400.0,
+                     approximate: bool = False) -> DataFrame:
+    """Distinct active entities per SLIDING window — the rolling
+    "7-day active users, daily" series a tumbling groupBy can't
+    produce (windows overlap) and a naive self-join produces at
+    O(|events|·windows). Windows are aligned at multiples of
+    ``slide_s``; window ``i`` covers ``[i·slide, i·slide + window)``.
+    Returns ``(window_start_s, window_end_s, n_active)`` for every
+    window that saw at least one event.
+
+    Exact mode: each event explodes into the ``window/slide`` windows
+    containing it (a small CONSTANT fan-out — 7 for the weekly/daily
+    case, independent of corpus size), then one distinct + count per
+    window. ``approximate=True`` is the 100-TB path: ONE Datasketches
+    HLL sketch per slide bucket (no row fan-out — the stream
+    aggregates straight to ``n_buckets`` sketch rows), window counts
+    by unioning each window's ``window/slide`` bucket sketches —
+    mergeability is the whole point of the sketch."""
+    es = ts_seconds(F.col(ts_col))
+    s = F.lit(float(slide_s))
+    i_min = (F.floor((es - F.lit(float(window_s))) / s) + 1).cast("long")
+    i_max = F.floor(es / s).cast("long")
+    if approximate:
+        bucket = i_max  # the event's own slide bucket
+        sk = (events.select(F.col(key).alias("__k"), bucket.alias("__b"))
+              .groupBy("__b").agg(F.hll_sketch_agg("__k").alias("__sk")))
+        r = int(round(window_s / slide_s))
+        # window w spans buckets [w, w+r-1] => bucket b feeds windows
+        # [b-r+1, b]
+        wins = sk.select(
+            F.explode(F.sequence(F.col("__b") - r + 1,
+                                 F.col("__b"))).alias("__w"),
+            "__sk")
+        out = wins.groupBy("__w").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+             .alias("n_active"))
+    else:
+        ev = events.select(F.col(key).alias("__k"),
+                           F.explode(F.sequence(i_min, i_max))
+                            .alias("__w"))
+        out = (ev.distinct()
+               .groupBy("__w")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_active")))
+    return out.select(
+        F.round(F.col("__w") * s, 6).alias("window_start_s"),
+        F.round(F.col("__w") * s + F.lit(float(window_s)), 6)
+         .alias("window_end_s"),
+        "n_active")

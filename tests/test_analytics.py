@@ -76,3 +76,48 @@ def test_cohort_retention_triangle(spark):
     assert out[(c0, 2)]["retention"] == 0.5
     assert out[(c0 + 2, 0)]["n_active"] == 1
     assert len(out) == 3
+
+
+def test_sliding_distinct_exact_matches_python(spark):
+    from hipipe_spark.operators.analytics import sliding_distinct
+    # users active on specific days (epoch days 0..9)
+    acts = [(1, 0), (1, 1), (2, 1), (3, 4), (1, 4), (2, 8), (3, 8),
+            (3, 9), (1, 9)]
+    rows = [(u, float(day * 86400 + 3 * 3600)) for u, day in acts]
+    df = spark.createDataFrame(rows, "user_id long, es double") \
+        .selectExpr("user_id", "timestamp_seconds(es) AS ts")
+    out = (sliding_distinct(df, window_s=3 * 86400.0, slide_s=86400.0)
+           .toPandas())
+    got = {int(r["window_start_s"] // 86400): r["n_active"]
+           for _, r in out.iterrows()}
+    # python reference: window w covers days [w, w+2]
+    days = {}
+    for u, d in acts:
+        days.setdefault(d, set()).add(u)
+    ref = {}
+    for w in range(-2, 10):
+        s = set()
+        for d in range(w, w + 3):
+            s |= days.get(d, set())
+        if s:
+            ref[w] = len(s)
+    assert got == ref
+
+
+def test_sliding_distinct_approx_close(spark):
+    import numpy as np
+    from hipipe_spark.operators.analytics import sliding_distinct
+    rng = np.random.default_rng(2)
+    rows = [(int(rng.integers(200)),
+             float(86400 * rng.integers(0, 20) + rng.integers(0, 86400)))
+            for _ in range(3000)]
+    df = spark.createDataFrame(rows, "user_id long, es double") \
+        .selectExpr("user_id", "timestamp_seconds(es) AS ts")
+    ex = sliding_distinct(df, window_s=7 * 86400.0,
+                          slide_s=86400.0).toPandas()
+    ap = sliding_distinct(df, window_s=7 * 86400.0, slide_s=86400.0,
+                          approximate=True).toPandas()
+    j = ex.merge(ap, on="window_start_s", suffixes=("_e", "_a"))
+    assert len(j) == len(ex) == len(ap)
+    rel = abs(j["n_active_a"] - j["n_active_e"]) / j["n_active_e"]
+    assert (rel < 0.1).all()
