@@ -2046,6 +2046,50 @@ def q_tool_profile(spark, sf_dir):
         "tool_norm_entropy", "top_tool")
 
 
+def q_gap_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of inter-turn gaps per conversation
+    (features.py lag_autocorr): the rhythm detector — machine-paced
+    retry loops autocorrelate, human turns don't. One conversation
+    window (gap + lag) + one co-moment hash aggregate; NaN (zero
+    variance) normalized to null so the oracle's NULL matches."""
+    from hipipe_spark.operators.features import lag_autocorr
+    from hipipe_spark.operators.temporal import ts_seconds
+    t = _transcripts(spark, sf_dir)
+    es = ts_seconds(F.col("ts"))
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    t = t.withColumn("gap", es - F.lag(es).over(w))
+    out = lag_autocorr(t, "gap", lag=1)
+    return out.select(
+        "conv_id", "n_pairs",
+        F.when(~F.isnan(F.coalesce(F.col("autocorr"), F.lit(0.0))),
+               F.col("autocorr")).alias("autocorr"))
+
+
+def q_turn_flags(spark, sf_dir):
+    """Dialogue-act/structure flags per turn (text.py dialogue_flags):
+    question / code-fence / URL / line-count / clean-ending signals as
+    pure contains/suffix JVM expressions — zero shuffle, pushed onto
+    the scan."""
+    from hipipe_spark.functions.text import dialogue_flags
+    t = _transcripts(spark, sf_dir)
+    flags = dialogue_flags(F.col("text"))
+    return t.select("conv_id", "turn_idx",
+                    *[c.alias(n) for n, c in flags.items()])
+
+
+def q_relevance_context(spark, sf_dir):
+    """Relevance-ranked context selection (transcripts.py
+    relevance_context): greedy by score (token count here) under a
+    40-token budget, ties to the later turn — the RAG sibling of the
+    recency suffix truncator; one window sort per conversation."""
+    from hipipe_spark.operators.transcripts import relevance_context
+    t = _transcripts(spark, sf_dir).withColumn(
+        "score", F.length("text").cast("double"))
+    out = relevance_context(t, "score", budget=40)
+    return out.select("conv_id", "turn_idx", "turn_tokens",
+                      "sel_tokens", "kept")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2266,6 +2310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": q_pq_adc_topk,
         "sliding_distinct": q_sliding_distinct,
         "tool_profile": q_tool_profile,
+        "gap_autocorr": q_gap_autocorr,
+        "turn_flags": q_turn_flags,
+        "relevance_context": q_relevance_context,
     }
 
 
@@ -3685,6 +3732,61 @@ def oracle_sql() -> dict[str, str]:
       SELECT ent.conv_id, tool_n, tool_n_cats, tool_entropy,
              tool_norm_entropy, top_tool
       FROM ent JOIN top USING (conv_id)
+    """
+    d["gap_autocorr"] = f"""
+      WITH t AS ({_T}),
+      g AS (SELECT conv_id, turn_idx,
+                   epoch(ts) - lag(epoch(ts)) OVER
+                     (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                     AS gap
+            FROM t),
+      p AS (SELECT conv_id, gap,
+                   lag(gap) OVER
+                     (PARTITION BY conv_id ORDER BY turn_idx) AS gl
+            FROM g)
+      SELECT conv_id,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND gl IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+             round(corr(gap, gl), 6) AS autocorr
+      FROM p GROUP BY conv_id
+    """
+    d["turn_flags"] = f"""
+      WITH t AS ({_T})
+      SELECT conv_id, turn_idx,
+             CAST(CASE WHEN trim(text) LIKE '%?' THEN 1 ELSE 0 END
+                  AS INTEGER) AS is_question,
+             CAST(CASE WHEN position('```' IN text) > 0 THEN 1 ELSE 0
+                  END AS INTEGER) AS has_code,
+             CAST(CASE WHEN position('http://' IN text) > 0
+                         OR position('https://' IN text) > 0
+                  THEN 1 ELSE 0 END AS INTEGER) AS has_url,
+             CAST(len(string_split(text, chr(10))) AS INTEGER)
+               AS n_lines,
+             CAST(CASE WHEN trim(text) LIKE '%.'
+                         OR trim(text) LIKE '%!'
+                         OR trim(text) LIKE '%?'
+                  THEN 1 ELSE 0 END AS INTEGER) AS ends_clean
+      FROM t
+    """
+    d["relevance_context"] = rf"""
+      WITH t AS ({_T}),
+      r AS (SELECT conv_id, turn_idx,
+              CAST(length(text) AS DOUBLE) AS score,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS INT) AS turn_tokens
+            FROM t),
+      s AS (SELECT conv_id, turn_idx, turn_tokens,
+              CAST(SUM(turn_tokens) OVER
+                (PARTITION BY conv_id
+                 ORDER BY score DESC, turn_idx DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS sel_tokens
+            FROM r)
+      SELECT conv_id, turn_idx, turn_tokens, sel_tokens,
+             CAST(CASE WHEN sel_tokens <= 40 THEN 1 ELSE 0 END
+                  AS INTEGER) AS kept
+      FROM s
     """
     return d
 

@@ -301,3 +301,24 @@ def _eq_of(b):
     def f(x):
         return x == b
     return f
+
+
+def dialogue_flags(col: Column) -> dict[str, Column]:
+    """Dialogue-act / structure flags for a turn's text — the cheap
+    per-turn signals an SFT filter or router reads: ``is_question``
+    (trimmed text ends with '?'), ``has_code`` (fenced block marker),
+    ``has_url``, ``n_lines``, ``ends_clean`` (terminal punctuation .!?
+    — the C4 line rule at turn granularity). All contains/suffix
+    predicates — no regex dialect to disagree with a SQL oracle, pure
+    narrow-map JVM expressions."""
+    t = F.trim(col)
+    return {
+        "is_question": t.endswith("?").cast("int"),
+        "has_code": F.contains(col, F.lit("```")).cast("int"),
+        "has_url": (F.contains(col, F.lit("http://"))
+                    | F.contains(col, F.lit("https://"))).cast("int"),
+        "n_lines": (F.size(F.split(col, "\n", -1))
+                    .cast("int")),
+        "ends_clean": (t.endswith(".") | t.endswith("!")
+                       | t.endswith("?")).cast("int"),
+    }

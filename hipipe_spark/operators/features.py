@@ -353,3 +353,42 @@ def role_streak(
             w_all.rowsBetween(Window.unboundedPreceding, 0)) - 1)
         .cast("int"))
     return out.drop("__mk")
+
+
+def lag_autocorr(
+    df: DataFrame,
+    value: str,
+    key: str = "conv_id",
+    lag: int = 1,
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of a numeric turn series — the
+    rhythm detector: gap series with strong lag-1 autocorrelation =
+    machine-paced retries; near zero = human burstiness. Returns one
+    row per key: ``n_pairs`` (non-null (x, lag(x)) pairs) and
+    ``autocorr`` = Pearson r between the series and its lag (null when
+    fewer than 2 pairs or zero variance — undefined, not 0).
+
+    One conversation-bounded window (the lag) + one hash aggregate
+    (covar/stddev are single-pass central-moment aggregates with
+    map-side partial combine) — partition sizes stay
+    conversation-bounded. Pearson r is assembled as
+    ``try_divide(covar_samp, stddev*stddev)`` rather than ``F.corr``:
+    under Spark 4 ANSI mode ``corr`` THROWS DIVIDE_BY_ZERO on a
+    zero-variance series instead of returning null."""
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    x = F.col(value).cast("double")
+    out = df.withColumn("__xl", F.lag(x, lag).over(w))
+    pair = x.isNotNull() & F.col("__xl").isNotNull()
+    # mask both sides to pair rows so the stddevs see exactly the
+    # rows covar_samp sees
+    xm = F.when(pair, x)
+    ym = F.when(pair, F.col("__xl"))
+    r = F.try_divide(F.covar_samp(xm, ym),
+                     F.stddev_samp(xm) * F.stddev_samp(ym))
+    return (out.groupBy(key)
+            .agg(F.sum(pair.cast("int")).cast("bigint")
+                  .alias("n_pairs"),
+                 F.round(r, round_to).alias("autocorr")))

@@ -203,3 +203,39 @@ def truncate_context(
         .filter((F.col("kept_rank") <= head)
                 | (F.col("kept_rank") > F.col("conv_turns") - tail))
     )
+
+
+def relevance_context(
+    df: DataFrame,
+    score_col: str,
+    budget: int = 2048,
+    key: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    out: str = "kept",
+) -> DataFrame:
+    """Relevance-ranked context selection under a token budget — the
+    retrieval-augmented sibling of :func:`truncate_token_budget`
+    (which keeps the recency suffix): per conversation, turns are
+    taken greedily by ``score_col`` DESCENDING (ties by recency —
+    later turn first) while the running token total fits ``budget``;
+    selected turns are then re-read in original turn order. Emits
+    ``turn_tokens``, ``sel_tokens`` (running total in selection
+    order), and ``{out}`` (0/1) for EVERY row — filter on it, or keep
+    the flag so the leakage/audit suite can see what was dropped.
+
+    Greedy-prefix rule: a turn is kept iff the cumulative tokens of
+    all better-scored turns plus itself fit the budget — one window
+    sort per conversation (score desc), the same single-exchange shape
+    as the suffix truncator; no collect, no per-row Python.
+    """
+    from hipipe_spark.functions.text import token_count
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    ws = Window.partitionBy(key).orderBy(
+        F.col(score_col).desc(), F.col(order_col).desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (df.withColumn("turn_tokens", token_count(F.col(text_col)))
+            .withColumn("sel_tokens", F.sum("turn_tokens").over(ws))
+            .withColumn(out, (F.col("sel_tokens") <= budget).cast("int")))
