@@ -2090,6 +2090,17 @@ def q_relevance_context(spark, sf_dir):
                       "sel_tokens", "kept")
 
 
+def q_transcript_integrity(spark, sf_dir):
+    """Per-conversation ordering audit (transcripts.py
+    transcript_integrity): duplicate/gapped turn indexes, timestamp
+    inversions, role repeats, first-index check — the gate for the
+    engine's stable-turn-ordering invariant. One conversation window +
+    one hash aggregate."""
+    from hipipe_spark.operators.transcripts import transcript_integrity
+    t = _transcripts(spark, sf_dir)
+    return transcript_integrity(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2122,13 +2133,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     temperature_mixture, embedding_topk_int8, unigram_logprob,
     embedding_pool, hash_features, bigram_pmi, robust_scale,
     ngram_containment, winsorize, plus everything added after them
-    (interval_join .. freshness at the dict tail, incl. the late-r3
-    feature-eng batch: freq_encode, onehot_encode, lift_report,
+    (interval_join .. transcript_integrity at the dict tail, incl. the
+    late-r3 feature-eng batch: freq_encode, onehot_encode, lift_report,
     conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness,
     group_znorm, turn_similarity, feature_corr, impute, walk_forward,
     distinctive_terms, future_label, role_streak, funnel,
-    cohort_retention). 50 window slots < 60+ unverified queries this
-    round — the tail waits."""
+    cohort_retention, target encoders, quality gates, pq_adc_topk,
+    sliding_distinct, tool_profile, gap_autocorr, turn_flags,
+    relevance_context, transcript_integrity). 50 window slots < 60+
+    unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2313,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_autocorr": q_gap_autocorr,
         "turn_flags": q_turn_flags,
         "relevance_context": q_relevance_context,
+        "transcript_integrity": q_transcript_integrity,
     }
 
 
@@ -3787,6 +3801,32 @@ def oracle_sql() -> dict[str, str]:
              CAST(CASE WHEN sel_tokens <= 40 THEN 1 ELSE 0 END
                   AS INTEGER) AS kept
       FROM s
+    """
+    d["transcript_integrity"] = f"""
+      WITH t AS ({_T}),
+      f AS (SELECT conv_id, turn_idx, ts, role,
+              CASE WHEN ts < lag(ts) OVER w THEN 1 ELSE 0 END AS inv,
+              CASE WHEN CAST(turn_idx AS BIGINT)
+                        - lag(CAST(turn_idx AS BIGINT)) OVER w > 1
+                   THEN 1 ELSE 0 END AS gap,
+              CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END
+                AS rep
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)),
+      a AS (SELECT conv_id,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT)
+                AS n_dup_idx,
+              CAST(sum(inv) AS BIGINT) AS n_ts_inversions,
+              CAST(sum(gap) AS BIGINT) AS n_idx_gaps,
+              CAST(sum(rep) AS BIGINT) AS n_role_repeats,
+              CAST(min(turn_idx) AS BIGINT) AS first_idx
+            FROM f GROUP BY conv_id)
+      SELECT *,
+             CAST(CASE WHEN n_dup_idx = 0 AND n_ts_inversions = 0
+                        AND n_idx_gaps = 0 AND first_idx = 0
+                  THEN 1 ELSE 0 END AS INTEGER) AS is_clean
+      FROM a
     """
     return d
 

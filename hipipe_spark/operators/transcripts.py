@@ -239,3 +239,71 @@ def relevance_context(
     return (df.withColumn("turn_tokens", token_count(F.col(text_col)))
             .withColumn("sel_tokens", F.sum("turn_tokens").over(ws))
             .withColumn(out, (F.col("sel_tokens") <= budget).cast("int")))
+
+
+def transcript_integrity(
+    df: DataFrame,
+    key: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation ordering audit — the data-quality gate for the
+    engine's core invariant ("per-turn text equality under STABLE TURN
+    ORDERING" only holds if the ordering itself is sane). One row per
+    conversation:
+
+    - ``n_turns``
+    - ``n_dup_idx`` — turns sharing a ``turn_idx`` with an earlier
+      turn (``n_turns − countDistinct(idx)``)
+    - ``n_ts_inversions`` — turns whose ``ts`` goes BACKWARD relative
+      to the previous turn in ``turn_idx`` order (clock skew /
+      mis-merged shards; the thing that silently breaks every as-of
+      join and lag feature downstream)
+    - ``n_idx_gaps`` — index jumps > 1 (dropped turns)
+    - ``n_role_repeats`` — consecutive turns with the same role
+      (reported, NOT counted against ``is_clean`` — agent transcripts
+      legitimately chain tool turns)
+    - ``first_idx`` — min index (0 expected)
+    - ``is_clean`` — 1 iff dups = inversions = gaps = 0 and
+      ``first_idx`` = 0
+
+    One conversation-bounded window (lag on idx/ts/role) + one hash
+    aggregate with map-side partial combine — the lag/lead skew
+    profile, no global sort, no Python. Run it BEFORE featurize on a
+    fresh ingest; quarantine ``is_clean = 0`` conversations or route
+    them through a repair pass.
+
+    Reference contrast: hipipe asserts batch rectangularity at stream
+    build time (``include/hipipe/core/stream/create.hpp``); value-level
+    ordering audits are new surface the transcript axis requires.
+    """
+    w = Window.partitionBy(key).orderBy(idx_col, ts_col)
+    idx = F.col(idx_col).cast("long")
+    prev_idx = F.lag(idx).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    flagged = df.select(
+        key, idx_col, ts_col, role_col,
+        F.when(F.col(ts_col) < prev_ts, 1).otherwise(0).alias("__inv"),
+        F.when(idx - prev_idx > 1, 1).otherwise(0).alias("__gap"),
+        F.when(F.col(role_col) == prev_role, 1).otherwise(0)
+         .alias("__rep"),
+    )
+    n = F.count(F.lit(1))
+    dup = (n - F.countDistinct(F.col(idx_col))).cast("bigint")
+    inv = F.sum("__inv").cast("bigint")
+    gap = F.sum("__gap").cast("bigint")
+    rep = F.sum("__rep").cast("bigint")
+    first = F.min(idx)
+    out = flagged.groupBy(key).agg(
+        n.cast("bigint").alias("n_turns"),
+        dup.alias("n_dup_idx"),
+        inv.alias("n_ts_inversions"),
+        gap.alias("n_idx_gaps"),
+        rep.alias("n_role_repeats"),
+        first.alias("first_idx"),
+    )
+    clean = ((F.col("n_dup_idx") == 0) & (F.col("n_ts_inversions") == 0)
+             & (F.col("n_idx_gaps") == 0) & (F.col("first_idx") == 0))
+    return out.withColumn("is_clean", clean.cast("int"))

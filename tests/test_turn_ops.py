@@ -83,3 +83,29 @@ def test_relevance_context_tie_prefers_recent(spark):
     out = (relevance_context(df, "score", budget=2)
            .orderBy("turn_idx").toPandas())
     assert list(out["kept"]) == [0, 1]
+
+
+def test_transcript_integrity(spark):
+    from hipipe_spark.operators.transcripts import transcript_integrity
+    rows = [
+        # clean conversation
+        ("a", 0, "user", 0.0), ("a", 1, "asst", 1.0), ("a", 2, "user", 2.0),
+        # ts inversion at idx 2 + role repeat
+        ("b", 0, "user", 0.0), ("b", 1, "user", 5.0), ("b", 2, "asst", 3.0),
+        # duplicate idx 1, gap 1->4, starts at 1
+        ("c", 1, "user", 0.0), ("c", 1, "asst", 1.0), ("c", 4, "user", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, es double"
+    ).selectExpr("conv_id", "turn_idx", "role",
+                 "timestamp_seconds(es) AS ts")
+    out = (transcript_integrity(df).toPandas()
+           .set_index("conv_id").sort_index())
+    a, b, c = out.loc["a"], out.loc["b"], out.loc["c"]
+    assert (a["n_dup_idx"], a["n_ts_inversions"], a["n_idx_gaps"],
+            a["n_role_repeats"], a["first_idx"], a["is_clean"]) == \
+        (0, 0, 0, 0, 0, 1)
+    assert (b["n_ts_inversions"], b["n_role_repeats"], b["is_clean"]) == \
+        (1, 1, 0)
+    assert (c["n_dup_idx"], c["n_idx_gaps"], c["first_idx"],
+            c["is_clean"]) == (1, 1, 1, 0)
