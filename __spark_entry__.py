@@ -2101,6 +2101,36 @@ def q_transcript_integrity(spark, sf_dir):
     return transcript_integrity(t)
 
 
+def q_incremental_refresh(spark, sf_dir):
+    """Snapshot-incremental feature refresh (checkpoint.py
+    incremental_refresh): base snapshot computed on ~3/4 of the
+    conversations, then a delta refresh for the held-out quarter —
+    the ORACLE IS THE FULL RECOMPUTE, so the driver verifies the
+    carry-forward + recompute union is exactly equivalent to
+    recomputing everything. Writes snapshots to a temp dir (the local
+    stand-in for Iceberg snapshots, checkpoint.py:8-14)."""
+    import tempfile
+
+    from hipipe_spark.checkpoint import SnapshotStore, incremental_refresh
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix="hipipe_incr_"))
+    t = _transcripts(spark, sf_dir)
+
+    def compute(df):
+        return df.groupBy("conv_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"),
+            F.min("turn_idx").cast("bigint").alias("first_idx"))
+
+    delta_convs = (t.select("conv_id").distinct()
+                   .filter(F.crc32(F.col("conv_id")) % 4 == 0))
+    old = t.join(delta_convs, "conv_id", "left_anti")
+    incremental_refresh(spark, store, "feats", old, compute)
+    _, got = incremental_refresh(spark, store, "feats", t, compute,
+                                 delta_keys=delta_convs)
+    return got
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2327,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_flags": q_turn_flags,
         "relevance_context": q_relevance_context,
         "transcript_integrity": q_transcript_integrity,
+        "incremental_refresh": q_incremental_refresh,
     }
 
 
@@ -3827,6 +3858,16 @@ def oracle_sql() -> dict[str, str]:
                         AND n_idx_gaps = 0 AND first_idx = 0
                   THEN 1 ELSE 0 END AS INTEGER) AS is_clean
       FROM a
+    """
+    # incremental refresh's oracle IS the full recompute: the driver
+    # thereby verifies carry-forward + delta-slice union ≡ recompute.
+    d["incremental_refresh"] = f"""
+      WITH t AS ({_T})
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             CAST(min(turn_idx) AS BIGINT) AS first_idx
+      FROM t GROUP BY conv_id
     """
     return d
 

@@ -204,3 +204,69 @@ def test_lineage_report_dataframes(spark, transcripts, tmp_path):
     assert store.history(spark, "missing").count() == 0
     with pytest.raises(FileNotFoundError):
         store.partition_metrics(spark, "missing")
+
+
+def test_incremental_refresh_matches_full(spark, transcripts, tmp_path):
+    from pyspark.sql import functions as F
+    from hipipe_spark.checkpoint import SnapshotStore, incremental_refresh
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+
+    def compute(df):
+        return df.groupBy("conv_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(F.length("text")).cast("bigint").alias("chars"))
+
+    # base snapshot: corpus WITHOUT the delta conversations' last turns
+    w_last = F.col("turn_idx") < 5
+    delta_convs = transcripts.select("conv_id").distinct() \
+        .filter(F.crc32(F.col("conv_id")) % 5 == 0)
+    base_state = transcripts.join(delta_convs, "conv_id", "left_anti") \
+        .unionByName(transcripts.join(delta_convs, "conv_id", "left_semi")
+                     .filter(w_last))
+    snap1, _ = incremental_refresh(spark, store, "feats", base_state,
+                                   compute)
+    assert store.manifest("feats", snap1)["mode"] == "full"
+
+    # delta arrives: the held-back turns; full table is now transcripts
+    snap2, got = incremental_refresh(spark, store, "feats", transcripts,
+                                     compute, delta_keys=delta_convs)
+    man = store.manifest("feats", snap2)
+    assert man["mode"] == "incremental"
+    assert man["parent_snapshot"] == snap1
+    assert man["n_affected_keys"] == delta_convs.count()
+
+    want = compute(transcripts).toPandas().set_index("conv_id").sort_index()
+    have = got.toPandas().set_index("conv_id").sort_index()
+    assert (want == have).all().all()
+    assert len(want) == len(have)
+
+
+def test_incremental_refresh_featurize_parity(spark, transcripts, tmp_path):
+    from pyspark.sql import functions as F
+    from hipipe_spark.checkpoint import SnapshotStore, incremental_refresh
+    from hipipe_spark.operators.flagship import featurize
+
+    store = SnapshotStore(str(tmp_path / "fsnaps"))
+
+    def compute(df):
+        return featurize(df, asof_strategy="union")
+
+    old = transcripts.filter(F.crc32(F.col("conv_id")) % 3 != 0)
+    delta_convs = transcripts.select("conv_id").distinct() \
+        .filter(F.crc32(F.col("conv_id")) % 3 == 0)
+    incremental_refresh(spark, store, "ff", old, compute)
+    _, got = incremental_refresh(spark, store, "ff", transcripts,
+                                 compute, delta_keys=delta_convs)
+    want = compute(transcripts)
+    cols = ["conv_id", "turn_idx"]
+    w = want.orderBy(*cols).toPandas()
+    g = got.orderBy(*cols).toPandas()[w.columns]
+    assert len(w) == len(g)
+    import numpy as np
+    for c in w.columns:
+        if w[c].dtype.kind in "fiu":
+            assert np.allclose(w[c].astype(float),
+                               g[c].astype(float), equal_nan=True), c
+        else:
+            assert (w[c].fillna("∅") == g[c].fillna("∅")).all(), c
