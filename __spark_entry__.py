@@ -2131,6 +2131,26 @@ def q_incremental_refresh(spark, sf_dir):
     return got
 
 
+def q_pit_window(spark, sf_dir):
+    """Point-in-time windowed aggregate join (joins.py pit_window_agg):
+    per event, the count and sum of the SAME user's events in the
+    strictly-prior hour — the feature-store primitive. The operator
+    delta-encodes each event as (+1 at ts, -1 at ts+horizon) and reads
+    a running sum at the spine row: O(S+E) rows, ONE shuffle, no
+    range-join explosion. Oracle = the naive O(S x density) self-join.
+    The summed value is pre-rounded to integer cents so the running
+    sum is fp-exact at any accumulation order (hash-stable vs DuckDB's
+    aggregate order)."""
+    from hipipe_spark.operators.joins import pit_window_agg
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("value_c", F.round(F.col("value") * 100))
+    spine = ev.select("event_id", "user_id", "ts")
+    out = pit_window_agg(spine, ev, by="user_id", on="ts",
+                         horizon=3600.0, value_col="value_c",
+                         strict=True)
+    return out.select("event_id", "user_id", "pit_count", "pit_sum")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2170,8 +2190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     distinctive_terms, future_label, role_streak, funnel,
     cohort_retention, target encoders, quality gates, pq_adc_topk,
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
-    relevance_context, transcript_integrity). 50 window slots < 60+
-    unverified queries this round — the tail waits."""
+    relevance_context, transcript_integrity, incremental_refresh,
+    pit_window). 50 window slots < 60+ unverified queries this round —
+    the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2358,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_context": q_relevance_context,
         "transcript_integrity": q_transcript_integrity,
         "incremental_refresh": q_incremental_refresh,
+        "pit_window": q_pit_window,
     }
 
 
@@ -3868,6 +3890,18 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(length(text)) AS BIGINT) AS chars,
              CAST(min(turn_idx) AS BIGINT) AS first_idx
       FROM t GROUP BY conv_id
+    """
+    # naive range self-join — the O(S x density) plan pit_window_agg's
+    # delta encoding exists to avoid; small-SF it is the exact oracle
+    d["pit_window"] = """
+      SELECT s.event_id, s.user_id,
+             CAST(count(e.event_id) AS BIGINT) AS pit_count,
+             round(COALESCE(sum(round(e.value * 100)), 0), 6) AS pit_sum
+      FROM events s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND epoch(e.ts) < epoch(s.ts)
+       AND epoch(e.ts) >= epoch(s.ts) - 3600
+      GROUP BY s.event_id, s.user_id
     """
     return d
 

@@ -154,3 +154,95 @@ def interval_join(
                 c, F.lit(None).cast(joined.schema[c].dataType)
             )
     return joined.unionByName(unmatched).drop(FID)
+
+
+def pit_window_agg(
+    spine: DataFrame,
+    events: DataFrame,
+    by: str,
+    on: str = "ts",
+    horizon: float | None = 3600.0,
+    value_col: str | None = None,
+    strict: bool = True,
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time windowed aggregate join — the feature-store
+    primitive: for every spine row, the COUNT (``{prefix}count``) and
+    SUM (``{prefix}sum``, when ``value_col`` is given) of the entity's
+    events inside ``(spine_ts − horizon, spine_ts)``. ``strict=True``
+    excludes events AT the spine timestamp (the zero-leakage default:
+    a feature computed while the event is happening must not see it);
+    ``strict=False`` includes them. ``horizon=None`` means all history.
+    Window bounds: ``[spine_ts − horizon, spine_ts)`` when strict,
+    ``[spine_ts − horizon, spine_ts]`` when lenient — the trailing
+    edge is always left-inclusive (an event exactly ``horizon`` old
+    still counts).
+
+    THE SCALE TRICK — no range-join explosion: a naive
+    ``spine JOIN events ON entity AND ts range`` materializes one row
+    per (spine, event-in-window) pair — O(S × density) rows, quadratic
+    for bursty entities. Instead each event becomes TWO signed delta
+    rows — (+1/+v at event_ts) and (−1/−v at event_ts + horizon) — and
+    the spine row reads a RUNNING SUM over the union, ordered by
+    (ts, kind) within the entity. One shuffle on the entity key, one
+    conversation/user-bounded window sort, output exactly |spine| rows.
+    The kind ordering encodes the boundary semantics: with strict=True
+    the spine row sorts BEFORE same-ts adds; expiry rows sort after
+    the spine either way (left-inclusive window).
+
+    Hot entities: partitions stay entity-bounded (the lag/lead skew
+    profile). An entity whose event+spine count exceeds one task's
+    memory needs time-slice salting upstream — same documented trade
+    as ``cap_per_group``.
+
+    Reference contrast: hipipe's in-core batch columns have no
+    cross-table temporal join at all; this is the engine's as-of
+    machinery (``asof.py``) generalized from "latest value" to
+    "windowed aggregate".
+    """
+    from pyspark.sql import Window
+
+    from hipipe_spark.operators.temporal import ts_seconds
+
+    sec_e = ts_seconds(F.col(on))
+    val = (F.col(value_col).cast("double") if value_col
+           else F.lit(0.0))
+    # kind ordering at equal ts: strict  -> spine(0) < expiry(1) < add(2)
+    #                            lenient -> add(0) < spine(1) < expiry(2)
+    k_spine, k_exp, k_add = (0, 1, 2) if strict else (1, 2, 0)
+
+    adds = events.select(
+        F.col(by).alias("__e"), sec_e.alias("__t"),
+        F.lit(k_add).alias("__k"), F.lit(1).cast("long").alias("__dc"),
+        F.coalesce(val, F.lit(0.0)).alias("__dv"))
+    deltas = adds
+    if horizon is not None:
+        if horizon <= 0:
+            raise ValueError("horizon must be positive")
+        expiries = adds.select(
+            "__e", (F.col("__t") + F.lit(float(horizon))).alias("__t"),
+            F.lit(k_exp).alias("__k"), (-F.col("__dc")).alias("__dc"),
+            (-F.col("__dv")).alias("__dv"))
+        deltas = adds.unionByName(expiries)
+
+    spine_cols = spine.columns
+    s = spine.select(
+        "*", F.col(by).alias("__e"), ts_seconds(F.col(on)).alias("__t"),
+        F.lit(k_spine).alias("__k"), F.lit(0).cast("long").alias("__dc"),
+        F.lit(0.0).alias("__dv"))
+    d = deltas.select(
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in spine_cols],
+        "__e", "__t", "__k", "__dc", "__dv")
+
+    w = (Window.partitionBy("__e").orderBy("__t", "__k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (s.unionByName(d)
+         .withColumn("__rc", F.sum("__dc").over(w))
+         .withColumn("__rv", F.sum("__dv").over(w)))
+    out = (u.filter(F.col("__k") == k_spine)
+           .withColumn(f"{prefix}count", F.col("__rc"))
+           .drop("__e", "__t", "__k", "__dc", "__dv", "__rc"))
+    if value_col:
+        out = out.withColumn(f"{prefix}sum", F.round(F.col("__rv"), 6))
+    return out.drop("__rv")

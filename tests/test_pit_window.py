@@ -1,0 +1,126 @@
+"""pit_window_agg: delta-encoded point-in-time windowed aggregates must
+match the naive range join exactly, including boundary and same-ts
+cases. The delta encoding is the scale path (O(S+E) rows, one shuffle);
+the naive join is the O(S × density) oracle."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.joins import pit_window_agg
+from hipipe_spark.operators.temporal import ts_seconds
+
+
+@pytest.fixture(scope="module")
+def pit_events(spark):
+    """90 events, 6 users, engineered collisions: same-ts pairs,
+    exact-horizon-boundary gaps (ts step is a divisor of the 600s
+    horizon used in tests), bursty user 0."""
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for e in range(90):
+        u = e % 6 if e % 7 else 0          # user 0 is hot
+        step = 120 if u == 0 else 300      # 600 % 120 == 600 % 300 == 0
+        rows.append((e, u, base + dt.timedelta(seconds=step * (e // 6)),
+                     float(e % 13)))
+    return spark.createDataFrame(
+        rows, "event_id int, user_id int, ts timestamp, value double"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def pit_spine(pit_events):
+    # spine = a subset of the event timestamps plus shifted copies, so
+    # both aligned (same-ts) and unaligned spine rows exist
+    a = pit_events.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("spine_id"), "user_id", "ts")
+    b = pit_events.filter(F.col("event_id") % 4 == 1).select(
+        (F.col("event_id") + 1000).alias("spine_id"), "user_id",
+        (F.col("ts") + F.expr("INTERVAL 37 SECONDS")).alias("ts"))
+    return a.unionByName(b).cache()
+
+
+def _naive(spine, events, horizon, strict, value=True):
+    s = spine.select("*", ts_seconds(F.col("ts")).alias("__st"))
+    e = events.select(F.col("user_id").alias("__eu"),
+                      ts_seconds(F.col("ts")).alias("__et"),
+                      F.col("value").alias("__ev"))
+    cond = s["user_id"] == e["__eu"]
+    cond &= (e["__et"] < s["__st"]) if strict else (e["__et"] <= s["__st"])
+    if horizon is not None:
+        cond &= e["__et"] >= s["__st"] - F.lit(float(horizon))
+    j = s.join(e, cond, "left")
+    agg = [F.count("__ev").alias("pit_count")]
+    if value:
+        agg.append(F.round(F.coalesce(F.sum("__ev"), F.lit(0.0)), 6)
+                   .alias("pit_sum"))
+    return (j.groupBy("spine_id", "user_id", "ts").agg(*agg))
+
+
+def _cmp(got, want):
+    g = sorted(got.collect())
+    w = sorted(want.collect())
+    assert g == w
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("horizon", [600.0, None])
+def test_pit_matches_naive(pit_spine, pit_events, horizon, strict):
+    got = pit_window_agg(pit_spine, pit_events, by="user_id", on="ts",
+                         horizon=horizon, value_col="value",
+                         strict=strict)
+    want = _naive(pit_spine, pit_events, horizon, strict)
+    _cmp(got.select("spine_id", "user_id", "ts", "pit_count", "pit_sum"),
+         want)
+
+
+def test_pit_count_only(pit_spine, pit_events):
+    got = pit_window_agg(pit_spine, pit_events, by="user_id", on="ts",
+                         horizon=600.0, value_col=None)
+    assert "pit_sum" not in got.columns
+    want = _naive(pit_spine, pit_events, 600.0, True, value=False)
+    _cmp(got.select("spine_id", "user_id", "ts", "pit_count"), want)
+
+
+def test_pit_row_count_and_schema(pit_spine, pit_events):
+    out = pit_window_agg(pit_spine, pit_events, by="user_id",
+                         value_col="value")
+    assert out.count() == pit_spine.count()
+    assert set(out.columns) == {"spine_id", "user_id", "ts",
+                                "pit_count", "pit_sum"}
+
+
+def test_pit_boundary_semantics(spark):
+    """Hand-built micro case pinning the exact boundary rules:
+    event exactly `horizon` old counts; event at spine ts counts
+    only when strict=False."""
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 10.0),                                   # age 600
+         (1, base + dt.timedelta(seconds=600), 3.0)],       # age 0
+        "user_id int, ts timestamp, value double")
+    sp = spark.createDataFrame(
+        [(0, 1, base + dt.timedelta(seconds=600))],
+        "spine_id int, user_id int, ts timestamp")
+    strict = pit_window_agg(sp, ev, by="user_id", horizon=600.0,
+                            value_col="value", strict=True).collect()[0]
+    assert (strict["pit_count"], strict["pit_sum"]) == (1, 10.0)
+    lenient = pit_window_agg(sp, ev, by="user_id", horizon=600.0,
+                             value_col="value", strict=False).collect()[0]
+    assert (lenient["pit_count"], lenient["pit_sum"]) == (2, 13.0)
+
+
+def test_pit_validation(pit_spine, pit_events):
+    with pytest.raises(ValueError, match="horizon"):
+        pit_window_agg(pit_spine, pit_events, by="user_id", horizon=0.0)
+
+
+def test_pit_plan_single_shuffle(pit_spine, pit_events):
+    """The scale contract: no join in the plan (delta union + one
+    window), so no O(S × density) blowup is even expressible."""
+    out = pit_window_agg(pit_spine, pit_events, by="user_id",
+                         horizon=600.0, value_col="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # entity hash + any AQE reuse
