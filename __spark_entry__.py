@@ -2151,6 +2151,24 @@ def q_pit_window(spark, sf_dir):
     return out.select("event_id", "user_id", "pit_count", "pit_sum")
 
 
+def q_pit_multi(spark, sf_dir):
+    """Multi-horizon point-in-time features (joins.py pit_window_multi):
+    per event, the same user's strictly-prior event count and cent-sum
+    at BOTH a 30-minute and a 2-hour trailing window, computed in one
+    shuffle + one sort (events explode x3: one add + two expiries).
+    Oracle = one naive range self-join with conditional aggregation."""
+    from hipipe_spark.operators.joins import pit_window_multi
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("value_c", F.round(F.col("value") * 100))
+    spine = ev.select("event_id", "user_id", "ts")
+    out = pit_window_multi(spine, ev, by="user_id", on="ts",
+                           horizons=(1800.0, 7200.0),
+                           value_col="value_c", strict=True)
+    return out.select("event_id", "user_id",
+                      "pit_count_1800s", "pit_sum_1800s",
+                      "pit_count_7200s", "pit_sum_7200s")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2191,8 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_retention, target encoders, quality gates, pq_adc_topk,
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
     relevance_context, transcript_integrity, incremental_refresh,
-    pit_window). 50 window slots < 60+ unverified queries this round —
-    the tail waits."""
+    pit_window, pit_multi). 50 window slots < 60+ unverified queries
+    this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2380,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_integrity": q_transcript_integrity,
         "incremental_refresh": q_incremental_refresh,
         "pit_window": q_pit_window,
+        "pit_multi": q_pit_multi,
     }
 
 
@@ -3901,6 +3920,22 @@ def oracle_sql() -> dict[str, str]:
         ON e.user_id = s.user_id
        AND epoch(e.ts) < epoch(s.ts)
        AND epoch(e.ts) >= epoch(s.ts) - 3600
+      GROUP BY s.event_id, s.user_id
+    """
+    d["pit_multi"] = """
+      SELECT s.event_id, s.user_id,
+             CAST(count(CASE WHEN epoch(e.ts) >= epoch(s.ts) - 1800
+                             THEN 1 END) AS BIGINT) AS pit_count_1800s,
+             round(COALESCE(sum(CASE WHEN epoch(e.ts) >= epoch(s.ts) - 1800
+                                     THEN round(e.value * 100) END), 0), 6)
+               AS pit_sum_1800s,
+             CAST(count(e.event_id) AS BIGINT) AS pit_count_7200s,
+             round(COALESCE(sum(round(e.value * 100)), 0), 6)
+               AS pit_sum_7200s
+      FROM events s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND epoch(e.ts) < epoch(s.ts)
+       AND epoch(e.ts) >= epoch(s.ts) - 7200
       GROUP BY s.event_id, s.user_id
     """
     return d

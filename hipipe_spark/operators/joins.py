@@ -246,3 +246,99 @@ def pit_window_agg(
     if value_col:
         out = out.withColumn(f"{prefix}sum", F.round(F.col("__rv"), 6))
     return out.drop("__rv")
+
+
+def pit_window_multi(
+    spine: DataFrame,
+    events: DataFrame,
+    by: str,
+    on: str = "ts",
+    horizons: Sequence[float] = (3600.0, 86400.0),
+    value_col: str | None = None,
+    strict: bool = True,
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Multi-horizon :func:`pit_window_agg`: for every spine row, the
+    count (and sum of ``value_col``) of the entity's events inside
+    EACH of several trailing windows — ``{prefix}count_{h}s`` /
+    ``{prefix}sum_{h}s`` per horizon ``h`` (labelled by whole seconds).
+    Boundary semantics identical to ``pit_window_agg``:
+    ``[spine_ts − h, spine_ts)`` strict, ``[spine_ts − h, spine_ts]``
+    lenient.
+
+    Why one operator instead of H calls: a feature vector usually
+    wants the same event stream at 1h/24h/7d. H separate calls cost H
+    shuffles and H window sorts over the full union; the delta encoding
+    amortizes them — each event emits ONE add row carrying a +1/+v
+    delta for EVERY horizon column plus H expiry rows each cancelling
+    one column, and a single entity-keyed window computes all 2H
+    running sums in one sort. Rows = |S| + |E|·(1+H), shuffles = 1,
+    sorts = 1, independent of H's spread (a 7-day horizon costs the
+    same as a 1-hour one).
+
+    Skew profile matches ``pit_window_agg`` (entity-bounded
+    partitions); memory per row grows by 2H longs/doubles — trivial.
+    """
+    from pyspark.sql import Window
+
+    from hipipe_spark.operators.temporal import ts_seconds
+
+    hs = [float(h) for h in horizons]
+    if not hs or any(h <= 0 for h in hs):
+        raise ValueError("horizons must be non-empty and positive")
+    if len(set(hs)) != len(hs):
+        raise ValueError("horizons must be distinct")
+    labels = [f"{int(h)}s" for h in hs]
+    if len(set(labels)) != len(labels):
+        raise ValueError("horizons collide at whole-second labels")
+    k_spine, k_exp, k_add = (0, 1, 2) if strict else (1, 2, 0)
+
+    sec_e = ts_seconds(F.col(on))
+    val = (F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+           if value_col else F.lit(0.0))
+    dc = [f"__dc{i}" for i in range(len(hs))]
+    dv = [f"__dv{i}" for i in range(len(hs))]
+
+    # one add row: +1/+v in EVERY horizon column
+    adds = events.select(
+        F.col(by).alias("__e"), sec_e.alias("__t"),
+        F.lit(k_add).alias("__k"),
+        *[F.lit(1).cast("long").alias(c) for c in dc],
+        *[val.alias(c) for c in dv])
+    # H expiry rows: −1/−v in exactly one column
+    deltas = adds
+    for i, h in enumerate(hs):
+        exp = adds.select(
+            "__e", (F.col("__t") + F.lit(h)).alias("__t"),
+            F.lit(k_exp).alias("__k"),
+            *[(-F.col(c) if j == i else F.lit(0).cast("long")).alias(c)
+              for j, c in enumerate(dc)],
+            *[(-F.col(c) if j == i else F.lit(0.0)).alias(c)
+              for j, c in enumerate(dv)])
+        deltas = deltas.unionByName(exp)
+
+    spine_cols = spine.columns
+    s = spine.select(
+        "*", F.col(by).alias("__e"), ts_seconds(F.col(on)).alias("__t"),
+        F.lit(k_spine).alias("__k"),
+        *[F.lit(0).cast("long").alias(c) for c in dc],
+        *[F.lit(0.0).alias(c) for c in dv])
+    d = deltas.select(
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in spine_cols],
+        "__e", "__t", "__k", *dc, *dv)
+
+    w = (Window.partitionBy("__e").orderBy("__t", "__k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = s.unionByName(d)
+    out_cols = list(spine_cols)
+    proj = u
+    for i, lab in enumerate(labels):
+        proj = proj.withColumn(f"{prefix}count_{lab}",
+                               F.sum(dc[i]).over(w))
+        out_cols.append(f"{prefix}count_{lab}")
+        if value_col:
+            proj = proj.withColumn(f"{prefix}sum_{lab}",
+                                   F.round(F.sum(dv[i]).over(w), 6))
+            out_cols.append(f"{prefix}sum_{lab}")
+    return proj.filter(F.col("__k") == k_spine).select(*out_cols)

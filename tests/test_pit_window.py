@@ -124,3 +124,53 @@ def test_pit_plan_single_shuffle(pit_spine, pit_events):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # entity hash + any AQE reuse
+
+
+# ------------------------------------------------------- multi-horizon
+from hipipe_spark.operators.joins import pit_window_multi  # noqa: E402
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_pit_multi_matches_single(pit_spine, pit_events, strict):
+    """Each horizon column of the one-pass multi operator must equal
+    the single-horizon operator run separately."""
+    hs = [240.0, 600.0, 1800.0]
+    multi = pit_window_multi(pit_spine, pit_events, by="user_id",
+                             on="ts", horizons=hs, value_col="value",
+                             strict=strict)
+    for h in hs:
+        lab = f"{int(h)}s"
+        single = pit_window_agg(pit_spine, pit_events, by="user_id",
+                                on="ts", horizon=h, value_col="value",
+                                strict=strict)
+        got = sorted(multi.select("spine_id", f"pit_count_{lab}",
+                                  f"pit_sum_{lab}").collect())
+        want = sorted(single.select("spine_id", "pit_count",
+                                    "pit_sum").collect())
+        assert got == want, f"horizon {h}"
+
+
+def test_pit_multi_one_shuffle_one_sort(pit_spine, pit_events):
+    """The amortization contract: 3 horizons, still exactly one
+    entity-key Exchange and one Sort in the executed plan."""
+    out = pit_window_multi(pit_spine, pit_events, by="user_id",
+                           horizons=[240.0, 600.0, 1800.0],
+                           value_col="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    import re
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"^\s*[+:]?-?\s*\*?\(?\d*\)?\s*Sort ",
+                          plan, re.M)) <= 1
+
+
+def test_pit_multi_validation(pit_spine, pit_events):
+    with pytest.raises(ValueError, match="positive"):
+        pit_window_multi(pit_spine, pit_events, by="user_id",
+                         horizons=[])
+    with pytest.raises(ValueError, match="distinct"):
+        pit_window_multi(pit_spine, pit_events, by="user_id",
+                         horizons=[60.0, 60.0])
+    with pytest.raises(ValueError, match="labels"):
+        pit_window_multi(pit_spine, pit_events, by="user_id",
+                         horizons=[60.0, 60.5])
