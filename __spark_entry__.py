@@ -680,9 +680,13 @@ def q_cum_distinct(spark, sf_dir):
         F.col("tool_v_distinct_sofar").alias("tools_sofar"))
 
 
-def q_rolling_quantile(spark, sf_dir):
+def q_rolling_median_past(spark, sf_dir):
     """Exact nearest-rank median of the previous 7 turns' text lengths
-    (integer-exact: no float rounding in the oracle compare)."""
+    (integer-exact: no float rounding in the oracle compare). Distinct
+    from q_rolling_quantile (temporal.rolling_quantile, interpolated,
+    current-row-inclusive): this is the strictly-past leakage-safe
+    RollingQuantile STAGE. (The two briefly shared one dict key — the
+    later def shadowed this one; renamed so both keep driver rows.)"""
     t = _transcripts(spark, sf_dir).withColumn(
         "text_len", F.length("text").cast("int"))
     out = RollingQuantile("text_len", q=0.5, lookback=7)(t)
@@ -736,10 +740,12 @@ def q_embedding_pool(spark, sf_dir):
         "n_vecs")
 
 
-def q_target_encode(spark, sf_dir):
+def q_target_encode_ordered(spark, sf_dir):
     """Ordered (strictly-past, conversation-local) smoothed target
     encoding of role against text length — zero target leakage: each
-    row's encoding uses only labels the model would have seen."""
+    row's encoding uses only labels the model would have seen.
+    Distinct from q_target_encode (out-of-fold corpus TE); the two
+    briefly shared one dict key — renamed so both keep driver rows."""
     from hipipe_spark.operators.encoders import TargetEncode
     t = _transcripts(spark, sf_dir).withColumn(
         "text_len", F.length("text").cast("int"))
@@ -2249,13 +2255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "decay_features": q_decay_features,
         "cum_distinct": q_cum_distinct,
-        "rolling_quantile": q_rolling_quantile,
+        "rolling_median_past": q_rolling_median_past,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "cramers_v": q_cramers_v,
         "mutual_info": q_mutual_info,
         "quantile_bin": q_quantile_bin,
-        "target_encode": q_target_encode,
+        "target_encode_ordered": q_target_encode_ordered,
         "standardize": q_standardize,
         "asof_multi": q_asof_multi,
         "asof_interp": q_asof_interp,
@@ -2807,7 +2813,7 @@ def oracle_sql() -> dict[str, str]:
       FROM f
     """
     from hipipe_spark.functions.hashing import det_hash_str_i64_sql as _dhs
-    d["target_encode"] = f"""
+    d["target_encode_ordered"] = f"""
       WITH t AS ({_T})
       SELECT conv_id, turn_idx,
              round((COALESCE(sum(CAST(length(text) AS DOUBLE)) OVER w, 0)
@@ -3290,7 +3296,7 @@ def oracle_sql() -> dict[str, str]:
                      sum(mi_term) OVER () / sqrt(h_a * h_b) END, 6) AS nmi
       FROM f, ha, hb
     """
-    d["rolling_quantile"] = f"""
+    d["rolling_median_past"] = f"""
       WITH t AS ({_T}),
       l AS (SELECT conv_id, turn_idx,
                    list(length(text)) OVER
