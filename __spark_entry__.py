@@ -2175,6 +2175,22 @@ def q_pit_multi(spark, sf_dir):
                       "pit_count_7200s", "pit_sum_7200s")
 
 
+def q_pit_extrema(spark, sf_dir):
+    """Trailing-window extrema (joins.py pit_window_extrema): per
+    event, the same user's strictly-prior-hour max and min value via
+    the panes decomposition — two (user, slice)-keyed window sorts +
+    one narrow rejoin, O(S+E) rows, int64-microsecond-exact
+    boundaries. Oracle = naive range self-join MAX/MIN."""
+    from hipipe_spark.operators.joins import pit_window_extrema
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spine = ev.select("event_id", "user_id", "ts")
+    out = pit_window_extrema(spine, ev, by="user_id", value_col="value",
+                             on="ts", horizon=3600.0, strict=True)
+    return out.select("event_id", "user_id",
+                      F.round("pit_max", 6).alias("pit_max"),
+                      F.round("pit_min", 6).alias("pit_min"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2215,8 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_retention, target encoders, quality gates, pq_adc_topk,
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
     relevance_context, transcript_integrity, incremental_refresh,
-    pit_window, pit_multi). 50 window slots < 60+ unverified queries
-    this round — the tail waits."""
+    pit_window, pit_multi, pit_extrema). 50 window slots < 60+
+    unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2405,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_refresh": q_incremental_refresh,
         "pit_window": q_pit_window,
         "pit_multi": q_pit_multi,
+        "pit_extrema": q_pit_extrema,
     }
 
 
@@ -3942,6 +3959,16 @@ def oracle_sql() -> dict[str, str]:
         ON e.user_id = s.user_id
        AND epoch(e.ts) < epoch(s.ts)
        AND epoch(e.ts) >= epoch(s.ts) - 7200
+      GROUP BY s.event_id, s.user_id
+    """
+    d["pit_extrema"] = """
+      SELECT s.event_id, s.user_id,
+             round(max(e.value), 6) AS pit_max,
+             round(min(e.value), 6) AS pit_min
+      FROM events s LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND epoch(e.ts) < epoch(s.ts)
+       AND epoch(e.ts) >= epoch(s.ts) - 3600
       GROUP BY s.event_id, s.user_id
     """
     return d

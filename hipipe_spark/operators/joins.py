@@ -342,3 +342,148 @@ def pit_window_multi(
                                    F.round(F.sum(dv[i]).over(w), 6))
             out_cols.append(f"{prefix}sum_{lab}")
     return proj.filter(F.col("__k") == k_spine).select(*out_cols)
+
+
+def pit_window_extrema(
+    spine: DataFrame,
+    events: DataFrame,
+    by: str,
+    value_col: str,
+    on: str = "ts",
+    horizon: float | None = 3600.0,
+    strict: bool = True,
+    aggs: Sequence[str] = ("max", "min"),
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Trailing-window MIN/MAX of ``value_col`` over the entity's
+    events in ``[spine_ts − horizon, spine_ts)`` (strict) /
+    ``[... , spine_ts]`` (lenient) — the extrema companion to
+    :func:`pit_window_agg`. Empty window → null.
+
+    Extrema are not delta-invertible (an expiring event can't be
+    "subtracted" from a running max), so the running-sum trick doesn't
+    apply. Instead, the PANES decomposition (the two-level sliding
+    aggregation of Li et al. "No pane, no gain", SIGMOD Record 2005 —
+    also Flink's slice-based window state): tile time into slices of
+    width exactly ``horizon``; any trailing window of width
+    ``horizon`` spans AT MOST two slices, splitting as
+
+        [spine_ts − h, slice_start)   suffix of the PREVIOUS slice
+        [slice_start, spine_ts)       prefix of the spine's OWN slice
+
+    Each part is a running extreme over a (entity, slice)-keyed sorted
+    window — the prefix part ascending, the suffix part descending with
+    the spine's boundary row (ts − h) planted into the previous slice.
+    Spine rows carry null values, so they never contribute to anyone's
+    extreme (max/min ignore nulls). Cost: O(S+E) rows through two
+    window sorts plus one narrow rejoin on (entity, ts) — never the
+    O(S × density) pair materialization of the naive range join, and
+    bounded per-task state (one slice of one entity), unlike a
+    RANGE-frame window whose frame Spark re-scans per row.
+
+    All boundary arithmetic runs in int64 MICROSECONDS (``horizon``
+    is rounded to whole µs) — slice ids and window edges are
+    fp-exact; ties at the exact boundary resolve by the documented
+    rule, not rounding luck.
+
+    ``horizon=None``: all-history running extreme — one entity-keyed
+    window, one shuffle, no rejoin needed (still emitted via the same
+    rejoin path for a single code shape).
+
+    Reference contrast: hipipe's in-core ``transform`` with a mutable
+    running-max lambda (test/core/stream/transform1.cpp's stateful
+    idiom) is single-stream; this is that semantic made distributed,
+    leakage-safe and boundary-exact.
+    """
+    from pyspark.sql import Window
+
+    from hipipe_spark.operators.temporal import ts_seconds
+
+    aggs = tuple(aggs)
+    if not aggs or any(a not in ("max", "min") for a in aggs):
+        raise ValueError(f"aggs must be drawn from max/min, got {aggs!r}")
+    fns = {"max": F.max, "min": F.min}
+
+    tu = F.round(ts_seconds(F.col(on)) * 1e6).cast("long")
+    k_probe, k_event = (0, 1) if strict else (1, 0)
+
+    ev = events.select(F.col(by).alias("__e"), tu.alias("__tu"),
+                       F.col(value_col).cast("double").alias("__v"))
+    probes = (spine.select(F.col(by).alias("__e"), tu.alias("__tu"))
+              .distinct())
+
+    if horizon is None:
+        u = (probes.select("__e", "__tu", F.lit(k_probe).alias("__k"),
+                           F.lit(None).cast("double").alias("__v"))
+             .unionByName(ev.select(
+                 "__e", "__tu", F.lit(k_event).alias("__k"), "__v")))
+        w = (Window.partitionBy("__e").orderBy("__tu", "__k")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        res = u.select(
+            "__e", "__tu", "__k",
+            *[fns[a]("__v").over(w).alias(f"{prefix}{a}") for a in aggs]
+        ).filter(F.col("__k") == k_probe).drop("__k")
+    else:
+        h_us = int(round(float(horizon) * 1e6))
+        if h_us <= 0:
+            raise ValueError("horizon must be positive")
+        # exact slice id: remove the remainder first, then divide
+        sl = ((F.col("__tu") - F.pmod(F.col("__tu"), F.lit(h_us)))
+              / F.lit(h_us)).cast("long")
+        ev_s = ev.withColumn("__sl", sl)
+
+        # prefix part: running extreme within the spine's own slice,
+        # ascending; strict puts the probe BEFORE same-ts events
+        pre_u = (probes.select(
+                     "__e", "__tu", sl.alias("__sl"),
+                     F.lit(k_probe).alias("__k"),
+                     F.lit(None).cast("double").alias("__v"))
+                 .unionByName(ev_s.select(
+                     "__e", "__tu", "__sl",
+                     F.lit(k_event).alias("__k"), "__v")))
+        w_pre = (Window.partitionBy("__e", "__sl").orderBy("__tu", "__k")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        pre = pre_u.select(
+            "__e", "__tu", "__k",
+            *[fns[a]("__v").over(w_pre).alias(f"__pre_{a}") for a in aggs]
+        ).filter(F.col("__k") == k_probe).drop("__k")
+
+        # suffix part: the probe's boundary row (ts − h) planted in the
+        # PREVIOUS slice; descending running extreme. Events AT the
+        # boundary are inside the window (left-inclusive) for strict
+        # and lenient alike, so events always sort before the probe.
+        suf_u = (probes.select(
+                     "__e", "__tu",
+                     (F.col("__tu") - F.lit(h_us)).alias("__bu"))
+                 .select("__e", "__tu", F.col("__bu").alias("__su"),
+                         ((F.col("__bu") - F.pmod(F.col("__bu"),
+                                                  F.lit(h_us)))
+                          / F.lit(h_us)).cast("long").alias("__sl"),
+                         F.lit(1).alias("__k"),
+                         F.lit(None).cast("double").alias("__v"))
+                 .unionByName(ev_s.select(
+                     "__e", F.lit(None).cast("long").alias("__tu"),
+                     F.col("__tu").alias("__su"), "__sl",
+                     F.lit(0).alias("__k"), "__v")))
+        w_suf = (Window.partitionBy("__e", "__sl")
+                 .orderBy(F.col("__su").desc(), F.col("__k").asc())
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        suf = suf_u.select(
+            "__e", "__tu", "__k",
+            *[fns[a]("__v").over(w_suf).alias(f"__suf_{a}") for a in aggs]
+        ).filter(F.col("__k") == 1).drop("__k")
+
+        comb = {"max": F.greatest, "min": F.least}
+        res = pre.join(suf, on=["__e", "__tu"], how="inner").select(
+            "__e", "__tu",
+            *[comb[a](F.col(f"__pre_{a}"), F.col(f"__suf_{a}"))
+              .alias(f"{prefix}{a}") for a in aggs])
+
+    out = spine.withColumn("__tu", tu).withColumn("__e", F.col(by))
+    res = res.withColumnRenamed("__e", "__re")
+    joined = out.join(
+        res, (out["__e"] == res["__re"]) & (out["__tu"] == res["__tu"]),
+        "left").drop(res["__tu"])
+    return joined.drop("__e", "__re", "__tu")

@@ -174,3 +174,86 @@ def test_pit_multi_validation(pit_spine, pit_events):
     with pytest.raises(ValueError, match="labels"):
         pit_window_multi(pit_spine, pit_events, by="user_id",
                          horizons=[60.0, 60.5])
+
+
+# ------------------------------------------------------------- extrema
+from hipipe_spark.operators.joins import pit_window_extrema  # noqa: E402
+
+
+def _naive_extrema(spine, events, horizon, strict):
+    s = spine.select("*", ts_seconds(F.col("ts")).alias("__st"))
+    e = events.select(F.col("user_id").alias("__eu"),
+                      ts_seconds(F.col("ts")).alias("__et"),
+                      F.col("value").alias("__ev"))
+    cond = s["user_id"] == e["__eu"]
+    cond &= (e["__et"] < s["__st"]) if strict else (e["__et"] <= s["__st"])
+    if horizon is not None:
+        cond &= e["__et"] >= s["__st"] - F.lit(float(horizon))
+    return (s.join(e, cond, "left")
+            .groupBy("spine_id", "user_id", "ts")
+            .agg(F.max("__ev").alias("pit_max"),
+                 F.min("__ev").alias("pit_min")))
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("horizon", [600.0, 240.0, None])
+def test_pit_extrema_matches_naive(pit_spine, pit_events, horizon,
+                                   strict):
+    got = pit_window_extrema(pit_spine, pit_events, by="user_id",
+                             value_col="value", on="ts",
+                             horizon=horizon, strict=strict)
+    want = _naive_extrema(pit_spine, pit_events, horizon, strict)
+    _cmp(got.select("spine_id", "user_id", "ts", "pit_max", "pit_min"),
+         want)
+
+
+def test_pit_extrema_boundaries(spark):
+    """Slice-boundary micro case: spine exactly on a slice edge, events
+    at the window's left edge (in), right edge (strict-dependent), and
+    just outside."""
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s), v) for s, v in
+         [(0, 99.0),      # exactly horizon old -> IN (left-inclusive)
+          (-1, 500.0),    # 601s old -> OUT
+          (300, 7.0),     # mid-window
+          (600, 42.0)]],  # at spine ts -> strict OUT / lenient IN
+        "user_id int, ts timestamp, value double")
+    sp = spark.createDataFrame(
+        [(0, 1, base + dt.timedelta(seconds=600))],
+        "spine_id int, user_id int, ts timestamp")
+    r = pit_window_extrema(sp, ev, by="user_id", value_col="value",
+                           horizon=600.0, strict=True).collect()[0]
+    assert (r["pit_max"], r["pit_min"]) == (99.0, 7.0)
+    r = pit_window_extrema(sp, ev, by="user_id", value_col="value",
+                           horizon=600.0, strict=False).collect()[0]
+    assert (r["pit_max"], r["pit_min"]) == (99.0, 7.0)
+    # lenient max catches the at-ts event when it is the largest
+    r = pit_window_extrema(
+        sp, ev.withColumn("value", F.col("value") * F.when(
+            F.col("value") == 42.0, 10.0).otherwise(1.0)),
+        by="user_id", value_col="value", horizon=600.0,
+        strict=False).collect()[0]
+    assert r["pit_max"] == 420.0
+
+
+def test_pit_extrema_empty_window_null(spark):
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame([(2, base, 1.0)],
+                               "user_id int, ts timestamp, value double")
+    sp = spark.createDataFrame(
+        [(0, 1, base + dt.timedelta(seconds=60))],
+        "spine_id int, user_id int, ts timestamp")
+    r = pit_window_extrema(sp, ev, by="user_id", value_col="value",
+                           horizon=600.0).collect()[0]
+    assert r["pit_max"] is None and r["pit_min"] is None
+
+
+def test_pit_extrema_no_pair_blowup(pit_spine, pit_events):
+    """Plan contract: the only join is the final narrow rejoin on
+    (entity, ts) — no range/theta join, no cartesian."""
+    out = pit_window_extrema(pit_spine, pit_events, by="user_id",
+                             value_col="value", horizon=600.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
