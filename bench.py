@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     # two aggs + join + per-doc top-k window) and the three-window
     # gaps-and-islands run-length features
     "distinctive_terms", "role_streak",
+    # round-3 continuation: point-in-time window family — delta-encoded
+    # two-horizon count/sum (one shuffle, one sort) and panes-decomposed
+    # trailing extrema (two slice sorts + narrow rejoin)
+    "pit_multi", "pit_extrema",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
