@@ -2191,6 +2191,76 @@ def q_pit_extrema(spark, sf_dir):
                       F.round("pit_min", 6).alias("pit_min"))
 
 
+def q_auc_score(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC + Gini (evaluation.py auc_roc) of
+    the n_chars score against the is-English label. Never sorts the
+    corpus: per-DISTINCT-score aggregation, one window over the score
+    table, one final fold. Oracle = the same Mann-Whitney cumulative
+    formula in SQL windows."""
+    from hipipe_spark.operators.evaluation import auc_roc
+    d = _docs(spark, sf_dir).select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return auc_roc(d, "score", "y")
+
+
+def q_kappa(spark, sf_dir):
+    """Cohen's kappa (evaluation.py cohens_kappa) between two
+    deterministic labeling heuristics (length buckets at different
+    thresholds) — the agreement-beyond-chance gate every multi-rater
+    labeling job runs before trusting its labels. Two hash
+    aggregations + broadcast marginal fold, no window."""
+    from hipipe_spark.operators.evaluation import cohens_kappa
+    d = _docs(spark, sf_dir).select(
+        F.when(F.col("n_chars") < 200, "short")
+         .when(F.col("n_chars") < 350, "medium")
+         .otherwise("long").alias("rater_a"),
+        F.when(F.length("text") < 250, "short")
+         .when(F.length("text") < 400, "medium")
+         .otherwise("long").alias("rater_b"))
+    return cohens_kappa(d, "rater_a", "rater_b")
+
+
+def q_pref_pairs(spark, sf_dir):
+    """RLHF preference-pair construction (evaluation.py
+    preference_pairs): per prompt group (doc_id % 50), pair the i-th
+    best with the i-th worst candidate by score (i <= 2), skipping
+    middle-crossing and sub-margin pairs. One window sort per group +
+    a never-fanning equi-join on (group, pair_rank); output bounded
+    at per_group rows/group no matter how hot the prompt."""
+    from hipipe_spark.operators.evaluation import preference_pairs
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        F.col("doc_id"),
+        F.col("n_chars").cast("double").alias("score"))
+    return preference_pairs(d, "prompt_id", "doc_id", "score",
+                            per_group=2)
+
+
+def q_trend_slope(spark, sf_dir):
+    """Trailing-window OLS trend (temporal.py rolling_slope): the
+    least-squares slope of reply length vs turn_idx over the last 8
+    turns of each conversation — 'is this conversation ramping up?'
+    as one number per turn. Five window sums in one frame, one
+    exchange+sort; integer x keeps the closed form bit-stable."""
+    from hipipe_spark.operators.temporal import rolling_slope
+    t = _transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("double"))
+    out = rolling_slope(t, "text_len", n=8, x="turn_idx", round_to=6)
+    return out.select("conv_id", "turn_idx", "roll_slope")
+
+
+def q_tool_cooccur(spark, sf_dir):
+    """Tool co-occurrence association stats (analytics.py
+    cooccurrence): support / directional confidence / lift for every
+    unordered tool pair sharing a conversation. DISTINCT (conv, tool)
+    prepass bounds the self-join by the per-conv tool vocabulary;
+    marginals broadcast."""
+    from hipipe_spark.operators.analytics import cooccurrence
+    t = _transcripts(spark, sf_dir)
+    return cooccurrence(t, group="conv_id", item="tool")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2231,7 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cohort_retention, target encoders, quality gates, pq_adc_topk,
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
     relevance_context, transcript_integrity, incremental_refresh,
-    pit_window, pit_multi, pit_extrema). 50 window slots < 60+
+    pit_window, pit_multi, pit_extrema, auc_score, kappa, pref_pairs,
+    trend_slope, tool_cooccur). 50 window slots < 60+
     unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -2422,6 +2493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_window": q_pit_window,
         "pit_multi": q_pit_multi,
         "pit_extrema": q_pit_extrema,
+        "auc_score": q_auc_score,
+        "kappa": q_kappa,
+        "pref_pairs": q_pref_pairs,
+        "trend_slope": q_trend_slope,
+        "tool_cooccur": q_tool_cooccur,
     }
 
 
@@ -3970,6 +4046,118 @@ def oracle_sql() -> dict[str, str]:
        AND epoch(e.ts) < epoch(s.ts)
        AND epoch(e.ts) >= epoch(s.ts) - 3600
       GROUP BY s.event_id, s.user_id
+    """
+    d["auc_score"] = """
+      WITH s AS (
+        SELECT CAST(n_chars AS DOUBLE) AS sc,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE) AS neg
+        FROM documents GROUP BY n_chars),
+      c AS (
+        SELECT pos, neg,
+               COALESCE(sum(neg) OVER (ORDER BY sc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS neg_below
+        FROM s),
+      a AS (
+        SELECT CAST(sum(pos) + sum(neg) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               CAST(sum(neg) AS BIGINT) AS nneg,
+               sum(pos * (neg_below + neg / 2)) AS u
+        FROM c)
+      SELECT n, npos, nneg,
+             CASE WHEN npos * nneg > 0
+                  THEN round(u / (npos * nneg), 6) END AS auc,
+             CASE WHEN npos * nneg > 0
+                  THEN round(2 * u / (npos * nneg) - 1, 6) END AS gini
+      FROM a
+    """
+    d["kappa"] = """
+      WITH r AS (
+        SELECT CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 350 THEN 'medium'
+                    ELSE 'long' END AS a,
+               CASE WHEN length(text) < 250 THEN 'short'
+                    WHEN length(text) < 400 THEN 'medium'
+                    ELSE 'long' END AS b
+        FROM documents),
+      cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY a, b),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                       AS agree
+              FROM cells),
+      ma AS (SELECT a AS k, sum(c) AS ca FROM cells GROUP BY a),
+      mb AS (SELECT b AS k, sum(c) AS cb FROM cells GROUP BY b),
+      pe AS (SELECT sum(CAST(ca AS DOUBLE) * cb) AS pe_num
+             FROM ma JOIN mb USING (k))
+      SELECT n,
+             round(agree / n, 6) AS po,
+             round(COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+             CASE WHEN COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n) < 1.0
+                  THEN round((agree / n
+                              - COALESCE(pe_num, 0) / (CAST(n AS DOUBLE) * n))
+                             / (1.0 - COALESCE(pe_num, 0)
+                                      / (CAST(n AS DOUBLE) * n)), 6)
+             END AS kappa
+      FROM tot, pe
+    """
+    d["pref_pairs"] = """
+      WITH c AS (SELECT doc_id % 50 AS prompt_id, doc_id AS cid,
+                        CAST(n_chars AS DOUBLE) AS sc
+                 FROM documents),
+      r AS (SELECT prompt_id, cid, sc,
+              row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY sc DESC, cid ASC) AS rb,
+              row_number() OVER (PARTITION BY prompt_id
+                                 ORDER BY sc ASC, cid DESC) AS rw,
+              count(*) OVER (PARTITION BY prompt_id) AS gn
+            FROM c)
+      SELECT a.prompt_id, CAST(a.rb AS INTEGER) AS pair_rank,
+             a.cid AS chosen_id, b.cid AS rejected_id,
+             round(a.sc, 6) AS chosen_score,
+             round(b.sc, 6) AS rejected_score,
+             round(a.sc - b.sc, 6) AS margin
+      FROM r a JOIN r b ON a.prompt_id = b.prompt_id AND b.rw = a.rb
+      WHERE a.rb <= 2 AND b.rw <= 2 AND 2 * a.rb <= a.gn
+        AND a.cid <> b.cid AND a.sc - b.sc >= 0
+    """
+    d["trend_slope"] = f"""
+      WITH t AS ({_T}),
+      s AS (SELECT conv_id, turn_idx,
+              CAST(count(*) OVER w AS DOUBLE) AS m,
+              sum(CAST(turn_idx AS DOUBLE)) OVER w AS sx,
+              sum(CAST(length(text) AS DOUBLE)) OVER w AS sy,
+              sum(CAST(turn_idx AS DOUBLE) * turn_idx) OVER w AS sxx,
+              sum(CAST(turn_idx AS DOUBLE) * length(text)) OVER w AS sxy
+            FROM t
+            WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      SELECT conv_id, turn_idx,
+             CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0
+                  THEN round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+             END AS roll_slope
+      FROM s
+    """
+    d["tool_cooccur"] = f"""
+      WITH t AS ({_T}),
+      gi AS (SELECT DISTINCT conv_id AS g, tool AS i FROM t
+             WHERE tool IS NOT NULL AND tool <> ''),
+      marg AS (SELECT i, count(*) AS n FROM gi GROUP BY i),
+      tot AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS n_total FROM gi),
+      pairs AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+                FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+                GROUP BY a.i, b.i)
+      SELECT item_a, item_b,
+             CAST(ma.n AS BIGINT) AS n_a,
+             CAST(mb.n AS BIGINT) AS n_b,
+             CAST(n_ab AS BIGINT) AS n_ab,
+             round(n_ab / n_total, 6) AS support,
+             round(CAST(n_ab AS DOUBLE) / ma.n, 6) AS conf_a_b,
+             round(CAST(n_ab AS DOUBLE) / mb.n, 6) AS conf_b_a,
+             round(n_ab * n_total / (CAST(ma.n AS DOUBLE) * mb.n), 6) AS lift
+      FROM pairs
+      JOIN marg ma ON ma.i = item_a
+      JOIN marg mb ON mb.i = item_b, tot
     """
     return d
 

@@ -172,3 +172,67 @@ def sliding_distinct(events: DataFrame, key: str = "user_id",
         F.round(F.col("__w") * s + F.lit(float(window_s)), 6)
          .alias("window_end_s"),
         "n_active")
+
+
+def cooccurrence(df: DataFrame, group: str = "conv_id",
+                 item: str = "tool",
+                 min_group_count: int = 1,
+                 ndigits: int = 6) -> DataFrame:
+    """Item co-occurrence / association stats: for every unordered
+    pair of items that appear in the same group ("conversations that
+    call web_search also call code_exec — how often, and is that more
+    than chance?"), emit::
+
+        item_a, item_b, n_a, n_b, n_ab, support, conf_a_b, conf_b_a,
+        lift
+
+    with ``n_a`` = groups containing a, ``n_ab`` = groups containing
+    both, ``support = n_ab / N`` (N = total groups with >= 1 item),
+    ``conf_a_b = n_ab / n_a`` (P(b | a)), and
+    ``lift = n_ab * N / (n_a * n_b)`` — lift > 1 means the pair
+    attracts, < 1 repels. ``item_a < item_b`` canonicalizes the pair.
+
+    Plan shape, scale-first: rows collapse to DISTINCT (group, item)
+    first (one map-side-combinable shuffle), so the self-join fan-out
+    is bounded by the number of distinct items per group squared —
+    tool vocabularies are tens, never corpus-sized — and the final
+    count is another hash agg. The denominators broadcast (item
+    marginals: one row per item). Null/empty items are dropped before
+    anything shuffles. ``min_group_count`` prunes long-tail items
+    before the join (doc-frequency filter, same role as
+    ``ngram_jaccard``'s max_df but from the other side).
+    """
+    gi = (df.select(F.col(group).alias("__g"), F.col(item).alias("__i"))
+            .filter(F.col("__i").isNotNull() & (F.col("__i") != ""))
+            .distinct())
+    marg = gi.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    if min_group_count > 1:
+        marg = marg.filter(F.col("__n") >= min_group_count)
+        gi = gi.join(F.broadcast(marg.select("__i")), "__i")
+    total = gi.agg(F.countDistinct("__g").alias("__N"))
+    a = gi.select("__g", F.col("__i").alias("item_a"))
+    b = gi.select("__g", F.col("__i").alias("item_b"))
+    pairs = (a.join(b, "__g")
+              .filter(F.col("item_a") < F.col("item_b"))
+              .groupBy("item_a", "item_b")
+              .agg(F.count(F.lit(1)).alias("n_ab")))
+    out = (pairs
+           .join(F.broadcast(marg.select(F.col("__i").alias("item_a"),
+                                         F.col("__n").alias("n_a"))),
+                 "item_a")
+           .join(F.broadcast(marg.select(F.col("__i").alias("item_b"),
+                                         F.col("__n").alias("n_b"))),
+                 "item_b")
+           .crossJoin(F.broadcast(total)))
+    N = F.col("__N").cast("double")
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.round(F.col("n_ab") / N, ndigits).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), ndigits).alias("conf_a_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), ndigits).alias("conf_b_a"),
+        F.round(F.col("n_ab") * N / (F.col("n_a") * F.col("n_b")),
+                ndigits).alias("lift"),
+    )

@@ -1,0 +1,181 @@
+"""Training-data evaluation primitives: exact AUC, inter-rater
+agreement, and RLHF preference-pair construction.
+
+A feature pipeline that cannot score its own outputs is flying blind:
+before any feature ships, the questions are "does this score separate
+the label?" (AUC), "do my two labeling heuristics / annotators agree
+beyond chance?" (Cohen's kappa), and — for preference tuning — "which
+(chosen, rejected) pairs does this corpus yield?". hipipe leaves all of
+this to downstream Python (reference `stream/transform.hpp` stages emit
+columns and stop there); at 100 TB the evaluation itself must be a
+distributed plan.
+
+Scale notes:
+
+- :func:`auc_roc` never sorts rows. It aggregates per DISTINCT score
+  (one shuffle, map-side combinable), runs one ordered window over the
+  distinct-score table (orders of magnitude smaller than the data; for
+  a continuous score consider rounding/binning first), and folds to a
+  single row. The Mann-Whitney tie correction (ties count 1/2) is exact.
+- :func:`cohens_kappa` is two hash aggregations (cells, then marginals)
+  joined on nothing larger than the category cross — no window at all.
+- :func:`preference_pairs` is one window sort per group plus an
+  equi-join on (group, pair_rank): each group emits at most
+  ``per_group`` pairs, so output is bounded regardless of group size —
+  no quadratic all-pairs blowup on a hot prompt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc_roc(df: DataFrame, score: str, label: str,
+            ndigits: int = 6) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney, tie-corrected) of ``score`` vs a
+    binary 0/1 ``label``. Returns ONE row: ``n, npos, nneg, auc, gini``.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg),
+    computed from per-distinct-score counts: for each score group g
+    (ascending), its positives beat every negative below it and tie
+    half the negatives inside it:
+
+        auc = sum_g pos_g * (cum_neg_before_g + neg_g / 2) / (npos*nneg)
+
+    Degenerate labels (npos or nneg = 0) yield ``auc = NULL`` rather
+    than a division error (Spark 4 runs ANSI mode).
+    """
+    per_score = (
+        df.select(F.col(score).alias("__s"),
+                  F.col(label).cast("double").alias("__y"))
+          .groupBy("__s")
+          .agg(F.sum("__y").alias("__pos"),
+               (F.count(F.lit(1)) - F.sum("__y")).alias("__neg"))
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_score.select(
+        "__pos", "__neg",
+        F.coalesce(F.sum("__neg").over(w), F.lit(0.0)).alias("__neg_below"),
+    )
+    agg = contrib.agg(
+        (F.sum("__pos") + F.sum("__neg")).cast("bigint").alias("n"),
+        F.sum("__pos").cast("bigint").alias("npos"),
+        F.sum("__neg").cast("bigint").alias("nneg"),
+        F.sum(F.col("__pos") * (F.col("__neg_below") + F.col("__neg") / 2))
+         .alias("__u"),
+    )
+    denom = F.col("npos") * F.col("nneg")
+    auc = F.when(denom > 0, F.round(F.col("__u") / denom, ndigits))
+    return agg.select(
+        "n", "npos", "nneg", auc.alias("auc"),
+        F.when(denom > 0,
+               F.round(2 * F.col("__u") / denom - 1, ndigits)).alias("gini"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
+                 ndigits: int = 6) -> DataFrame:
+    """Cohen's kappa between two categorical rating columns.
+
+    Returns ONE row: ``n, po, pe, kappa`` where ``po`` is observed
+    agreement, ``pe`` chance agreement from the two raters' marginal
+    distributions, and ``kappa = (po - pe) / (1 - pe)`` (NULL when
+    ``pe = 1`` — a constant pair of raters has no chance-corrected
+    signal, and ANSI mode would otherwise throw on the 0 denominator).
+
+    Plan: one count aggregation keyed by the (a, b) cell, then the
+    marginals fold driver-free via two more tiny aggregations over the
+    cell table — everything map-side combinable, no window, no join
+    wider than the category cross.
+    """
+    cells = (
+        df.select(F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b"))
+          .groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = cells.agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+               .otherwise(F.lit(0))).alias("__agree"),
+    )
+    # pe needs sum_k ca_k * cb_k over every category either rater used
+    # (a category the raters never agree on still contributes), so the
+    # marginals come from explicit per-rater tables — tiny (one row per
+    # category) and broadcast into the single-row aggregate.
+    ma = cells.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__c").alias("__ca"))
+    mb = cells.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__c").alias("__cb"))
+    pe_tab = ma.join(mb, "__k").agg(
+        F.sum(F.col("__ca").cast("double") * F.col("__cb")).alias("__pe_num"))
+    out = agg.crossJoin(F.broadcast(pe_tab))
+    po = F.col("__agree") / F.col("n")
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (
+        F.col("n").cast("double") * F.col("n"))
+    return out.select(
+        "n",
+        F.round(po, ndigits).alias("po"),
+        F.round(pe, ndigits).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), ndigits))
+         .alias("kappa"),
+    )
+
+
+def preference_pairs(df: DataFrame, group: str, cand_id: str, score: str,
+                     per_group: int = 1, min_margin: float = 0.0,
+                     ndigits: int = 6) -> DataFrame:
+    """Build (chosen, rejected) preference pairs per ``group``.
+
+    For each group, rank candidates by (``score`` desc, ``cand_id``
+    asc — the deterministic tie-break). Pair the i-th best with the
+    i-th worst for i = 1..``per_group``, skipping pairs that cross the
+    middle (2i > group size), self-pairs, and pairs whose score margin
+    is below ``min_margin``. Output columns::
+
+        group, pair_rank, chosen_id, rejected_id,
+        chosen_score, rejected_score, margin
+
+    This is the standard best-vs-worst construction for preference
+    tuning (DPO/RLHF reward data): bounded output (≤ ``per_group``
+    rows per group), one window sort per group — both rankings share
+    the same partition+order so Catalyst plans a single exchange+sort
+    — and an equi-join on (group, pair_rank) that never fans out.
+    """
+    base = df.select(
+        F.col(group).alias("grp"),
+        F.col(cand_id).alias("cid"),
+        F.col(score).cast("double").alias("sc"),
+    )
+    w_best = Window.partitionBy("grp").orderBy(
+        F.col("sc").desc(), F.col("cid").asc())
+    w_worst = Window.partitionBy("grp").orderBy(
+        F.col("sc").asc(), F.col("cid").desc())
+    ranked = base.select(
+        "grp", "cid", "sc",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("gn"),
+    )
+    chosen = (ranked.filter(F.col("rb") <= per_group)
+                    .select(F.col("grp"), F.col("rb").alias("pair_rank"),
+                            F.col("cid").alias("chosen_id"),
+                            F.col("sc").alias("chosen_score"),
+                            F.col("gn")))
+    rejected = (ranked.filter(F.col("rw") <= per_group)
+                      .select(F.col("grp"), F.col("rw").alias("pair_rank"),
+                              F.col("cid").alias("rejected_id"),
+                              F.col("sc").alias("rejected_score")))
+    out = (
+        chosen.join(rejected, ["grp", "pair_rank"])
+              .filter(2 * F.col("pair_rank") <= F.col("gn"))
+              .filter(F.col("chosen_id") != F.col("rejected_id"))
+              .filter(F.col("chosen_score") - F.col("rejected_score")
+                      >= F.lit(float(min_margin)))
+    )
+    return out.select(
+        F.col("grp").alias(group), "pair_rank", "chosen_id", "rejected_id",
+        F.round("chosen_score", ndigits).alias("chosen_score"),
+        F.round("rejected_score", ndigits).alias("rejected_score"),
+        F.round(F.col("chosen_score") - F.col("rejected_score"),
+                ndigits).alias("margin"),
+    )

@@ -646,3 +646,52 @@ def rolling_quantile(df: DataFrame, value, q: float = 0.5, n: int = 5,
     if round_to is not None:
         res = F.round(res, round_to)
     return df.withColumn(out, res)
+
+
+def rolling_slope(df: DataFrame, y, n: int = 8,
+                  x: str = "turn_idx",
+                  key: str = DEFAULT_KEY,
+                  order: Sequence[str] = DEFAULT_ORDER,
+                  out: str = "roll_slope",
+                  round_to: int | None = None) -> DataFrame:
+    """Trailing-window OLS trend: the least-squares slope of ``y``
+    against ``x`` over the last ``n`` rows per key — "is this
+    conversation's reply length ramping up or cooling off?" as a
+    single number per turn.
+
+    Closed form over window sums (one frame, five aggregates, zero
+    extra passes)::
+
+        slope = (m*Sxy - Sx*Sy) / (m*Sxx - Sx^2)
+
+    with m the in-frame row count. A window narrower than 2 rows or
+    with constant ``x`` has no defined trend and yields NULL (the
+    guard also keeps Spark 4's ANSI mode from throwing on the zero
+    denominator). Default ``x`` is ``turn_idx`` deliberately: small
+    exact integers keep every sum exactly representable in a double,
+    so the result is bit-stable across engines and partitionings —
+    raw epoch-seconds x would put Sxx near 1e19 and lose the
+    subtraction to cancellation. For a seconds-based trend, pass a
+    conversation-relative x (e.g. seconds since the conv's first
+    turn).
+
+    Same scale shape as :class:`RollingAgg`: one exchange+sort on the
+    key, all five sums computed in one window frame, bounded state.
+    """
+    xv = (F.col(x) if isinstance(x, str) else x).cast("double")
+    yv = (F.col(y) if isinstance(y, str) else y).cast("double")
+    w = ordered_window(key, order).rowsBetween(-(n - 1), 0)
+    pair_ok = xv.isNotNull() & yv.isNotNull()
+    xe = F.when(pair_ok, xv)
+    ye = F.when(pair_ok, yv)
+    m = F.count(xe).over(w).cast("double")
+    sx = F.sum(xe).over(w)
+    sy = F.sum(ye).over(w)
+    sxx = F.sum(xe * xe).over(w)
+    sxy = F.sum(xe * ye).over(w)
+    denom = m * sxx - sx * sx
+    res = F.when((m >= 2) & (denom != 0),
+                 (m * sxy - sx * sy) / denom)
+    if round_to is not None:
+        res = F.round(res, round_to)
+    return df.withColumn(out, res)
