@@ -2261,6 +2261,46 @@ def q_tool_cooccur(spark, sf_dir):
     return cooccurrence(t, group="conv_id", item="tool")
 
 
+def q_typo_pairs(spark, sf_dir):
+    """SymSpell/FastSS fuzzy vocabulary matching (dedup.py
+    fuzzy_token_pairs): every distinct token pair within Levenshtein
+    distance 1, found via the deletion-neighborhood complete candidate
+    generator — O(word_len) keys per VOCAB entry (never per corpus
+    row), equi-join on shared variants, Levenshtein verify on
+    candidates only. freq_ratio separates typo→correction pairs from
+    inflection pairs. The synthetic vocabulary has no distance-1
+    pairs, so every 7th doc contributes a deterministic typo (its
+    first ≥5-char token with the 2nd character deleted) — the oracle
+    must recover exactly those pairs."""
+    from hipipe_spark.functions.text import tokens
+    from hipipe_spark.operators.dedup import fuzzy_token_pairs
+    d = _docs(spark, sf_dir)
+    toks = F.filter(tokens(F.lower(F.col("text"))),
+                    lambda t: F.length(t) >= 5)
+    first = F.get(toks, 0)
+    typo = F.concat(first.substr(F.lit(1), F.lit(1)),
+                    first.substr(F.lit(3), F.length(first)))
+    aug = (d.filter(F.col("doc_id") % 7 == 0)
+            .select(typo.alias("text"))
+            .filter(F.col("text").isNotNull()))
+    corpus = d.select("text").unionByName(aug)
+    return fuzzy_token_pairs(corpus, min_len=4)
+
+
+def q_sb_ppl(spark, sf_dir):
+    """Trigram Stupid Backoff self-scoring (retrieval.py
+    stupid_backoff_logprob — Brants et al. 2007): counts-only web-scale
+    LM; every count table cascades from ONE trigram aggregate, scoring
+    is five equi-joins vs Heaps'-sized tables. The quality-filter rung
+    above bigram_ppl."""
+    from hipipe_spark.operators.retrieval import stupid_backoff_logprob
+    out = stupid_backoff_logprob(_docs(spark, sf_dir))
+    return out.select(
+        "id", "n_events",
+        F.round("sb_logscore", 5).alias("sb_logscore"),
+        F.round("sb_ppl", 4).alias("sb_ppl"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2302,7 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
     relevance_context, transcript_integrity, incremental_refresh,
     pit_window, pit_multi, pit_extrema, auc_score, kappa, pref_pairs,
-    trend_slope, tool_cooccur). 50 window slots < 60+
+    trend_slope, tool_cooccur, typo_pairs, sb_ppl). 50 window slots < 60+
     unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -2498,6 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_pairs": q_pref_pairs,
         "trend_slope": q_trend_slope,
         "tool_cooccur": q_tool_cooccur,
+        "typo_pairs": q_typo_pairs,
+        "sb_ppl": q_sb_ppl,
     }
 
 
@@ -4158,6 +4200,76 @@ def oracle_sql() -> dict[str, str]:
       FROM pairs
       JOIN marg ma ON ma.i = item_a
       JOIN marg mb ON mb.i = item_b, tot
+    """
+    d["typo_pairs"] = f"""
+      WITH aug AS (
+        SELECT substr(ft, 1, 1) || substr(ft, 3) AS text
+        FROM (SELECT list_filter({_det_tokens_sql('text')},
+                                 t -> length(t) >= 5)[1] AS ft
+              FROM documents WHERE doc_id % 7 = 0)
+        WHERE ft IS NOT NULL),
+      corpus AS (SELECT text FROM documents
+                 UNION ALL SELECT text FROM aug),
+      wds AS (SELECT unnest({_det_tokens_sql('text')}) AS w
+              FROM corpus),
+      v AS (SELECT w, count(*) AS n FROM wds
+            WHERE length(w) >= 4 GROUP BY w),
+      k AS (SELECT w, n,
+                   unnest(list_distinct(list_concat([w],
+                     list_transform(range(1, length(w) + 1),
+                       i -> substr(w, 1, i - 1) || substr(w, i + 1)))))
+                     AS kk
+            FROM v),
+      cand AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b,
+                      a.n AS n_a, b.n AS n_b
+               FROM k a JOIN k b ON a.kk = b.kk AND a.w < b.w)
+      SELECT word_a, word_b,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(levenshtein(word_a, word_b) AS INTEGER) AS dist,
+             round(CAST(greatest(n_a, n_b) AS DOUBLE) / least(n_a, n_b), 6)
+               AS freq_ratio
+      FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """
+    d["sb_ppl"] = f"""
+      WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks
+                 FROM documents),
+      pp AS (SELECT id,
+                    list_concat(list_concat([chr(2), chr(2)], toks),
+                                [chr(3)]) AS p
+             FROM d),
+      ev AS (SELECT id,
+                    unnest(p[1:len(p) - 2]) AS u,
+                    unnest(p[2:len(p) - 1]) AS v,
+                    unnest(p[3:len(p)]) AS w
+             FROM pp),
+      tri AS (SELECT u, v, w, count(*) AS c3 FROM ev GROUP BY u, v, w),
+      ctx3 AS (SELECT u, v, CAST(sum(c3) AS DOUBLE) AS cc3
+               FROM tri GROUP BY u, v),
+      bi AS (SELECT v, w, CAST(sum(c3) AS BIGINT) AS c2
+             FROM tri GROUP BY v, w),
+      ctx1 AS (SELECT v, CAST(sum(c2) AS DOUBLE) AS cc1
+               FROM bi GROUP BY v),
+      uni AS (SELECT w, CAST(sum(c2) AS BIGINT) AS cu FROM bi GROUP BY w),
+      nv AS (SELECT CAST(sum(cu) AS DOUBLE) AS nn,
+                    CAST(count(*) AS DOUBLE) AS vv
+             FROM uni),
+      sc AS (SELECT e.id,
+               ln(CASE WHEN COALESCE(t.c3, 0) > 0 THEN t.c3 / x3.cc3
+                       WHEN COALESCE(b.c2, 0) > 0
+                         THEN 0.4 * b.c2 / x1.cc1
+                       ELSE 0.4 * 0.4 * (COALESCE(un.cu, 0) + 0.5)
+                            / (nv.nn + 0.5 * nv.vv) END) AS lns
+             FROM ev e
+             LEFT JOIN tri t USING (u, v, w)
+             LEFT JOIN ctx3 x3 USING (u, v)
+             LEFT JOIN bi b USING (v, w)
+             LEFT JOIN ctx1 x1 USING (v)
+             LEFT JOIN uni un USING (w)
+             CROSS JOIN nv)
+      SELECT id, CAST(count(*) AS BIGINT) AS n_events,
+             round(avg(lns), 5) AS sb_logscore,
+             round(exp(-avg(lns)), 4) AS sb_ppl
+      FROM sc GROUP BY id
     """
     return d
 

@@ -657,3 +657,73 @@ def embedding_near_pairs(df: DataFrame, id_col: str = "vec_id",
         cosine_sim(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------- fuzzy token matching
+def deletion_neighborhood(col: Column) -> Column:
+    """The word plus every single-character-deletion variant, distinct.
+
+    Two strings within Levenshtein distance 1 ALWAYS share a key in
+    each other's neighborhood (substitution at i → both delete i;
+    insertion/deletion → the longer one's delete equals the shorter),
+    so joining on these keys is a COMPLETE candidate generator for
+    distance ≤ 1 — the SymSpell / FastSS blocking scheme, here as pure
+    JVM expressions (index sequence + substr, no Python). It is not
+    exact: "ab" and "ba" share keys at distance 2, hence the verify
+    join in :func:`fuzzy_token_pairs`.
+    """
+    variants = F.transform(
+        _idx_1_to(F.length(col)),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1),
+                           col.substr(i + 1, F.length(col))))
+    return F.array_distinct(F.concat(F.array(col), variants))
+
+
+def fuzzy_token_pairs(df: DataFrame, text_col: str = "text",
+                      min_len: int = 4, min_count: int = 1,
+                      ndigits: int = 6) -> DataFrame:
+    """Typo candidate mining: pairs of distinct corpus tokens within
+    Levenshtein distance 1, with occurrence counts and the frequency
+    ratio that separates typo→correction pairs (rare variant of a
+    frequent word) from genuine inflection pairs.
+
+    Output: ``word_a < word_b, n_a, n_b, dist, freq_ratio`` where
+    ``freq_ratio = max(n) / min(n)``.
+
+    Plan, scale-first: the corpus collapses to its DISTINCT vocabulary
+    first (one map-side-combinable count agg — Heaps'-law sized, ≪
+    corpus), the deletion-neighborhood explode is O(word_len) keys per
+    VOCAB entry, the equi-join on key touches only words sharing a
+    variant, and the Levenshtein verify runs on candidates only. No
+    all-pairs stage anywhere; contrast a naive cross-join at 1e7 vocab
+    = 1e14 pairs vs ~1e8 candidate keys here. ``min_len`` keeps
+    ultra-short tokens (whose neighborhoods collide massively and
+    whose distance-1 matches are meaningless) out of the index;
+    ``min_count`` prunes hapax noise before the explode.
+    """
+    vocab = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+          .filter((F.length("w") >= min_len) & (F.col("n") >= min_count))
+    )
+    keyed = vocab.select(
+        "w", "n", F.explode(deletion_neighborhood(F.col("w"))).alias("k"))
+    a = keyed.select(F.col("k"), F.col("w").alias("word_a"),
+                     F.col("n").alias("n_a"))
+    b = keyed.select(F.col("k"), F.col("w").alias("word_b"),
+                     F.col("n").alias("n_b"))
+    cand = (a.join(b, "k")
+             .filter(F.col("word_a") < F.col("word_b"))
+             .select("word_a", "word_b", "n_a", "n_b")
+             .distinct())
+    dist = F.levenshtein("word_a", "word_b")
+    return (cand.withColumn("dist", dist)
+                .filter(F.col("dist") <= 1)
+                .select(
+                    "word_a", "word_b",
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.col("dist").cast("int").alias("dist"),
+                    F.round(F.greatest("n_a", "n_b").cast("double")
+                            / F.least("n_a", "n_b"), ndigits)
+                     .alias("freq_ratio")))

@@ -333,3 +333,100 @@ def distinctive_terms(docs: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k)
             .select("id", "term", "tf", "df", "score", "rank"))
+
+
+def stupid_backoff_logprob(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", alpha: float = 0.4,
+                           k: float = 0.5,
+                           fit_docs: DataFrame | None = None) -> DataFrame:
+    """Per-document mean log-score under a TRIGRAM Stupid Backoff LM
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale LM scoring scheme built for exactly
+    this setting: no discounting to tune, counts-only, trivially
+    distributed. One more quality-filter rung above
+    :func:`bigram_perplexity`::
+
+        S(w | u,v) = c(uvw) / c(uv·)            if c(uvw) > 0
+                   = α · S(w | v)               otherwise
+        S(w | v)   = c(vw) / c(v·)              if c(vw) > 0
+                   = α · S(w)                   otherwise
+        S(w)       = (c(w) + k) / (N + k·V)
+
+    over the padded event chain ``BOS BOS w_1 … w_n EOS`` (n+1 events;
+    an empty doc scores the single (BOS,BOS,EOS) event). The unigram
+    base is add-k smoothed (the one deviation from the paper, which
+    leaves OOV at score 0 = log -inf; a quality filter needs finite
+    scores for unseen tokens). S is a score, not a normalized
+    probability — so the output is ``sb_logscore`` (mean ln S) and
+    ``sb_ppl = exp(-mean)``, a ranking signal, exactly how the paper
+    uses it.
+
+    Scale shape: ONE tokenization pass builds the trigram event table;
+    EVERY count table cascades from the trigram aggregate (bigram =
+    Σ_u trigram, contexts = row sums — no second corpus scan); scoring
+    is five equi-joins of the event stream against Heaps'-law-sized
+    count tables that AQE broadcasts at any realistic vocabulary. The
+    only driver-side scalars are N and V. Fitted on ``fit_docs``
+    (default: ``docs`` itself, the self-scoring quality-filter mode).
+    """
+    fit = fit_docs if fit_docs is not None else docs
+
+    def _events(frame: DataFrame, with_id: bool) -> DataFrame:
+        t = tokens(F.lower(F.col(text_col)))
+        p = F.concat(F.array(F.lit(BOS), F.lit(BOS)), t,
+                     F.array(F.lit(EOS)))
+        n = F.size(p)
+        zipped = F.arrays_zip(
+            F.slice(p, 1, n - 2).alias("u"),
+            F.slice(p, 2, n - 2).alias("v"),
+            F.slice(p, 3, n - 2).alias("w"))
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        # explode_outer + null guard: a NULL-text row keeps its id and
+        # lands with null events -> n_events 0, null scores (matching
+        # bigram_perplexity's contract), never a spurious OOV score.
+        ev = frame.select(*cols, F.explode_outer(zipped).alias("e"))
+        keep = ["id"] if with_id else []
+        return ev.select(*keep, F.col("e.u").alias("u"),
+                         F.col("e.v").alias("v"), F.col("e.w").alias("w"))
+
+    tri = (_events(fit, with_id=False)
+           .filter(F.col("u").isNotNull())
+           .groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+           .persist())
+    ctx3 = tri.groupBy("u", "v").agg(F.sum("c3").alias("cc3"))
+    bi = tri.groupBy("v", "w").agg(F.sum("c3").alias("c2"))
+    ctx1 = bi.groupBy("v").agg(F.sum("c2").alias("cc1"))
+    uni = bi.groupBy("w").agg(F.sum("c2").alias("cu"))
+    nv = uni.agg(F.sum("cu").alias("n"),
+                 F.count(F.lit(1)).alias("v")).collect()
+    n_total, v_total = (nv[0]["n"], nv[0]["v"]) if nv else (0, 0)
+    if not n_total:  # empty fit corpus: nothing to score against
+        tri.unpersist()
+        return docs.select(F.col(id_col).alias("id"),
+                           F.lit(0).cast("long").alias("n_events"),
+                           F.lit(None).cast("double").alias("sb_logscore"),
+                           F.lit(None).cast("double").alias("sb_ppl"))
+    af, kf = float(alpha), float(k)
+    base = (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + kf) \
+        / (float(n_total) + kf * float(v_total))
+    s = (F.when(F.coalesce(F.col("c3"), F.lit(0)) > 0,
+                F.col("c3").cast("double") / F.col("cc3"))
+          .when(F.coalesce(F.col("c2"), F.lit(0)) > 0,
+                af * F.col("c2").cast("double") / F.col("cc1"))
+          .otherwise(af * af * base))
+    scored = (_events(docs, with_id=True)
+              .join(tri, ["u", "v", "w"], "left")
+              .join(ctx3, ["u", "v"], "left")
+              .join(bi, ["v", "w"], "left")
+              .join(ctx1, ["v"], "left")
+              .join(uni, ["w"], "left")
+              .withColumn("__lns",
+                          F.when(F.col("u").isNotNull(), F.log(s))))
+    n_ev = F.count("__lns")
+    mean_ls = F.when(n_ev > 0, F.sum("__lns") / n_ev)
+    out = (scored.groupBy("id")
+           .agg(n_ev.cast("long").alias("n_events"),
+                mean_ls.alias("sb_logscore"),
+                F.exp(-mean_ls).alias("sb_ppl")))
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, tri)
