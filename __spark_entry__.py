@@ -2301,6 +2301,36 @@ def q_sb_ppl(spark, sf_dir):
         F.round("sb_ppl", 4).alias("sb_ppl"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank (graph.py pagerank) over the user-journey
+    transition graph: edges = consecutive event_type pairs per user in
+    (ts, event_id) order. 10 iterations, each two node-sized shuffles
+    (the edge list is normalized + persisted once); lineage cut per
+    iteration via localCheckpoint. Oracle: the iteration unrolled into
+    chained DuckDB CTEs (graph.py pagerank_oracle_sql)."""
+    from pyspark.sql import Window
+    from hipipe_spark.operators.graph import pagerank
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("user_id", "ts", "event_id", "event_type",
+                       F.lag("event_type").over(w).alias("prev"))
+               .filter(F.col("prev").isNotNull())
+               .select(F.col("prev").alias("src"),
+                       F.col("event_type").alias("dst")))
+    return pagerank(edges, n_iter=10, round_to=6).orderBy("node")
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (corpus.py vocab_growth):
+    cumulative docs / tokens / distinct vocabulary / type-token ratio
+    at 10 arrival-order checkpoints. One explode->groupBy(token)
+    shuffle (min first-occurrence bin per token); everything after the
+    two aggregates is 10-row dimension arithmetic."""
+    from hipipe_spark.operators.corpus import vocab_growth
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, n_checkpoints=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2342,7 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sliding_distinct, tool_profile, gap_autocorr, turn_flags,
     relevance_context, transcript_integrity, incremental_refresh,
     pit_window, pit_multi, pit_extrema, auc_score, kappa, pref_pairs,
-    trend_slope, tool_cooccur, typo_pairs, sb_ppl). 50 window slots < 60+
+    trend_slope, tool_cooccur, typo_pairs, sb_ppl, pagerank,
+    vocab_growth). 50 window slots < 60+
     unverified queries this round — the tail waits."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
@@ -2540,6 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccur": q_tool_cooccur,
         "typo_pairs": q_typo_pairs,
         "sb_ppl": q_sb_ppl,
+        "pagerank": q_pagerank,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -4270,6 +4303,43 @@ def oracle_sql() -> dict[str, str]:
              round(avg(lns), 5) AS sb_logscore,
              round(exp(-avg(lns)), 4) AS sb_ppl
       FROM sc GROUP BY id
+    """
+    from hipipe_spark.operators.graph import pagerank_oracle_sql
+    d["pagerank"] = pagerank_oracle_sql(
+        """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
+             SELECT event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+             FROM events) WHERE prev IS NOT NULL""",
+        damping=0.85, n_iter=10, round_to=6) + " ORDER BY node"
+    d["vocab_growth"] = f"""
+      WITH m AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      base AS (SELECT CAST(least(9, floor((doc_id - m.lo) * 10.0
+                                          / (m.hi - m.lo + 1))) AS INT) AS bin,
+                      {_det_tokens_sql('text')} AS toks
+               FROM documents, m),
+      per_bin AS (SELECT bin, count(*) AS n_docs,
+                         sum(len(toks)) AS n_toks
+                  FROM base GROUP BY bin),
+      fb AS (SELECT token, min(bin) AS fbin
+             FROM (SELECT bin, unnest(toks) AS token FROM base)
+             GROUP BY token),
+      nn AS (SELECT fbin, count(*) AS n_new FROM fb GROUP BY fbin),
+      grid AS (SELECT CAST(range AS INT) AS bin FROM range(10))
+      SELECT grid.bin,
+             CAST(sum(COALESCE(n_docs, 0)) OVER (ORDER BY grid.bin)
+                  AS BIGINT) AS docs_cum,
+             CAST(sum(COALESCE(n_toks, 0)) OVER (ORDER BY grid.bin)
+                  AS BIGINT) AS tokens_cum,
+             CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY grid.bin)
+                  AS BIGINT) AS vocab_cum,
+             round(CASE WHEN sum(COALESCE(n_toks, 0)) OVER (ORDER BY grid.bin) > 0
+                   THEN sum(COALESCE(n_new, 0)) OVER (ORDER BY grid.bin)
+                        / CAST(sum(COALESCE(n_toks, 0)) OVER (ORDER BY grid.bin)
+                               AS DOUBLE) END, 6) AS ttr
+      FROM grid
+      LEFT JOIN per_bin ON per_bin.bin = grid.bin
+      LEFT JOIN nn ON nn.fbin = grid.bin
     """
     return d
 

@@ -271,3 +271,87 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(*cols)
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= cap).drop("__rk"))
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct vocabulary,
+    token volume, and type-token ratio at ``n_checkpoints`` equal-width
+    slices of the corpus in arrival order (``id_col`` is the arrival
+    proxy — crawl ids are assigned monotonically).
+
+    The curve is the standard corpus-composition diagnostic: a corpus
+    whose vocabulary growth flattens early is saturated (more of the
+    same data buys nothing); sub-linear growth per Heaps' law
+    (V ~ k·Nᵝ, β≈0.5) is healthy; super-linear growth flags noise
+    (OCR garbage, random ids) flooding the vocabulary.
+
+    Scale shape: ONE explode→groupBy(token) shuffle computes each
+    token's FIRST-occurrence bin (min over arrival bin — the shuffle
+    key is the token, values are ints, so the wire volume is the
+    distinct-occurrence table, never corpus bytes); per-doc token
+    counts need no explode at all (``F.size``). Everything after the
+    two aggregates runs on ``n_checkpoints`` rows. The cumulative
+    window is a single-partition frame over those N rows — dimension
+    arithmetic, not data.
+
+    Returns one row per checkpoint: ``(bin, docs_cum, tokens_cum,
+    vocab_cum, ttr)`` with ``ttr = vocab_cum / tokens_cum`` (null when
+    a prefix has no tokens).
+    """
+    from pyspark.sql import Window
+
+    if n_checkpoints < 1:
+        raise ValueError("n_checkpoints must be >= 1")
+    bounds = docs.agg(F.min(id_col).alias("lo"),
+                      F.max(id_col).alias("hi")).collect()[0]
+    if bounds["lo"] is None:  # empty corpus: empty curve
+        return docs.sparkSession.createDataFrame(
+            [], "bin int, docs_cum bigint, tokens_cum bigint, "
+                "vocab_cum bigint, ttr double")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = float(hi - lo + 1)
+    n = int(n_checkpoints)
+
+    def _bin(idc):
+        return F.least(
+            F.lit(n - 1),
+            F.floor((idc - F.lit(lo)) * F.lit(float(n)) / F.lit(span)),
+        ).cast("int")
+
+    base = docs.select(
+        _bin(F.col(id_col)).alias("bin"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tok"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    )
+    per_bin = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_toks"),
+    )
+    first_bin = (
+        base.select("bin", F.explode(tokens(F.col("__lt"))).alias("token"))
+            .groupBy("token").agg(F.min("bin").alias("fbin"))
+            .groupBy("fbin").agg(F.count(F.lit(1)).alias("n_new")))
+
+    grid = docs.sparkSession.range(n).select(F.col("id").cast("int").alias("bin"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (grid
+            .join(per_bin, "bin", "left")
+            .join(first_bin, grid.bin == first_bin.fbin, "left")
+            .select(
+                "bin",
+                F.sum(F.coalesce(F.col("n_docs"), F.lit(0))).over(w)
+                 .alias("docs_cum"),
+                F.sum(F.coalesce(F.col("n_toks"), F.lit(0))).over(w)
+                 .alias("tokens_cum"),
+                F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w)
+                 .alias("vocab_cum"))
+            .select(
+                "bin", "docs_cum", "tokens_cum", "vocab_cum",
+                F.round(F.when(F.col("tokens_cum") > 0,
+                               F.col("vocab_cum") / F.col("tokens_cum")),
+                        6).alias("ttr")))

@@ -1,0 +1,159 @@
+"""Iterative graph analytics over edge-list DataFrames: PageRank.
+
+Training-data pipelines use link analysis to weight sources (domain
+PageRank is a core quality signal in CommonCrawl-derived corpora) and
+to rank entities in interaction graphs (user <-> tool bipartite click
+graphs). The reference has no graph operators (SURVEY.md SS2.3 - this is
+north-rule extension surface, like `dedup.connected_components` which
+already covers the clustering side of graph work).
+
+Scale shape (the whole point at 100 TB):
+
+1. the edge list is normalized ONCE (one shuffle to compute per-source
+   out-weight, one join) and then persisted pre-partitioned on ``src``
+   - the per-iteration ``ranks |><| edges`` join re-shuffles only the
+   RANKS side (node-sized, orders of magnitude smaller than the edge
+   list; for web graphs |V| ~ 1e9 while |E| ~ 1e11);
+2. each iteration is two node-sized shuffles (join back-partition +
+   ``groupBy(dst)`` partial-agg combine) - no edge-sized shuffle ever
+   repeats;
+3. ``localCheckpoint`` after every iteration cuts the lineage: without
+   it the plan doubles per iteration and the driver dies on plan
+   compilation long before the executors break a sweat (the classic
+   iterative-Spark failure mode);
+4. dangling mass (nodes with no out-edges) is folded in via a 1-row
+   aggregate cross-joined into the update - a broadcast of one double,
+   never a driver round-trip inside the loop beyond the checkpoint
+   action itself.
+
+Semantics (standard damped PageRank, Brin & Page 1998):
+
+    rank_{t+1}(v) = (1-d)/N + d * ( sum_{u->v} rank_t(u) * w(u,v)/outw(u)
+                                    + dangling_mass_t / N )
+
+with ``sum(rank) == 1`` preserved at every step (pytest-pinned).
+Deterministic given the edge list - no randomness anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Damped PageRank over a directed (optionally weighted) edge list.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns ``src``, ``dst`` and optionally a
+        positive ``weight`` (unweighted = every edge weight 1.0).
+        Parallel edges are summed into one transition probability.
+    round_to : if set, round the final rank (NOT intermediate ones) -
+        for hash-stable cross-engine comparison.
+
+    Returns ``(node, rank)`` - one row per distinct node on either edge
+    end; ranks sum to 1.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    # collapse parallel edges first: keeps the per-iteration join thin
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct())
+
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # transition probabilities, normalized once; partitioned on src so
+    # every iteration's join reuses this layout and shuffles ranks only
+    en = (e.join(outw, "src")
+           .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+           .repartition("src")
+           .persist())
+    srcs = en.select("src").distinct().persist()
+
+    n_nodes = nodes.count()  # one dimension-sized job, outside the loop
+    if n_nodes == 0:
+        en.unpersist(); srcs.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        contrib = (en.join(ranks, en.src == ranks.node)
+                     .groupBy("dst")
+                     .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib")))
+        dang = (ranks.join(srcs, ranks.node == srcs.src, "left_anti")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                      .crossJoin(dang)  # 1-row broadcast of the dangling mass
+                      .select(
+                          "node",
+                          (F.lit(base) + F.lit(damping) * (
+                              F.coalesce(F.col("contrib"), F.lit(0.0))
+                              + F.col("mass") / F.lit(float(n_nodes))
+                          )).alias("rank")))
+        # cut lineage: O(1) plan size per iteration instead of O(2^t)
+        ranks = ranks.localCheckpoint(eager=True)
+
+    en.unpersist()
+    srcs.unpersist()
+    if round_to is not None:
+        ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    round_to: int = 6,
+) -> str:
+    """ANSI-SQL (DuckDB-runnable) replica of :func:`pagerank`: the
+    iteration is UNROLLED into ``n_iter`` chained CTEs (recursive CTEs
+    cannot aggregate over the working table in most dialects). Each
+    ``r{{t}}`` is referenced twice by step t+1, so every iteration CTE
+    is MATERIALIZED — inlining would expand the plan 2^n_iter-fold.
+    ``edges_sql`` must yield columns ``src, dst, w``."""
+    pre = f"""
+      WITH e0 AS ({edges_sql}),
+      e AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM e0 GROUP BY src, dst),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+      en AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.outw AS p
+             FROM e JOIN ow ON ow.src = e.src),
+      r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        prev = f"r{t-1}"
+        steps.append(f"""
+      , d{t} AS (SELECT COALESCE(SUM(r.rank), 0) AS mass FROM {prev} r
+                 WHERE r.node NOT IN (SELECT DISTINCT src FROM en))
+      , r{t} AS MATERIALIZED (
+          SELECT n.node,
+                 (1 - {damping}) / (SELECT n FROM nn)
+                 + {damping} * (COALESCE(c.contrib, 0)
+                                + (SELECT mass FROM d{t}) / (SELECT n FROM nn))
+                 AS rank
+          FROM nodes n
+          LEFT JOIN (SELECT en.dst AS node, SUM(en.p * r.rank) AS contrib
+                     FROM en JOIN {prev} r ON r.node = en.src
+                     GROUP BY en.dst) c ON c.node = n.node)""")
+    return (pre + "".join(steps)
+            + f"\n      SELECT node, ROUND(rank, {round_to}) AS rank"
+              f" FROM r{n_iter}")
