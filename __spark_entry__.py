@@ -2331,6 +2331,28 @@ def q_vocab_growth(spark, sf_dir):
     return vocab_growth(docs, n_checkpoints=10)
 
 
+def q_zorder(spark, sf_dir):
+    """Morton/z-order locality key (layout.py zorder_key, minmax mode):
+    16-bit-per-dim interleave of (o_custkey, o_totalprice). The
+    write-side layout for multi-column file skipping at 100 TB — one
+    2-double agg job for bounds, then pure JVM bit arithmetic."""
+    from hipipe_spark.operators.layout import zorder_key
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (zorder_key(orders, ["o_custkey", "o_totalprice"], bits=16)
+            .select("o_orderkey", "z"))
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Distributed exact substring dedup (spans.py substring_dedup —
+    Lee et al. 2022 semantics): every duplicated 8-token window, first
+    occurrence canonical, overlaps merged per doc via gaps-and-islands.
+    hash="exact" keys windows on the joined string so the DuckDB
+    oracle replicates bit-for-bit (xxhash64 is the prod default)."""
+    from hipipe_spark.operators.spans import substring_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup(docs, window=8, hash="exact")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2573,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sb_ppl": q_sb_ppl,
         "pagerank": q_pagerank,
         "vocab_growth": q_vocab_growth,
+        "zorder": q_zorder,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -4312,6 +4336,12 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id) AS prev
              FROM events) WHERE prev IS NOT NULL""",
         damping=0.85, n_iter=10, round_to=6) + " ORDER BY node"
+    from hipipe_spark.operators.spans import substring_dedup_oracle_sql
+    d["substring_dedup"] = substring_dedup_oracle_sql(window=8)
+    from hipipe_spark.operators.layout import zorder_oracle_sql
+    d["zorder"] = zorder_oracle_sql(
+        "SELECT * FROM orders", ["o_custkey", "o_totalprice"],
+        bits=16, extra_cols="o_orderkey")
     d["vocab_growth"] = f"""
       WITH m AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
       base AS (SELECT CAST(least(9, floor((doc_id - m.lo) * 10.0
