@@ -2353,6 +2353,47 @@ def q_substring_dedup(spark, sf_dir):
     return substring_dedup(docs, window=8, hash="exact")
 
 
+def q_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon divergence between even/odd doc_id slices over
+    text length (drift.py jsd_table) — PSI's symmetric, ln2-bounded
+    cousin; same one-exchange bucket-count plan."""
+    from hipipe_spark.operators.drift import jsd_table
+    d = _docs(spark, sf_dir).withColumn("text_len", F.length("text"))
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    out = jsd_table(a, b, "text_len", lo=0.0, hi=2000.0, n_buckets=8)
+    return out.select(
+        "bucket", "n_a", "n_b",
+        F.round("jsd_term", 6).alias("jsd_term"),
+        F.round("jsd", 6).alias("jsd"))
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """Per-query nDCG@10 / MRR / precision / recall (evaluation.py
+    ranking_metrics): synthetic queries = l_suppkey%20, score =
+    extendedprice, graded rel from quantity. One group exchange + two
+    in-partition window sorts."""
+    from hipipe_spark.operators.evaluation import ranking_metrics
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_suppkey") % 20).alias("q"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("cid"),
+        F.col("l_extendedprice").alias("score"),
+        F.when(F.col("l_quantity") >= 48, 2)
+         .when(F.col("l_quantity") >= 45, 1).otherwise(0).alias("rel"))
+    return ranking_metrics(li, "q", "score", "rel", "cid", k=10)
+
+
+def q_attribution(spark, sf_dir):
+    """Position-based (40/20/40) multi-touch attribution over the
+    events stream (analytics.py attribution): touches view/click/
+    signup credit the next purchase; windows never overlap, so hot
+    users cost O(events), not O(events^2)."""
+    from hipipe_spark.operators.analytics import attribution
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution(ev, ["view", "click", "signup"], "purchase",
+                       model="position")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2597,6 +2638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "zorder": q_zorder,
         "substring_dedup": q_substring_dedup,
+        "jsd_drift": q_jsd_drift,
+        "ranking_metrics": q_ranking_metrics,
+        "attribution": q_attribution,
     }
 
 
@@ -4338,6 +4382,101 @@ def oracle_sql() -> dict[str, str]:
         damping=0.85, n_iter=10, round_to=6) + " ORDER BY node"
     from hipipe_spark.operators.spans import substring_dedup_oracle_sql
     d["substring_dedup"] = substring_dedup_oracle_sql(window=8)
+    d["jsd_drift"] = """
+      WITH t AS (
+        SELECT CAST(least(7, greatest(0,
+                 CAST(floor(CAST(length(text) AS DOUBLE) / 250.0) AS BIGINT)))
+               AS INTEGER) AS bucket,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_b
+        FROM documents),
+      c AS (SELECT bucket, CAST(sum(is_a) AS BIGINT) AS n_a,
+                   CAST(sum(is_b) AS BIGINT) AS n_b
+            FROM t GROUP BY bucket),
+      b AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(8)),
+      f AS (SELECT b.bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+            FROM b LEFT JOIN c USING (bucket)),
+      tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM f),
+      p AS (SELECT bucket, n_a, n_b,
+                   (n_a + 0.5) / (ta + 0.5 * 8) AS p_a,
+                   (n_b + 0.5) / (tb + 0.5 * 8) AS p_b
+            FROM f, tot),
+      j AS (SELECT bucket, n_a, n_b,
+                   (p_a * ln(p_a / ((p_a + p_b) / 2))
+                    + p_b * ln(p_b / ((p_a + p_b) / 2))) / 2 AS jterm
+            FROM p)
+      SELECT bucket, n_a, n_b, round(jterm, 6) AS jsd_term,
+             round(sum(jterm) OVER (), 6) AS jsd
+      FROM j
+    """
+    d["ranking_metrics"] = """
+      WITH c AS (
+        SELECT l_suppkey % 20 AS grp,
+               l_orderkey * 10 + l_linenumber AS cid,
+               l_extendedprice AS score,
+               CASE WHEN l_quantity >= 48 THEN 2
+                    WHEN l_quantity >= 45 THEN 1 ELSE 0 END AS rel
+        FROM lineitem),
+      r AS (
+        SELECT grp, CAST(rel AS DOUBLE) AS rel,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY score DESC, cid ASC) AS sys_rank,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY rel DESC, cid ASC) AS ideal_rank,
+               pow(2.0, rel) - 1 AS gain
+        FROM c),
+      a AS (
+        SELECT grp,
+               sum(CASE WHEN sys_rank <= 10
+                        THEN gain / log2(sys_rank + 1) ELSE 0 END) AS dcg,
+               sum(CASE WHEN ideal_rank <= 10
+                        THEN gain / log2(ideal_rank + 1) ELSE 0 END) AS idcg,
+               min(CASE WHEN rel > 0 THEN sys_rank END) AS first_rel,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel,
+               sum(CASE WHEN sys_rank <= 10 AND rel > 0
+                        THEN 1 ELSE 0 END) AS n_rel_k
+        FROM r GROUP BY grp)
+      SELECT grp AS "group",
+             round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+               AS ndcg_at_10,
+             round(CASE WHEN first_rel IS NOT NULL
+                   THEN 1.0 / first_rel ELSE 0 END, 6) AS mrr,
+             round(n_rel_k / 10.0, 6) AS precision_at_10,
+             round(CASE WHEN n_rel > 0
+                   THEN n_rel_k / CAST(n_rel AS DOUBLE) ELSE 0 END, 6)
+               AS recall_at_10
+      FROM a
+    """
+    d["attribution"] = """
+      WITH base AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+      tagged AS (
+        SELECT *, sum(is_conv) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  + (1 - is_conv) AS conv_id
+        FROM base),
+      nc AS (
+        SELECT *, max(CASE WHEN is_conv = 1 THEN conv_id ELSE 0 END)
+                    OVER (PARTITION BY user_id) AS n_convs
+        FROM tagged),
+      touches AS (
+        SELECT * FROM nc WHERE is_conv = 0 AND conv_id <= n_convs),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, conv_id
+                                     ORDER BY ts, event_id) AS rk,
+                  count(*) OVER (PARTITION BY user_id, conv_id) AS n
+        FROM touches)
+      SELECT event_type AS channel, count(*) AS n_touches,
+             round(sum(CASE WHEN n = 1 THEN 1.0
+                            WHEN n = 2 THEN 0.5
+                            WHEN rk = 1 THEN 0.4
+                            WHEN rk = n THEN 0.4
+                            ELSE 0.2 / (n - 2) END), 6) AS credit
+      FROM ranked GROUP BY event_type
+    """
     from hipipe_spark.operators.layout import zorder_oracle_sql
     d["zorder"] = zorder_oracle_sql(
         "SELECT * FROM orders", ["o_custkey", "o_totalprice"],

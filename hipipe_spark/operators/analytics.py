@@ -236,3 +236,74 @@ def cooccurrence(df: DataFrame, group: str = "conv_id",
         F.round(F.col("n_ab") * N / (F.col("n_a") * F.col("n_b")),
                 ndigits).alias("lift"),
     )
+
+
+def attribution(events: DataFrame, touch_types: Sequence[str],
+                conversion_type: str, model: str = "linear",
+                key: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts", tiebreak: str = "event_id") -> DataFrame:
+    """Multi-touch attribution: distribute each conversion's credit
+    over the touch events that preceded it (since the previous
+    conversion — attribution windows never overlap).
+
+    Models: ``first`` (all credit to the earliest touch), ``last``
+    (latest touch), ``linear`` (1/n each), ``position`` (40% first,
+    40% last, 20% spread over the middle; 100%/50-50 for 1/2 touches).
+
+    Returns per-channel totals: ``(channel, n_touches, credit)`` —
+    ``n_touches`` counts attributed touches, ``credit`` sums to the
+    number of attributed conversions (conversions with >= 1 preceding
+    touch) across channels.
+
+    Plan: one window over ``key`` assigns every touch to the next
+    conversion (running conversion count — no touch-x-conversion
+    join), one window over (key, conversion) ranks touches for the
+    positional models, one hash aggregate to channels. Two exchanges
+    total, both on high-cardinality keys; no quadratic blowup on hot
+    users because each touch lands in exactly one attribution window.
+    """
+    if model not in ("first", "last", "linear", "position"):
+        raise ValueError(f"unknown attribution model {model!r}")
+    is_conv = F.col(type_col) == conversion_type
+    is_touch = F.col(type_col).isin(list(touch_types))
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    wu = Window.partitionBy(key).orderBy(*order)
+
+    base = (events
+            .filter(is_conv | is_touch)
+            .select(key, type_col, ts_col, tiebreak,
+                    is_conv.cast("int").alias("is_conv")))
+    # conversion id a touch belongs to = conversions seen so far + 1;
+    # a conversion row closes its own window (running sum INCLUDES it)
+    tagged = base.withColumn(
+        "conv_id",
+        F.sum("is_conv").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        + (1 - F.col("is_conv")))
+    n_convs = F.max(F.when(F.col("is_conv") == 1, F.col("conv_id"))
+                    .otherwise(0)).over(Window.partitionBy(key))
+    touches = (tagged.withColumn("n_convs", n_convs)
+               .filter((F.col("is_conv") == 0)
+                       & (F.col("conv_id") <= F.col("n_convs"))))
+
+    wc = Window.partitionBy(key, "conv_id").orderBy(*order)
+    wc_all = Window.partitionBy(key, "conv_id")
+    ranked = (touches
+              .withColumn("rk", F.row_number().over(wc))
+              .withColumn("n", F.count(F.lit(1)).over(wc_all)))
+    n = F.col("n").cast("double")
+    if model == "first":
+        credit = F.when(F.col("rk") == 1, 1.0).otherwise(0.0)
+    elif model == "last":
+        credit = F.when(F.col("rk") == F.col("n"), 1.0).otherwise(0.0)
+    elif model == "linear":
+        credit = F.lit(1.0) / n
+    else:  # position: 40/20-split/40, degenerate 1 -> 100%, 2 -> 50/50
+        credit = (F.when(F.col("n") == 1, 1.0)
+                  .when(F.col("n") == 2, 0.5)
+                  .when(F.col("rk") == 1, 0.4)
+                  .when(F.col("rk") == F.col("n"), 0.4)
+                  .otherwise(F.lit(0.2) / (n - 2)))
+    return (ranked.withColumn("credit", credit)
+            .groupBy(F.col(type_col).alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.round(F.sum("credit"), 6).alias("credit")))

@@ -249,3 +249,55 @@ def psi(df_a: DataFrame, df_b: DataFrame, col: Column | str,
     row = (psi_table(df_a, df_b, col, lo, hi, n_buckets, smooth)
            .select("psi").limit(1).collect())
     return float(row[0]["psi"]) if row else 0.0
+
+
+def jsd_table(df_a: DataFrame, df_b: DataFrame, col: Column | str,
+              lo: float, hi: float, n_buckets: int = 10,
+              smooth: float = 0.5) -> DataFrame:
+    """Per-bucket Jensen-Shannon divergence decomposition between two
+    slices — PSI's symmetric, bounded cousin (0 <= JSD <= ln 2, natural
+    log): ``JSD = 0.5*KL(P||M) + 0.5*KL(Q||M)`` with ``M = (P+Q)/2``.
+    Preferred over PSI when either slice can have near-empty buckets —
+    every term is finite even unsmoothed, and the bound makes
+    thresholds transferable across features.
+
+    Same plan shape as :func:`psi_table` (one bucket-key exchange over
+    map-side-combined counts, window-sum totals over ≤ n_buckets
+    rows); same Laplace smoothing so the two diagnostics share their
+    proportion estimates. Returns ``bucket, n_a, n_b, jsd_term, jsd``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tagged = (
+        df_a.select(uniform_bucket(c, lo, hi, n_buckets).alias("bucket"),
+                    F.lit(1).alias("is_a"), F.lit(0).alias("is_b"))
+        .unionByName(
+            df_b.select(uniform_bucket(c, lo, hi, n_buckets).alias("bucket"),
+                        F.lit(0).alias("is_a"), F.lit(1).alias("is_b")))
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b"))
+    spark = df_a.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    counts = (
+        all_buckets.join(F.broadcast(counts), "bucket", "left")
+        .select("bucket",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b"))
+    )
+    s = float(smooth)
+    wall = Window.partitionBy()
+    withp = counts.select(
+        "bucket", "n_a", "n_b",
+        ((F.col("n_a") + s)
+         / (F.sum("n_a").over(wall) + s * n_buckets)).alias("p_a"),
+        ((F.col("n_b") + s)
+         / (F.sum("n_b").over(wall) + s * n_buckets)).alias("p_b"),
+    )
+    m = (F.col("p_a") + F.col("p_b")) / 2
+    term = (F.col("p_a") * F.log(F.col("p_a") / m)
+            + F.col("p_b") * F.log(F.col("p_b") / m)) / 2
+    withterm = withp.withColumn("jsd_term", term)
+    total = F.sum("jsd_term").over(Window.partitionBy())
+    return withterm.select("bucket", "n_a", "n_b", "jsd_term",
+                           total.alias("jsd"))

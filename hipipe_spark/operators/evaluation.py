@@ -179,3 +179,64 @@ def preference_pairs(df: DataFrame, group: str, cand_id: str, score: str,
         F.round(F.col("chosen_score") - F.col("rejected_score"),
                 ndigits).alias("margin"),
     )
+
+
+def ranking_metrics(df: DataFrame, group: str, score: str, rel: str,
+                    tiebreak: str, k: int = 10) -> DataFrame:
+    """Per-query ranking quality: nDCG@k, MRR, precision@k, recall@k.
+
+    Input: one row per (query ``group``, candidate) with the ranker's
+    ``score`` and a graded ``rel``evance (0 = irrelevant). ``tiebreak``
+    (e.g. the candidate id) makes equal-score orderings deterministic —
+    required, because nDCG under ties is otherwise engine-dependent.
+
+    Definitions: system order = score desc; gain = 2^rel - 1;
+    DCG@k = sum gain_i / log2(i+1); ideal order = rel desc (same
+    tiebreak); nDCG = DCG/IDCG (0 when the query has no relevant
+    candidate); MRR uses the first rank with rel > 0 (0 if none);
+    recall@k counts relevant in top-k over all relevant.
+
+    Plan: ONE exchange on ``group``, two in-partition window sorts
+    (system + ideal order), one aggregate. Output is one row per
+    query — feed to ``.agg(avg(...))`` for the headline mean.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sys_w = Window.partitionBy(group).orderBy(
+        F.col(score).desc(), F.col(tiebreak).asc())
+    ideal_w = Window.partitionBy(group).orderBy(
+        F.col(rel).desc(), F.col(tiebreak).asc())
+    gain = F.pow(F.lit(2.0), F.col(rel).cast("double")) - 1
+    ranked = df.select(
+        F.col(group).alias("group"),
+        F.col(rel).cast("double").alias("rel"),
+        F.row_number().over(sys_w).alias("sys_rank"),
+        F.row_number().over(ideal_w).alias("ideal_rank"),
+        gain.alias("gain"),
+    )
+    in_k = F.col("sys_rank") <= k
+    dcg = F.sum(F.when(in_k, F.col("gain")
+                       / F.log2(F.col("sys_rank") + 1)).otherwise(0.0))
+    idcg = F.sum(F.when(F.col("ideal_rank") <= k,
+                        F.col("gain")
+                        / F.log2(F.col("ideal_rank") + 1)).otherwise(0.0))
+    first_rel = F.min(F.when(F.col("rel") > 0, F.col("sys_rank")))
+    n_rel = F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+    n_rel_k = F.sum(F.when(in_k & (F.col("rel") > 0), 1).otherwise(0))
+    return (ranked.groupBy("group")
+            .agg(dcg.alias("dcg"), idcg.alias("idcg"),
+                 first_rel.alias("first_rel"),
+                 n_rel.alias("n_rel"), n_rel_k.alias("n_rel_k"))
+            .select(
+                "group",
+                F.round(F.when(F.col("idcg") > 0,
+                               F.col("dcg") / F.col("idcg"))
+                        .otherwise(0.0), 6).alias(f"ndcg_at_{k}"),
+                F.round(F.when(F.col("first_rel").isNotNull(),
+                               1.0 / F.col("first_rel"))
+                        .otherwise(0.0), 6).alias("mrr"),
+                F.round(F.col("n_rel_k") / F.lit(float(k)), 6)
+                 .alias(f"precision_at_{k}"),
+                F.round(F.when(F.col("n_rel") > 0,
+                               F.col("n_rel_k") / F.col("n_rel"))
+                        .otherwise(0.0), 6).alias(f"recall_at_{k}")))
