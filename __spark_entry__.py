@@ -2394,6 +2394,31 @@ def q_attribution(spark, sf_dir):
                        model="position")
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance log-weights (selection.py dsir_weights — Xie et
+    al. 2023): hashed unigram+bigram multinomials, target = doc_id%7
+    slice vs the full raw pool, det hash family so DuckDB replicates
+    every bucket id. Both fitted distributions are broadcast
+    n_buckets-row tables; scoring is one doc-key aggregate."""
+    from hipipe_spark.operators.selection import dsir_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return dsir_weights(docs, target, n_buckets=1024,
+                        hash_family="det")
+
+
+def q_dsir_select(spark, sf_dir):
+    """Deterministic Gumbel top-k resampling over DSIR log-weights
+    (selection.py gumbel_topk): key-derived Gumbel noise, global top-k
+    via TakeOrderedAndProject — the selection step that turns weights
+    into a training subset."""
+    from hipipe_spark.operators.selection import dsir_weights, gumbel_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    w = dsir_weights(docs, target, n_buckets=1024, hash_family="det")
+    return gumbel_topk(w, "dsir_logweight", 50, seed=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2641,6 +2666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_drift": q_jsd_drift,
         "ranking_metrics": q_ranking_metrics,
         "attribution": q_attribution,
+        "dsir": q_dsir,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -4382,6 +4409,17 @@ def oracle_sql() -> dict[str, str]:
         damping=0.85, n_iter=10, round_to=6) + " ORDER BY node"
     from hipipe_spark.operators.spans import substring_dedup_oracle_sql
     d["substring_dedup"] = substring_dedup_oracle_sql(window=8)
+    from hipipe_spark.operators.selection import dsir_weights_oracle_sql
+    d["dsir"] = dsir_weights_oracle_sql(n_buckets=1024)
+    _g = (f"-ln(-ln(greatest({det_hash01_sql('doc_id', 3)}, 1e-12)))")
+    d["dsir_select"] = f"""
+      WITH w AS ({dsir_weights_oracle_sql(n_buckets=1024)})
+      SELECT doc_id, n_features, dsir_logweight,
+             round(dsir_logweight / 1.0 + {_g}, 6) AS gumbel_score
+      FROM w
+      ORDER BY gumbel_score DESC, doc_id ASC
+      LIMIT 50
+    """
     d["jsd_drift"] = """
       WITH t AS (
         SELECT CAST(least(7, greatest(0,
