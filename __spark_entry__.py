@@ -2419,6 +2419,47 @@ def q_dsir_select(spark, sf_dir):
     return gumbel_topk(w, "dsir_logweight", 50, seed=3)
 
 
+def q_scd2(spark, sf_dir):
+    """SCD2 validity intervals (scd.py scd2) from the events stream:
+    per-user event_type change tracking with no-op collapse and
+    event_id tiebreak — the write-side twin of the as-of profile read
+    path. One exchange on user_id."""
+    from hipipe_spark.operators.scd import scd2
+    from hipipe_spark.operators.temporal import ts_seconds
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = scd2(ev, "user_id", "ts", ["event_type"], tiebreak="event_id")
+    # epoch-second doubles: a NULLABLE timestamp column trips pandas'
+    # ns-vs-us unit comparison in the driver gate (NaT + mixed units)
+    return out.select("user_id", "event_type",
+                      ts_seconds(F.col("valid_from")).alias("valid_from"),
+                      ts_seconds(F.col("valid_to")).alias("valid_to"),
+                      "is_current", "version")
+
+
+def q_sample_per_key(spark, sf_dir):
+    """Deterministic per-group fixed-size sample (sampling.py
+    sample_per_key): 20 events per event_type ranked by key-derived
+    hash — rerun/cluster-size/input-order stable, unlike a streaming
+    reservoir."""
+    from hipipe_spark.operators.sampling import sample_per_key
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sample_per_key(ev, "event_type", "event_id", 20, seed=5)
+    return out.select("event_id", "event_type", "user_id")
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability table + ECE + Brier (evaluation.py
+    calibration_report) over a det-hash-derived probability and a
+    parity label: one map-combined aggregate to 10 bins, scalars via
+    window sums over the tiny table."""
+    from hipipe_spark.functions.hashing import det_hash01
+    from hipipe_spark.operators.evaluation import calibration_report
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        det_hash01(F.col("event_id"), 9).alias("p"),
+        (F.col("user_id") % 2).alias("y"))
+    return calibration_report(ev, "p", "y", n_bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2668,6 +2709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "dsir": q_dsir,
         "dsir_select": q_dsir_select,
+        "scd2": q_scd2,
+        "sample_per_key": q_sample_per_key,
+        "calibration": q_calibration,
     }
 
 
@@ -4409,6 +4453,61 @@ def oracle_sql() -> dict[str, str]:
         damping=0.85, n_iter=10, round_to=6) + " ORDER BY node"
     from hipipe_spark.operators.spans import substring_dedup_oracle_sql
     d["substring_dedup"] = substring_dedup_oracle_sql(window=8)
+    d["scd2"] = """
+      WITH dedup AS (
+        SELECT user_id, ts, event_id, event_type FROM (
+          SELECT user_id, ts, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rk
+          FROM events) WHERE rk = 1),
+      chg AS (
+        SELECT user_id, ts, event_id, event_type,
+               (lag(ts) OVER w IS NULL
+                OR NOT (event_type IS NOT DISTINCT FROM
+                        lag(event_type) OVER w)) AS keep
+        FROM dedup
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ret AS (SELECT * FROM chg WHERE keep)
+      SELECT user_id, event_type,
+             epoch(ts) AS valid_from,
+             epoch(lead(ts) OVER w2) AS valid_to,
+             lead(ts) OVER w2 IS NULL AS is_current,
+             CAST(row_number() OVER w2 AS INTEGER) AS version
+      FROM ret
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    d["sample_per_key"] = f"""
+      SELECT event_id, event_type, user_id FROM (
+        SELECT event_id, event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY {det_hash_i64_sql('event_id', 5)}, event_id) AS rk
+        FROM events) WHERE rk <= 20
+    """
+    d["calibration"] = f"""
+      WITH src AS (
+        SELECT {det_hash01_sql('event_id', 9)} AS p,
+               CAST(user_id % 2 AS DOUBLE) AS y
+        FROM events),
+      agg AS (
+        SELECT CAST(least(9, CAST(floor(p * 10) AS BIGINT)) AS INTEGER) AS bin,
+               count(*) AS n, avg(p) AS avg_prob, avg(y) AS frac_pos,
+               sum((p - y) * (p - y)) AS sq_sum
+        FROM src GROUP BY 1),
+      grid AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+      full_t AS (
+        SELECT grid.bin, COALESCE(n, 0) AS n, avg_prob, frac_pos,
+               COALESCE(sq_sum, 0.0) AS sq_sum
+        FROM grid LEFT JOIN agg ON agg.bin = grid.bin)
+      SELECT bin, CAST(n AS BIGINT) AS n,
+             round(avg_prob, 6) AS avg_prob,
+             round(frac_pos, 6) AS frac_pos,
+             round(sum(CASE WHEN n > 0
+                       THEN abs(avg_prob - frac_pos) * n
+                       ELSE 0.0 END) OVER ()
+                   / sum(n) OVER (), 6) AS ece,
+             round(sum(sq_sum) OVER () / sum(n) OVER (), 6) AS brier
+      FROM full_t
+    """
     from hipipe_spark.operators.selection import dsir_weights_oracle_sql
     d["dsir"] = dsir_weights_oracle_sql(n_buckets=1024)
     _g = (f"-ln(-ln(greatest({det_hash01_sql('doc_id', 3)}, 1e-12)))")

@@ -240,3 +240,53 @@ def ranking_metrics(df: DataFrame, group: str, score: str, rel: str,
                 F.round(F.when(F.col("n_rel") > 0,
                                F.col("n_rel_k") / F.col("n_rel"))
                         .otherwise(0.0), 6).alias(f"recall_at_{k}")))
+
+
+def calibration_report(df: DataFrame, prob: str, label: str,
+                       n_bins: int = 10) -> DataFrame:
+    """Probability-calibration diagnostics: per-bin reliability table
+    plus the two headline scalars — ECE (expected calibration error,
+    the confidence-vs-accuracy gap weighted by bin mass) and the Brier
+    score (mean squared error of the probability), repeated on every
+    row like psi_table's total so table + scalars ship in one result.
+
+    Bins are uniform on [0, 1]; ``prob`` exactly 1.0 lands in the top
+    bin. Empty bins are emitted with zero counts and null rates (they
+    contribute nothing to ECE).
+
+    Plan: one map-side-combinable aggregate to <= n_bins rows, window
+    sums over that tiny table for the scalars — the only full-data
+    work is the single scan (Brier's sum of squares rides the same
+    aggregate).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.col(prob).cast("double")
+    y = F.col(label).cast("double")
+    binc = F.least(F.lit(n_bins - 1),
+                   F.floor(p * n_bins).cast("int")).alias("bin")
+    agg = (df.select(binc, p.alias("p"), y.alias("y"),
+                     ((p - y) * (p - y)).alias("sq"))
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("p").alias("avg_prob"),
+                  F.avg("y").alias("frac_pos"),
+                  F.sum("sq").alias("sq_sum")))
+    spark = df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = (grid.join(F.broadcast(agg), "bin", "left")
+            .select("bin",
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    "avg_prob", "frac_pos",
+                    F.coalesce("sq_sum", F.lit(0.0)).alias("sq_sum")))
+    w = Window.partitionBy()
+    total_n = F.sum("n").over(w)
+    gap = F.abs(F.col("avg_prob") - F.col("frac_pos"))
+    ece = F.sum(F.when(F.col("n") > 0, gap * F.col("n")).otherwise(0.0)).over(w) / total_n
+    brier = F.sum("sq_sum").over(w) / total_n
+    return full.select(
+        "bin", "n",
+        F.round("avg_prob", 6).alias("avg_prob"),
+        F.round("frac_pos", 6).alias("frac_pos"),
+        F.round(ece, 6).alias("ece"),
+        F.round(brier, 6).alias("brier"))

@@ -268,3 +268,26 @@ def walk_forward_splits(df: DataFrame, n_folds: int = 3,
     return bounds.join(out, "fold").select(
         "fold", "train_end_s", "test_start_s", "test_end_s",
         "n_train", "n_purged", "n_test")
+
+
+def sample_per_key(df: DataFrame, group: str | Sequence[str], key: str,
+                   k: int, seed: int = 0) -> DataFrame:
+    """Deterministic fixed-size sample per group — the distributed
+    stand-in for a per-key reservoir: rank rows inside each group by
+    the key-derived hash (functions/hashing.py) and keep the first
+    ``k``. Every row's in/out decision is a pure function of (group,
+    key, seed): stable across reruns, cluster sizes, AND input order —
+    properties a true streaming reservoir (state + RNG) cannot give a
+    batch engine. Groups smaller than k pass through whole.
+
+    Plan: ONE exchange on the group key, one in-partition window sort,
+    one filter. For monster groups the sort is the per-partition cost;
+    pre-filtering with bernoulli_sample at ~(3k / E[group size]) cuts
+    it when group sizes are known."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    groups = [group] if isinstance(group, str) else list(group)
+    w = (Window.partitionBy(*groups)
+         .orderBy(det_hash_i64(F.col(key), seed).asc(), F.col(key).asc()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") <= k).drop("__rk"))
