@@ -2460,6 +2460,27 @@ def q_calibration(spark, sf_dir):
     return calibration_report(ev, "p", "y", n_bins=10)
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash near-dedup (dedup.py minhash_index +
+    minhash_lsh_pairs_incremental): the delta (doc_id%20==10) dedups
+    against the indexed corpus (doc_id%20==0) and within itself —
+    corpus cost per delta is ONE scan (band keys are a narrow map over
+    the stored signatures, the delta band table broadcasts). det hash
+    family end-to-end for the DuckDB oracle."""
+    from hipipe_spark.operators.dedup import (
+        minhash_index, minhash_lsh_pairs_incremental)
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 == 0)
+    delta = docs.filter(F.col("doc_id") % 20 == 10)
+    idx = minhash_index(corpus, shingle="word", shingle_k=1,
+                        n_hashes=32, hash_family="det")
+    out = minhash_lsh_pairs_incremental(
+        idx, delta, shingle="word", shingle_k=1, n_hashes=32, bands=16,
+        jaccard_threshold=0.5, hash_family="det")
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2712,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": q_scd2,
         "sample_per_key": q_sample_per_key,
         "calibration": q_calibration,
+        "minhash_incremental": q_minhash_incremental,
     }
 
 
@@ -2801,6 +2823,71 @@ def _simhash_det_oracle(bits: int = 60, n_blocks: int = 4,
     """
 
 
+def _minhash_incremental_det_oracle(n_hashes: int = 32, bands: int = 16,
+                                    threshold: float = 0.5) -> str:
+    """DuckDB replica of q_minhash_incremental: corpus (doc_id%20==0)
+    signatures vs delta (doc_id%20==10) with delta-only exact prepass;
+    candidates = corpus x delta-rep band collisions + delta-rep
+    self-collisions; exact set-Jaccard verify; star edges at 1.0."""
+    from hipipe_spark.functions.hashing import (
+        det_hash_i64_sql, det_hash_str_i64_sql)
+    rpb = n_hashes // bands
+    base = det_hash_str_i64_sql("s", 0)
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> {det_hash_i64_sql('h', i)}))"
+        for i in range(n_hashes))
+
+    def banded(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, sig[{b * rpb + 1}:{(b + 1) * rpb}] AS bh"
+            f" FROM {src}" for b in range(bands))
+
+    return f"""
+      WITH corp AS (SELECT doc_id AS id, text FROM documents
+                    WHERE doc_id % 20 = 0),
+      delt AS (SELECT doc_id AS id, text FROM documents
+               WHERE doc_id % 20 = 10),
+      drep AS (SELECT id, text,
+                      min(id) OVER (PARTITION BY md5(text)) AS rep
+               FROM delt),
+      star AS (SELECT rep AS id_a, id AS id_b, 1.0 AS jaccard
+               FROM drep WHERE id <> rep),
+      csh AS (SELECT id, list_distinct({_det_tokens_sql('text')}) AS sh
+              FROM corp),
+      dsh AS (SELECT id, list_distinct({_det_tokens_sql('text')}) AS sh
+              FROM drep WHERE id = rep),
+      chs AS MATERIALIZED (
+        SELECT id, sh, list_transform(sh, s -> {base}) AS hs FROM csh),
+      dhs AS MATERIALIZED (
+        SELECT id, sh, list_transform(sh, s -> {base}) AS hs FROM dsh),
+      csig AS (SELECT id, [{sig_items}] AS sig FROM chs),
+      dsig AS (SELECT id, [{sig_items}] AS sig FROM dhs),
+      cband AS MATERIALIZED ({banded('csig')}),
+      dband AS MATERIALIZED ({banded('dsig')}),
+      cand AS (
+        SELECT least(c.id, n.id) AS id_a, greatest(c.id, n.id) AS id_b
+        FROM cband c JOIN dband n
+          ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id
+        UNION
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM dband a JOIN dband b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+      shx AS (SELECT id, sh FROM chs UNION ALL SELECT id, sh FROM dhs),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                    THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN shx sa ON sa.id = c.id_a JOIN shx sb ON sb.id = c.id_b)
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+      FROM verified WHERE jaccard >= {threshold}
+      UNION ALL
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM star
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lcg_ok = det_hash_i64_sql("o_orderkey", 3)
     d = _oracle_sql_dict(lcg_ok)
@@ -2863,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
       WHERE {det_hash01_sql('user_id', 4)} < 0.25
     """
     d["minhash_lsh"] = _minhash_det_oracle()
+    d["minhash_incremental"] = _minhash_incremental_det_oracle()
     d["simhash"] = _simhash_det_oracle()
     # NB: DuckDB's list_resize miscopies non-trivial default values when
     # used inside a lambda — pad via list_concat + a generated fill list

@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     # two-horizon count/sum (one shuffle, one sort) and panes-decomposed
     # trailing extrema (two slice sorts + narrow rejoin)
     "pit_multi", "pit_extrema",
+    # round-3 continuation: duplicated-span detection (token-window
+    # explode + two shuffles), DSIR importance weights (two broadcast
+    # multinomials + one doc agg), multi-touch attribution (two window
+    # passes), z-order write-layout keys (bit interleave + range sort)
+    "substring_dedup", "dsir", "attribution", "zorder",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))

@@ -727,3 +727,145 @@ def fuzzy_token_pairs(df: DataFrame, text_col: str = "text",
                     F.round(F.greatest("n_a", "n_b").cast("double")
                             / F.least("n_a", "n_b"), ndigits)
                      .alias("freq_ratio")))
+
+
+# ------------------------------------------------- incremental MinHash
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_hashes: int = 32,
+    shingle: str = "char",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The storable side of incremental near-dedup: ``(id, sh, sig)``
+    per document. Write this once (SnapshotStore / Iceberg) and each
+    ingest delta joins against it via
+    :func:`minhash_lsh_pairs_incremental` — the corpus is scanned, but
+    never re-shingled row-by-row against the delta and never shuffled.
+    Parameters must match the incremental call."""
+    sh_fn = char_shingles if shingle == "char" else word_ngrams
+    return df.select(
+        F.col(id_col).alias("id"),
+        sh_fn(F.col(text_col), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, hash_family))
+
+
+def minhash_lsh_pairs_incremental(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float | None = 0.8,
+    shingle: str = "char",
+    hash_family: str = "xxhash64",
+    exact_prepass: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of an ingest DELTA against an indexed corpus
+    (:func:`minhash_index`) plus within the delta itself — the
+    operational mode a 10^12-doc corpus runs in daily, where
+    re-running :func:`minhash_lsh_pairs` over corpus+delta would
+    re-shuffle the corpus for a 0.01% addition.
+
+    Output: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``; every pair
+    has >= 1 delta member. Ids must be globally unique across
+    index + delta.
+
+    Scale shape (delta << corpus is the contract):
+
+    1. the delta is shingled/signed once and persisted (it is read by
+       its own band explode, the self-join, and two verify joins);
+    2. corpus band keys are a NARROW map over the index's ``sig``
+       column (no shuffle, no re-shingling); the delta band table is
+       BROADCAST to it, so the corpus-vs-delta candidate join is
+       shuffle-free on the corpus side;
+    3. verify fetches corpus shingle sets by broadcasting the
+       (bounded) candidate id list into the index scan — again no
+       corpus shuffle. Total corpus cost per delta: one scan.
+
+    ``exact_prepass`` collapses byte-identical DELTA docs (star
+    edges), same semantics as :func:`minhash_lsh_pairs`. Delta docs
+    byte-identical to CORPUS docs need no special casing: equal text
+    gives equal signatures, which collide in every band and verify at
+    jaccard 1.0.
+    """
+    rows_per_band = n_hashes // bands
+    assert rows_per_band * bands == n_hashes, "bands must divide n_hashes"
+    sh_fn = char_shingles if shingle == "char" else word_ngrams
+
+    star = None
+    src = new_docs.select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("__txt"))
+    if exact_prepass:
+        src, star = _exact_prepass(new_docs, id_col, text_col)
+    nb = src.select(
+        "id", sh_fn(F.col("__txt"), shingle_k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes, hash_family))
+    nb = nb.persist()
+
+    def _band_key(b):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        return F.xxhash64(sl) if hash_family == "xxhash64" else sl
+
+    def _banded(frame):
+        return frame.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), _band_key(b).alias("bh"))
+                for b in range(bands)])).alias("bb"),
+        ).select("id", "bb.band", "bb.bh")
+
+    new_banded = _banded(nb)
+    idx_banded = _banded(index)  # narrow map over the index scan
+
+    cand_nc = (idx_banded.alias("c")
+               .join(F.broadcast(new_banded.alias("n")), on=["band", "bh"])
+               .filter(F.col("c.id") != F.col("n.id"))
+               .select(F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
+                       F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
+                       F.col("c.id").alias("cid"), F.col("n.id").alias("nid"))
+               .dropDuplicates(["id_a", "id_b"]))
+    a = new_banded.alias("a")
+    b = new_banded.alias("b")
+    cand_nn = (a.join(b, on=["band", "bh"])
+               .filter(F.col("a.id") < F.col("b.id"))
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"))
+               .dropDuplicates(["id_a", "id_b"]))
+
+    idx_sh = index.select("id", "sh")
+    new_sh = nb.select("id", "sh")
+    ver_nc = (idx_sh.join(
+                  F.broadcast(cand_nc.select("id_a", "id_b", "cid", "nid")),
+                  idx_sh.id == F.col("cid"))
+              .select("id_a", "id_b", "nid",
+                      F.col("sh").alias("sh_c"))
+              .join(new_sh.withColumnRenamed("id", "nid")
+                          .withColumnRenamed("sh", "sh_n"), "nid")
+              .select("id_a", "id_b", F.col("sh_c").alias("sh_a"),
+                      F.col("sh_n").alias("sh_b")))
+    ver_nn = (cand_nn
+              .join(new_sh.withColumnRenamed("id", "id_a")
+                          .withColumnRenamed("sh", "sh_a"), "id_a")
+              .join(new_sh.withColumnRenamed("id", "id_b")
+                          .withColumnRenamed("sh", "sh_b"), "id_b")
+              .select("id_a", "id_b", "sh_a", "sh_b"))
+
+    both = ver_nc.unionByName(ver_nn)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (both.withColumn(
+               "jaccard",
+               F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+           .select("id_a", "id_b", "jaccard")
+           .dropDuplicates(["id_a", "id_b"]))
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    if star is not None:
+        out = out.unionByName(star.withColumn("jaccard", F.lit(1.0)))
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, nb)
