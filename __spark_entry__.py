@@ -2481,6 +2481,21 @@ def q_minhash_incremental(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean (bootstrap.py
+    bootstrap_mean_ci): 50 key-derived Poisson(1) replicate weights
+    per row, 100 map-side-combinable aggregate columns, ONE pass — no
+    row explosion. Integer l_quantity keeps every replicate sum
+    exactly representable, so the CI is bit-identical to the DuckDB
+    oracle at any accumulation order."""
+    from hipipe_spark.operators.bootstrap import bootstrap_mean_ci
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_returnflag", "l_quantity")
+    return bootstrap_mean_ci(li, "l_quantity", "rid",
+                             group="l_returnflag", n_reps=50, seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2734,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_key": q_sample_per_key,
         "calibration": q_calibration,
         "minhash_incremental": q_minhash_incremental,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -2951,6 +2967,13 @@ def oracle_sql() -> dict[str, str]:
     """
     d["minhash_lsh"] = _minhash_det_oracle()
     d["minhash_incremental"] = _minhash_incremental_det_oracle()
+    from hipipe_spark.operators.bootstrap import bootstrap_mean_ci_oracle_sql
+    d["bootstrap_ci"] = bootstrap_mean_ci_oracle_sql(
+        value_expr="l_quantity",
+        key_expr="l_orderkey * 10 + l_linenumber",
+        table_sql=("SELECT l_orderkey, l_linenumber, l_returnflag, "
+                   "l_quantity FROM lineitem"),
+        group="l_returnflag", n_reps=50, seed=7)
     d["simhash"] = _simhash_det_oracle()
     # NB: DuckDB's list_resize miscopies non-trivial default values when
     # used inside a lambda — pad via list_concat + a generated fill list
