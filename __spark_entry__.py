@@ -2496,6 +2496,62 @@ def q_bootstrap_ci(spark, sf_dir):
                              group="l_returnflag", n_reps=50, seed=7)
 
 
+def q_label_prop(spark, sf_dir):
+    """Semi-supervised label propagation (graph.py label_propagation):
+    two seed labels spread 3 majority-vote rounds through the
+    user-journey transition graph; seeds clamped, ties to smallest
+    label. Two node-sized shuffles per round."""
+    from pyspark.sql import Window
+    from hipipe_spark.operators.graph import label_propagation
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("user_id", "ts", "event_id", "event_type",
+                       F.lag("event_type").over(w).alias("prev"))
+               .filter(F.col("prev").isNotNull())
+               .select(F.col("prev").alias("src"),
+                       F.col("event_type").alias("dst")))
+    seeds = spark.createDataFrame(
+        [("view", "content"), ("error", "bad")], "node string, label string")
+    return label_propagation(edges, seeds, n_iter=3)
+
+
+def q_topic_segments(spark, sf_dir):
+    """Content-based conversation segmentation (transcripts.py
+    topic_segments): new segment when consecutive-turn token Jaccard
+    drops below 0.2 — sessionize-on-content; one conversation window
+    shared by the lag and the running segment sum."""
+    from hipipe_spark.operators.transcripts import topic_segments
+    t = _transcripts(spark, sf_dir)
+    out = topic_segments(t, threshold=0.2)
+    return out.select("conv_id", "turn_idx", "prev_jaccard",
+                      "segment_seq", "segment_id")
+
+
+def q_dup_weights(spark, sf_dir):
+    """Soft dedup via loss reweighting (dedup.py dup_weights): every
+    doc keeps weight 1/cluster_size over the exact-duplicate graph —
+    coverage preserved, duplication bias removed; connected components
+    + one size aggregate + broadcast rejoin."""
+    from hipipe_spark.operators.dedup import _exact_prepass, dup_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, star = _exact_prepass(docs, "doc_id", "text")
+    return dup_weights(docs, star)
+
+
+def q_k_anonymity(spark, sf_dir):
+    """Privacy-release audit (validate.py k_anonymity): k-anonymity +
+    l-diversity violations over (event_type, user_id%50) classes with
+    the event value band as the sensitive attribute; one hash
+    aggregate, only the failing tail survives."""
+    from hipipe_spark.operators.validate import k_anonymity
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("user_id") % 50).alias("user_bucket"),
+        F.floor(F.col("value") / 25).cast("int").alias("val_band"))
+    return k_anonymity(ev, ["event_type", "user_bucket"], k=35,
+                       sensitive_col="val_band")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2750,6 +2806,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "minhash_incremental": q_minhash_incremental,
         "bootstrap_ci": q_bootstrap_ci,
+        "label_prop": q_label_prop,
+        "topic_segments": q_topic_segments,
+        "dup_weights": q_dup_weights,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -4618,6 +4678,70 @@ def oracle_sql() -> dict[str, str]:
                    / sum(n) OVER (), 6) AS ece,
              round(sum(sq_sum) OVER () / sum(n) OVER (), 6) AS brier
       FROM full_t
+    """
+    from hipipe_spark.operators.graph import label_propagation_oracle_sql
+    d["label_prop"] = label_propagation_oracle_sql(
+        """SELECT prev AS src, event_type AS dst FROM (
+             SELECT event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+             FROM events) WHERE prev IS NOT NULL""",
+        [("view", "content"), ("error", "bad")], n_iter=3)
+    d["topic_segments"] = f"""
+      WITH t AS ({_T}),
+      tok AS (
+        SELECT conv_id, turn_idx, ts,
+               list_distinct({_det_tokens_sql('text')}) AS s
+        FROM t),
+      lagd AS (
+        SELECT conv_id, turn_idx, ts, s,
+               lag(s) OVER (PARTITION BY conv_id
+                            ORDER BY ts, turn_idx) AS prev_s
+        FROM tok),
+      jac AS (
+        SELECT conv_id, turn_idx, ts,
+               CASE WHEN prev_s IS NULL THEN NULL
+                    WHEN len(list_distinct(list_concat(s, prev_s))) > 0
+                    THEN round(CAST(len(list_intersect(s, prev_s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(s, prev_s))), 6)
+                    ELSE 0.0 END AS prev_jaccard
+        FROM lagd),
+      seg AS (
+        SELECT conv_id, turn_idx, prev_jaccard,
+               CAST(sum(CASE WHEN prev_jaccard IS NULL
+                             OR prev_jaccard < 0.2 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                          ROWS UNBOUNDED PRECEDING) - 1 AS INTEGER)
+                 AS segment_seq
+        FROM jac)
+      SELECT conv_id, turn_idx, prev_jaccard, segment_seq,
+             conv_id || '#' || CAST(segment_seq AS VARCHAR) AS segment_id
+      FROM seg
+    """
+    d["dup_weights"] = """
+      SELECT doc_id,
+             CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS cluster_size,
+             round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6)
+               AS weight
+      FROM documents
+    """
+    d["k_anonymity"] = """
+      WITH src AS (
+        SELECT event_type, user_id % 50 AS user_bucket,
+               CAST(floor(value / 25) AS INTEGER) AS val_band
+        FROM events),
+      g AS (
+        SELECT event_type, user_bucket,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT val_band) AS BIGINT)
+                 AS distinct_sensitive
+        FROM src GROUP BY 1, 2)
+      SELECT event_type, user_bucket, class_size, distinct_sensitive,
+             CASE WHEN class_size < 35 AND distinct_sensitive < 2 THEN 'k+l'
+                  WHEN class_size < 35 THEN 'k'
+                  WHEN distinct_sensitive < 2 THEN 'l' END AS violation
+      FROM g WHERE class_size < 35 OR distinct_sensitive < 2
     """
     from hipipe_spark.operators.selection import dsir_weights_oracle_sql
     d["dsir"] = dsir_weights_oracle_sql(n_buckets=1024)

@@ -869,3 +869,34 @@ def minhash_lsh_pairs_incremental(
         out = out.unionByName(star.withColumn("jaccard", F.lit(1.0)))
     from hipipe_spark.operators.core import register_cached
     return register_cached(out, nb)
+
+
+def dup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates
+    (:func:`dedup_clusters`), keep every copy but weight it
+    1/cluster_size — the training-loss reweighting that preserves
+    coverage while removing duplication bias (each semantic document
+    contributes total weight 1 regardless of how many copies crawled
+    in).
+
+    Returns ``(doc_id, cluster_size, weight)`` for EVERY input doc
+    (singletons get cluster_size 1, weight 1.0).
+
+    Plan: connected components over the pair edges (min-label
+    propagation, component-sized shuffles), one component-size
+    aggregate, broadcast-join back — the corpus shuffles once on the
+    component key.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    comp = connected_components(pairs, ids, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (comp.join(F.broadcast(sizes), "component")
+            .select(F.col("node").alias(id_col), "cluster_size",
+                    F.round(F.lit(1.0) / F.col("cluster_size"), 6)
+                     .alias("weight")))

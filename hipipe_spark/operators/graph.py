@@ -37,7 +37,7 @@ Deterministic given the edge list - no randomness anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,3 +157,101 @@ def pagerank_oracle_sql(
     return (pre + "".join(steps)
             + f"\n      SELECT node, ROUND(rank, {round_to}) AS rank"
               f" FROM r{n_iter}")
+
+
+def label_propagation(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Semi-supervised label propagation over an undirected graph —
+    the training-data use case: a small set of human-labeled documents
+    transfers its labels (quality tier, topic, toxicity) through the
+    near-duplicate graph (dedup.py pair outputs) to every connected
+    neighbor, majority-vote per round.
+
+    Semantics (deterministic): seeds keep their label forever
+    (clamped). Each round, every unlabeled node adopts the most
+    frequent label among its labeled neighbors; ties break to the
+    SMALLEST label value (stable across engines and partitionings).
+    After ``n_iter`` rounds, returns ``(node, label, seeded)`` for all
+    nodes that acquired a label (unreached nodes are absent).
+
+    Scale shape: edges symmetrize once and persist pre-partitioned on
+    ``src``; each round is one join of the (node-sized) current label
+    table against the edge list + one (node, label) aggregate + one
+    argmax window — the same two-node-sized-shuffles-per-round shape
+    as :func:`pagerank`, lineage cut per round via localCheckpoint.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    und = und.distinct().repartition("s").persist()
+
+    seeds = (labels.select(F.col(node_col).alias("node"),
+                           F.col(label_col).alias("label"))
+             .dropDuplicates(["node"])
+             .withColumn("seeded", F.lit(True)))
+    cur = seeds.localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        votes = (und.join(cur, und.s == cur.node)
+                 .groupBy(F.col("d").alias("cand"), "label")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        w = Window.partitionBy("cand").orderBy(
+            F.col("n").desc(), F.col("label").asc())
+        adopted = (votes.withColumn("rk", F.row_number().over(w))
+                   .filter(F.col("rk") == 1)
+                   .select(F.col("cand").alias("node"), "label",
+                           F.lit(False).alias("seeded")))
+        # clamp: seeds + previously adopted win over this round's votes
+        cur = (cur.unionByName(
+                   adopted.join(cur.select("node"), "node", "left_anti"))
+               .localCheckpoint(eager=True))
+
+    und.unpersist()
+    return cur
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    seeds_values: list[tuple[str, str]],
+    n_iter: int = 5,
+) -> str:
+    """DuckDB replica of :func:`label_propagation`: rounds unrolled
+    into MATERIALIZED CTEs (each l{t} is read by both the votes and
+    the anti-join of round t+1). ``edges_sql`` must yield (src, dst);
+    ``seeds_values`` are (node, label) literals."""
+    seeds = ", ".join(f"('{n}', '{l}', TRUE)" for n, l in seeds_values)
+    pre = f"""
+      WITH e0 AS ({edges_sql}),
+      und AS MATERIALIZED (
+        SELECT DISTINCT s, d FROM (
+          SELECT src AS s, dst AS d FROM e0
+          UNION ALL SELECT dst AS s, src AS d FROM e0)),
+      l0 AS MATERIALIZED (
+        SELECT * FROM (VALUES {seeds}) t(node, label, seeded))"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        prev = f"l{t-1}"
+        steps.append(f"""
+      , v{t} AS (SELECT u.d AS cand, l.label, count(*) AS n
+                 FROM und u JOIN {prev} l ON l.node = u.s
+                 GROUP BY u.d, l.label)
+      , a{t} AS (SELECT cand AS node, label FROM (
+                   SELECT cand, label,
+                          row_number() OVER (PARTITION BY cand
+                            ORDER BY n DESC, label ASC) AS rk
+                   FROM v{t}) WHERE rk = 1)
+      , l{t} AS MATERIALIZED (
+          SELECT node, label, seeded FROM {prev}
+          UNION ALL
+          SELECT a.node, a.label, FALSE FROM a{t} a
+          WHERE a.node NOT IN (SELECT node FROM {prev}))""")
+    return (pre + "".join(steps)
+            + f"\n      SELECT node, label, seeded FROM l{n_iter}")

@@ -307,3 +307,50 @@ def transcript_integrity(
     clean = ((F.col("n_dup_idx") == 0) & (F.col("n_ts_inversions") == 0)
              & (F.col("n_idx_gaps") == 0) & (F.col("first_idx") == 0))
     return out.withColumn("is_clean", clean.cast("int"))
+
+
+def topic_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Content-based conversation segmentation: start a new segment
+    whenever a turn's token-set Jaccard against the PREVIOUS turn
+    drops below ``threshold`` — the lexical topic-shift detector
+    (TextTiling's boundary rule on distributed rails). Gap-based
+    sessionization (temporal.Sessionize) cuts on TIME; this cuts on
+    CONTENT — long single-session conversations that switch tasks
+    mid-stream need both.
+
+    Adds ``prev_jaccard`` (null on the first turn), ``segment_seq``
+    (0-based per conversation) and ``segment_id``
+    (``{key}#{segment_seq}``).
+
+    Scale shape: ONE conversation-key exchange; token sets via
+    sort_array(array_distinct(tokens)) (JVM, no UDF); the lag +
+    running-sum pair shares the single window sort — the Sessionize
+    plan with a lexical predicate.
+    """
+    from hipipe_spark.functions.text import tokens
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key).orderBy(*order)
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    base = df.withColumn("__ts_set", toks)
+    prev = F.lag("__ts_set").over(w)
+    inter = F.size(F.array_intersect("__ts_set", prev))
+    union = F.size(F.array_union("__ts_set", prev))
+    jac = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
+    base = base.withColumn("prev_jaccard", F.round(jac, 6))
+    new_seg = F.when(F.col("prev_jaccard").isNull()
+                     | (F.col("prev_jaccard") < threshold), 1).otherwise(0)
+    seg = (F.sum(new_seg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int")
+    return (base.withColumn("segment_seq", seg)
+            .withColumn("segment_id",
+                        F.concat_ws("#", F.col(key).cast("string"),
+                                    F.col("segment_seq").cast("string")))
+            .drop("__ts_set"))

@@ -151,3 +151,40 @@ def profile_columns(df: DataFrame, cols: Sequence[str],
         for i, c in enumerate(cols)
     ])
     return row.select(F.inline(melted))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
+                sensitive_col: str | None = None) -> DataFrame:
+    """Privacy-release audit: k-anonymity (every quasi-identifier
+    combination must describe >= k rows) and, with ``sensitive_col``,
+    l-diversity (distinct sensitive values per combination). Returns
+    one row per violating equivalence class: the quasi columns plus
+    ``class_size``, ``distinct_sensitive`` (null when no sensitive
+    column) and ``violation`` ('k' / 'l' / 'k+l'); empty result =
+    release passes at (k, l=2).
+
+    One map-side-combinable hash aggregate on the quasi key; the
+    violation filter returns only the (typically tiny) failing tail —
+    nothing downstream grows with corpus size.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col:
+        aggs.append(F.countDistinct(sensitive_col)
+                    .alias("distinct_sensitive"))
+    g = df.groupBy(*quasi_cols).agg(*aggs)
+    if not sensitive_col:
+        g = g.withColumn("distinct_sensitive",
+                         F.lit(None).cast("bigint"))
+    k_bad = F.col("class_size") < k
+    l_bad = (F.col("distinct_sensitive").isNotNull()
+             & (F.col("distinct_sensitive") < 2))
+    return (g.withColumn(
+                "violation",
+                F.when(k_bad & l_bad, "k+l")
+                 .when(k_bad, "k")
+                 .when(l_bad, "l"))
+            .filter(F.col("violation").isNotNull()))
