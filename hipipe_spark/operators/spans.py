@@ -91,26 +91,28 @@ def substring_dedup(
                .filter((F.col("n_occ") >= 2)
                        & ((F.col("doc_id") != F.col("first_occ.doc_id"))
                           | (F.col("pos") != F.col("first_occ.pos"))))
-               .select("doc_id", "pos")
-               .dropDuplicates(["doc_id", "pos"]))
+               # (doc_id, pos) is unique by construction — occ emits
+               # each window position once, so no dedup shuffle needed
+               .select("doc_id", "pos"))
 
-    # gaps-and-islands merge of [pos, pos+window) spans per doc
+    # merged-union length WITHOUT a span regroup: rows sorted by pos,
+    # each contributes the part of [pos, pos+window) past the running
+    # max of previous ends — Σ max(0, pos+w − max(prev_end, pos)) IS
+    # the merged interval length, computed inside the one doc window;
+    # the per-doc aggregate then reuses the window's hash partitioning
+    # (no extra exchange vs the groupBy(doc, island) formulation)
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + window).over(
         wd.rowsBetween(Window.unboundedPreceding, -1))
-    islands = (dup_occ
-               .withColumn("new_grp",
-                           F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)),
-                                  1).otherwise(0))
-               .withColumn("grp", F.sum("new_grp").over(
-                   wd.rowsBetween(Window.unboundedPreceding, 0))))
-    spans = (islands.groupBy("doc_id", "grp")
-             .agg(F.min("pos").alias("s"),
-                  (F.max("pos") + window).alias("e"),
-                  F.count(F.lit(1)).alias("n_win")))
-    per_doc = (spans.groupBy("doc_id")
-               .agg(F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
-                    F.sum("n_win").alias("n_dup_windows")))
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + window
+        - F.greatest(F.coalesce(prev_end, F.lit(-1)), F.col("pos")))
+    per_doc = (dup_occ
+               .withColumn("__c", contrib)
+               .groupBy("doc_id")
+               .agg(F.sum("__c").alias("dup_tokens"),
+                    F.count(F.lit(1)).alias("n_dup_windows")))
 
     return (totals.join(per_doc, "doc_id", "left")
             .select(
