@@ -2552,6 +2552,25 @@ def q_k_anonymity(spark, sf_dir):
                        sensitive_col="val_band")
 
 
+def q_json_features(spark, sf_dir):
+    """Typed JSON field extraction (functions/json.py json_features):
+    ONE from_json parse per row (get_json_object would re-parse per
+    field), scan-local, PERMISSIVE nulls on malformed payloads."""
+    from hipipe_spark.functions.json import json_features
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = json_features(ev, "props", {"k": "int"})
+    return out.select("event_id", "k")
+
+
+def q_json_profile(spark, sf_dir):
+    """JSON payload schema discovery (functions/json.py
+    json_key_profile): per top-level key, document count + share —
+    one explode + one key aggregate + one count job."""
+    from hipipe_spark.functions.json import json_key_profile
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return json_key_profile(ev, "props")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2810,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_segments": q_topic_segments,
         "dup_weights": q_dup_weights,
         "k_anonymity": q_k_anonymity,
+        "json_features": q_json_features,
+        "json_profile": q_json_profile,
     }
 
 
@@ -4725,6 +4746,19 @@ def oracle_sql() -> dict[str, str]:
              round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6)
                AS weight
       FROM documents
+    """
+    d["json_features"] = """
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    """
+    d["json_profile"] = """
+      WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
+      k AS (SELECT unnest(json_keys(props)) AS key FROM events
+            WHERE json_valid(props))
+      SELECT key, CAST(count(*) AS BIGINT) AS n_docs,
+             round(count(*) / (SELECT total FROM n), 6) AS doc_share
+      FROM k GROUP BY key
     """
     d["k_anonymity"] = """
       WITH src AS (
