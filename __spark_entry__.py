@@ -2571,6 +2571,24 @@ def q_json_profile(spark, sf_dir):
     return json_key_profile(ev, "props")
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot change data feed (validate.py table_diff): orders
+    'yesterday' (o_orderkey%3!=0, price as-was) vs 'today' (all rows,
+    10% of keys repriced) — inserted/deleted/changed per key, null-safe
+    compare, unchanged bulk filtered before output. One key shuffle
+    per side."""
+    from hipipe_spark.operators.validate import table_diff
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = (orders.filter(F.col("o_orderkey") % 3 != 0)
+           .select("o_orderkey", "o_totalprice"))
+    new = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 1,
+               F.round(F.col("o_totalprice") * 1.1, 2))
+         .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    return table_diff(old, new, ["o_orderkey"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2831,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "json_features": q_json_features,
         "json_profile": q_json_profile,
+        "table_diff": q_table_diff,
     }
 
 
@@ -4746,6 +4765,27 @@ def oracle_sql() -> dict[str, str]:
              round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6)
                AS weight
       FROM documents
+    """
+    d["table_diff"] = """
+      WITH old_t AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      new_t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 1
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders),
+      j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_totalprice AS o_totalprice_old,
+               n.o_totalprice AS o_totalprice_new,
+               CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS change
+        FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey)
+      SELECT * FROM j WHERE change <> 'unchanged'
     """
     d["json_features"] = """
       SELECT event_id,

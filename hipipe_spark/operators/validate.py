@@ -188,3 +188,48 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
                  .when(k_bad, "k")
                  .when(l_bad, "l"))
             .filter(F.col("violation").isNotNull()))
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
+               compare: Sequence[str] | None = None,
+               include_unchanged: bool = False) -> DataFrame:
+    """Change data feed between two table versions (snapshot diff):
+    one row per key with ``change`` in {'inserted', 'deleted',
+    'changed', 'unchanged'} plus both sides' compared columns
+    (``{col}_old`` / ``{col}_new``). ``compare`` defaults to every
+    shared non-key column; comparison is null-safe.
+
+    The audit behind every incremental refresh (checkpoint.py
+    incremental_refresh): what actually changed between snapshot N-1
+    and N. One full outer join — each side shuffles once on the key;
+    with ``include_unchanged=False`` (default) the unchanged bulk is
+    filtered before anything downstream sees it.
+
+    Duplicate keys on either side are an input error at the semantic
+    level (a snapshot has one row per key); the join would fan out —
+    enforce upstream (latest_per_key) when in doubt.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if compare is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare = [c for c in shared if c not in keys]
+    compare = list(compare)
+
+    o = old.select(*keys, F.lit(1).alias("__in_old"),
+                   *[F.col(c).alias(f"{c}_old") for c in compare])
+    n = new.select(*keys, F.lit(1).alias("__in_new"),
+                   *[F.col(c).alias(f"{c}_new") for c in compare])
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    change = (F.when(F.col("__in_old").isNull(), "inserted")
+               .when(F.col("__in_new").isNull(), "deleted")
+               .when(same, "unchanged")
+               .otherwise("changed"))
+    out = j.withColumn("change", change).drop("__in_old", "__in_new")
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
