@@ -2589,6 +2589,24 @@ def q_table_diff(spark, sf_dir):
     return table_diff(old, new, ["o_orderkey"])
 
 
+def q_bt_ratings(spark, sf_dir):
+    """Bradley-Terry arena leaderboard (evaluation.py bradley_terry):
+    7 synthetic 'models' (doc_id % 7 beats (3*doc_id+1) % 7 — a
+    deterministic comparison per document row, self-matches dropped),
+    12 MM rounds. The comparison log collapses in one shuffle to the
+    item²-bounded pair aggregate; the MM iteration is driver-side
+    numpy on that dimension-sized state."""
+    from hipipe_spark.operators.evaluation import bradley_terry
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 7).cast("string"))
+         .alias("winner"),
+        F.concat(F.lit("m"),
+                 ((F.col("doc_id") * 3 + 1) % 7).cast("string"))
+         .alias("loser"))
+    return bradley_terry(d.filter(F.col("winner") != F.col("loser")),
+                         n_iter=12, round_to=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2631,8 +2649,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     relevance_context, transcript_integrity, incremental_refresh,
     pit_window, pit_multi, pit_extrema, auc_score, kappa, pref_pairs,
     trend_slope, tool_cooccur, typo_pairs, sb_ppl, pagerank,
-    vocab_growth). 50 window slots < 60+
-    unverified queries this round — the tail waits."""
+    vocab_growth, zorder, substring_dedup, jsd_drift, ranking_metrics,
+    attribution, dsir, dsir_select, scd2, sample_per_key, calibration,
+    minhash_incremental, bootstrap_ci, label_prop, topic_segments,
+    dup_weights, k_anonymity, json_features, json_profile,
+    table_diff). 50 window slots < 80+ unverified queries this round —
+    the tail waits (every tail query IS replica-verified each round by
+    tools/check_oracles.py)."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2850,6 +2873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_features": q_json_features,
         "json_profile": q_json_profile,
         "table_diff": q_table_diff,
+        "bt_ratings": q_bt_ratings,
     }
 
 
@@ -4956,6 +4980,13 @@ def oracle_sql() -> dict[str, str]:
       LEFT JOIN per_bin ON per_bin.bin = grid.bin
       LEFT JOIN nn ON nn.fbin = grid.bin
     """
+    from hipipe_spark.operators.evaluation import bradley_terry_oracle_sql
+    d["bt_ratings"] = bradley_terry_oracle_sql(
+        """SELECT 'm' || CAST(doc_id % 7 AS VARCHAR) AS i,
+                  'm' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS j
+           FROM documents
+           WHERE doc_id % 7 <> (doc_id * 3 + 1) % 7""",
+        n_iter=12, round_to=6)
     return d
 
 

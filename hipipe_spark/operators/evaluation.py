@@ -290,3 +290,138 @@ def calibration_report(df: DataFrame, prob: str, label: str,
         F.round("frac_pos", 6).alias("frac_pos"),
         F.round(ece, 6).alias("ece"),
         F.round(brier, 6).alias("brier"))
+
+
+def bradley_terry(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_iter: int = 20,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise preference
+    outcomes — the arena-leaderboard / RLHF-annotator-calibration
+    aggregate: given (winner, loser) comparison rows, estimate p_i
+    with P(i beats j) = p_i / (p_i + p_j), via the classic MM update
+    (Zermelo 1929 / Hunter 2004):
+
+        p_i' = W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+
+    normalized each round to mean 1 (the MM iteration is scale-free).
+    Deterministic; items that never win (or never lose) drift toward
+    0 (or +inf) as in the MLE — regularize upstream by adding pseudo
+    comparisons if the graph is not strongly connected.
+
+    Scale shape: the raw comparison log (the big side — billions of
+    judgments) collapses in ONE distributed shuffle to the canonical
+    (i<j) pair-count aggregate plus per-item win counts, both
+    item²-bounded. The MM iteration then runs driver-side in numpy on
+    that aggregate — ratings are dimension-sized state (same policy
+    as IVF centroids / index_mapper offsets), and 20 numpy rounds on
+    ≤10⁶ pair rows beat 20 distributed 3-stage rounds by orders of
+    magnitude. No per-row Python touches the log.
+
+    Returns ``(item, rating, n_wins, n_comparisons)``.
+    """
+    import numpy as np
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    spark = pairs.sparkSession
+    raw = pairs.select(F.col(winner_col).alias("i"),
+                       F.col(loser_col).alias("j"))
+    # the only log-sized shuffles: canonical pair counts + win counts
+    nij_pd = (raw.select(F.least("i", "j").alias("a"),
+                         F.greatest("i", "j").alias("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+              .toPandas())
+    wins_pd = (raw.groupBy("i").agg(F.count(F.lit(1)).alias("w"))
+               .toPandas())
+
+    item_type = pairs.schema[winner_col].dataType.simpleString()
+    out_schema = (f"item {item_type}, rating double, "
+                  "n_wins bigint, n_comparisons bigint")
+    if len(nij_pd) == 0:
+        return spark.createDataFrame([], out_schema)
+
+    items = sorted(set(nij_pd["a"]) | set(nij_pd["b"]))
+    idx = {it: k for k, it in enumerate(items)}
+    a = nij_pd["a"].map(idx).to_numpy()
+    b = nij_pd["b"].map(idx).to_numpy()
+    n = nij_pd["n"].to_numpy(dtype=np.float64)
+    w = np.zeros(len(items))
+    w[wins_pd["i"].map(idx).to_numpy()] = wins_pd["w"].to_numpy(
+        dtype=np.float64)
+    tot = np.zeros(len(items))
+    np.add.at(tot, a, n)
+    np.add.at(tot, b, n)
+
+    p = np.ones(len(items))
+    for _ in range(n_iter):
+        t = n / (p[a] + p[b])
+        d = np.zeros(len(items))
+        np.add.at(d, a, t)
+        np.add.at(d, b, t)
+        newp = np.where(d > 0, w / np.where(d > 0, d, 1.0), 1.0)
+        p = newp / newp.mean()
+    if round_to is not None:
+        p = np.round(p, round_to)
+
+    rows = [(it, float(p[k]), int(w[k]), int(tot[k]))
+            for k, it in enumerate(items)]
+    return spark.createDataFrame(rows, out_schema)
+
+
+def bradley_terry_oracle_sql(
+    pairs_sql: str,
+    n_iter: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replica of :func:`bradley_terry` — MM rounds unrolled
+    into MATERIALIZED CTEs. ``pairs_sql`` must yield (i, j) =
+    (winner, loser)."""
+    pre = f"""
+      WITH raw AS ({pairs_sql}),
+      nij AS MATERIALIZED (
+        SELECT least(i, j) AS a, greatest(i, j) AS b,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM raw GROUP BY 1, 2),
+      wins AS MATERIALIZED (
+        SELECT i AS item, CAST(count(*) AS DOUBLE) AS w
+        FROM raw GROUP BY i),
+      items AS MATERIALIZED (
+        SELECT i AS item FROM raw UNION SELECT j FROM raw),
+      totals AS (
+        SELECT item, CAST(sum(n) AS BIGINT) AS n_comparisons FROM (
+          SELECT a AS item, n FROM nij
+          UNION ALL SELECT b AS item, n FROM nij) GROUP BY item),
+      p0 AS MATERIALIZED (SELECT item, 1.0 AS p FROM items)"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        prev = f"p{t-1}"
+        steps.append(f"""
+      , dt{t} AS (
+          SELECT nij.a, nij.b,
+                 nij.n / (pa.p + pb.p) AS t
+          FROM nij JOIN {prev} pa ON pa.item = nij.a
+                   JOIN {prev} pb ON pb.item = nij.b)
+      , dn{t} AS (
+          SELECT item, sum(t) AS d FROM (
+            SELECT a AS item, t FROM dt{t}
+            UNION ALL SELECT b AS item, t FROM dt{t}) GROUP BY item)
+      , np{t} AS MATERIALIZED (
+          SELECT i.item,
+                 CASE WHEN COALESCE(d.d, 0) > 0
+                      THEN COALESCE(w.w, 0) / d.d ELSE 1.0 END AS p
+          FROM items i
+          LEFT JOIN wins w ON w.item = i.item
+          LEFT JOIN dn{t} d ON d.item = i.item)
+      , p{t} AS MATERIALIZED (
+          SELECT item, p / (SELECT avg(p) FROM np{t}) AS p FROM np{t})""")
+    return (pre + "".join(steps) + f"""
+      SELECT p.item, round(p.p, {round_to}) AS rating,
+             CAST(COALESCE(w.w, 0) AS BIGINT) AS n_wins,
+             COALESCE(t.n_comparisons, 0) AS n_comparisons
+      FROM p{n_iter} p
+      LEFT JOIN wins w ON w.item = p.item
+      LEFT JOIN totals t ON t.item = p.item""")

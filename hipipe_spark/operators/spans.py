@@ -24,10 +24,11 @@ Scale shape:
    combined); only duplicated occurrences survive the filter — the
    non-dup bulk (the vast majority at web scale) never reaches
    stage 3.
-3. ONE shuffle on doc_id merges overlapping spans via gaps-and-islands
-   (running max of span ends — window functions, no UDF) and joins the
-   per-doc totals back. State per doc is its duplicated positions
-   only.
+3. ONE shuffle on doc_id computes the merged-union span length inside
+   a single window (each row contributes the part of its window past
+   the running max of previous ends — no span regroup, no UDF); the
+   per-doc aggregate reuses the window's partitioning. State per doc
+   is its duplicated positions only.
 
 Token-joined window strings are hashed with xxhash64 (JVM-side); with
 ``hash="exact"`` the join key is the joined string itself — zero
