@@ -2607,6 +2607,46 @@ def q_bt_ratings(spark, sf_dir):
                          n_iter=12, round_to=6)
 
 
+def q_fleiss(spark, sf_dir):
+    """Fleiss' kappa multi-rater agreement (evaluation.py
+    fleiss_kappa): 200 synthetic items (doc_id % 200), each document
+    row one rating ('c' || length(text) % 4). One shuffle to the
+    (item, category) cell table; everything after is cell-sized."""
+    from hipipe_spark.operators.evaluation import fleiss_kappa
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 200).alias("item"),
+        F.concat(F.lit("c"), (F.length("text") % 4).cast("string"))
+         .alias("rating"))
+    return fleiss_kappa(d, "item", "rating")
+
+
+def q_spearman(spark, sf_dir):
+    """Pairwise Spearman rank correlation (features.py spearman_corr)
+    over lineitem qty/price/discount — per column the two-phase
+    range-partitioned average rank (no single-task sort) + one
+    value-join; all three pairs fold in feature_corr's single
+    map-side-combinable scan."""
+    from hipipe_spark.operators.features import spearman_corr
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"))
+    return spearman_corr(li, ["qty", "price", "disc"])
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-group robust outlier flags (features.py mad_outliers):
+    modified z-score vs the l_returnflag group median/MAD, exact
+    percentiles for the oracle; the row side never shuffles — two
+    group-dimension stat joins broadcast by AQE."""
+    from hipipe_spark.operators.features import mad_outliers
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+    return mad_outliers(li, "l_returnflag", "l_extendedprice",
+                        exact=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2874,6 +2914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_profile": q_json_profile,
         "table_diff": q_table_diff,
         "bt_ratings": q_bt_ratings,
+        "fleiss": q_fleiss,
+        "spearman": q_spearman,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -4987,6 +5030,68 @@ def oracle_sql() -> dict[str, str]:
            FROM documents
            WHERE doc_id % 7 <> (doc_id * 3 + 1) % 7""",
         n_iter=12, round_to=6)
+    d["fleiss"] = """
+      WITH cells AS (
+        SELECT doc_id % 200 AS i,
+               'c' || CAST(length(text) % 4 AS VARCHAR) AS r,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM documents GROUP BY 1, 2),
+      per_item AS (
+        SELECT i, sum(c) AS ni, sum(c * c) AS si
+        FROM cells GROUP BY i HAVING sum(c) >= 2),
+      pbar AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(ni) AS BIGINT) AS n_ratings,
+               avg((si - ni) / (ni * (ni - 1))) AS pb
+        FROM per_item),
+      marg AS (
+        SELECT r, sum(c.c) AS cj
+        FROM cells c JOIN per_item p ON p.i = c.i GROUP BY r),
+      pe AS (SELECT sum(cj * cj) AS pen FROM marg)
+      SELECT n_items, n_ratings, round(pb, 6) AS p_bar,
+             round(COALESCE(pen / (n_ratings * 1.0 * n_ratings), 0), 6)
+               AS p_e,
+             CASE WHEN COALESCE(pen / (n_ratings * 1.0 * n_ratings), 0) < 1
+                  THEN round((pb - pen / (n_ratings * 1.0 * n_ratings))
+                             / (1 - pen / (n_ratings * 1.0 * n_ratings)), 6)
+             END AS kappa
+      FROM pbar, pe
+    """
+    _sp_rank = ("rank() OVER (ORDER BY {c}) "
+                "+ (count(*) OVER (PARTITION BY {c}) - 1) / 2.0")
+    _sp_pairs = [("qty", "price"), ("qty", "disc"), ("price", "disc")]
+    d["spearman"] = """
+      WITH b AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS qty,
+               CAST(l_extendedprice AS DOUBLE) AS price,
+               CAST(l_discount AS DOUBLE) AS disc
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      r AS (SELECT """ + ", ".join(
+        _sp_rank.format(c=c) + f" AS r_{c}"
+        for c in ("qty", "price", "disc")) + """ FROM b)
+      """ + " UNION ALL ".join(f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(corr(r_{a}, r_{b}), 6) AS rho FROM r"""
+                               for a, b in _sp_pairs)
+    d["mad_outliers"] = """
+      WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                        CAST(l_extendedprice AS DOUBLE) AS v
+                 FROM lineitem),
+      med AS (SELECT l_returnflag, quantile_cont(v, 0.5) AS med
+              FROM b GROUP BY l_returnflag),
+      mad AS (SELECT b.l_returnflag, quantile_cont(abs(v - med), 0.5) AS mad
+              FROM b JOIN med USING (l_returnflag) GROUP BY b.l_returnflag),
+      z AS (SELECT l_orderkey, l_linenumber, b.l_returnflag,
+                   v AS l_extendedprice,
+                   round(CASE WHEN mad > 0
+                              THEN 0.6745 * (v - med) / mad END, 6) AS rz
+            FROM b JOIN med USING (l_returnflag)
+                   JOIN mad USING (l_returnflag))
+      SELECT *, COALESCE(abs(rz) > 3.5, FALSE) AS is_outlier FROM z
+    """
     return d
 
 

@@ -121,6 +121,61 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str,
     )
 
 
+def fleiss_kappa(df: DataFrame, item_col: str, rating_col: str,
+                 ndigits: int = 6) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among ANY number of
+    raters per item (each input row = one rating of one item) — the
+    multi-annotator generalization of :func:`cohens_kappa`, the
+    RLHF-labeling QA gate. Uses the standard variable-rater
+    generalization: items with fewer than 2 ratings carry no
+    agreement signal and are excluded everywhere (including the
+    category marginals).
+
+    Returns ONE row: ``n_items, n_ratings, p_bar, p_e, kappa`` with
+    ``P_i = (Σ_j n_ij² − n_i) / (n_i (n_i − 1))``, ``p_bar = mean_i
+    P_i``, ``p_e = Σ_j (Σ_i n_ij / N)²``, ``kappa = (p_bar − p_e) /
+    (1 − p_e)`` (NULL when ``p_e = 1``).
+
+    Plan: ONE shuffle of the rating log to (item, category) cells;
+    everything after is cell-table-sized (per-item fold, category
+    marginals, two 1-row aggregates crossJoined via broadcast). The
+    cell table is persisted so the two folds share one computation —
+    caller releases via ``release_cached`` on the result.
+    """
+    from hipipe_spark.operators.core import register_cached
+    cells = (df.select(F.col(item_col).alias("__i"),
+                       F.col(rating_col).alias("__r"))
+             .groupBy("__i", "__r").agg(F.count(F.lit(1)).alias("__c"))
+             .persist())
+    per_item = (cells.groupBy("__i")
+                .agg(F.sum("__c").alias("__ni"),
+                     F.sum(F.col("__c") * F.col("__c")).alias("__si"))
+                .filter(F.col("__ni") >= 2))
+    pbar = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__ni").cast("bigint").alias("n_ratings"),
+        F.avg((F.col("__si") - F.col("__ni")).cast("double")
+              / (F.col("__ni") * (F.col("__ni") - 1))).alias("__pbar"))
+    marg = (cells.join(per_item.select("__i"), "__i")
+            .groupBy("__r").agg(F.sum("__c").alias("__cj")))
+    pe_tab = marg.agg(
+        F.sum(F.col("__cj").cast("double") * F.col("__cj")).alias("__pe_num"))
+    out = pbar.crossJoin(F.broadcast(pe_tab))
+    pe = F.coalesce(
+        F.col("__pe_num")
+        / (F.col("n_ratings").cast("double") * F.col("n_ratings")),
+        F.lit(0.0))
+    return register_cached(
+        out.select(
+            "n_items", "n_ratings",
+            F.round("__pbar", ndigits).alias("p_bar"),
+            F.round(pe, ndigits).alias("p_e"),
+            F.when(pe < 1.0,
+                   F.round((F.col("__pbar") - pe) / (1.0 - pe), ndigits))
+             .alias("kappa")),
+        cells)
+
+
 def preference_pairs(df: DataFrame, group: str, cand_id: str, score: str,
                      per_group: int = 1, min_margin: float = 0.0,
                      ndigits: int = 6) -> DataFrame:

@@ -272,6 +272,117 @@ def feature_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.inline(melted))
 
 
+def _avg_ranks(df: DataFrame, col: str,
+               n_partitions: int | None = None) -> DataFrame:
+    """(value, average rank) over a column's rows — DISTRIBUTED average
+    rank with no single-task sort. ``rank() over (order by col)`` moves
+    every row through one task; instead the distinct-value COUNT table
+    is range-partitioned by value, the per-partition count sums (a
+    driver-sized vector, one long per partition — the
+    ``generate_groups`` two-phase recipe) become offsets, and
+    ``avg_rank(v) = offset + running count − (n_v − 1)/2`` (ties get
+    the midpoint rank, scipy convention). Returns ``(__v, __rk)``;
+    caller owns the persisted range layout via ``release_cached``."""
+    from hipipe_spark.operators.core import register_cached
+    counts = (df.select(F.col(col).alias("__v"))
+              .filter(F.col("__v").isNotNull())
+              .groupBy("__v").agg(F.count(F.lit(1)).alias("__n")))
+    n_parts = int(n_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    ranged = (counts.repartitionByRange(n_parts, "__v")
+              .withColumn("__pid", F.spark_partition_id()).persist())
+    psums = {r["__pid"]: r["s"] for r in
+             ranged.groupBy("__pid").agg(F.sum("__n").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off long")
+    w = (Window.partitionBy("__pid").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.col("__off") + F.sum("__n").over(w)
+    return register_cached(
+        ranged.join(F.broadcast(off_df), "__pid")
+        .select("__v",
+                (cum.cast("double") - (F.col("__n") - 1) / 2.0)
+                .alias("__rk")),
+        ranged)
+
+
+def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Spearman rank correlation — :func:`feature_corr`'s
+    robust sibling (monotone association, immune to the heavy-tailed
+    magnitudes that dominate Pearson on length/latency features).
+    Listwise-complete semantics: rows with a null in ANY of ``cols``
+    are dropped first, then each column is ranked (average ranks for
+    ties) and Pearson runs on the ranks. One row per unordered pair:
+    ``col_a, col_b, n_pairs, rho`` (rounded 6, null when a rank column
+    is constant).
+
+    Plan: per column, one distinct-count shuffle + the two-phase
+    range-partitioned average rank (:func:`_avg_ranks` — no
+    single-task sort anywhere) + one value-equi-join of the
+    dimension-of-distinct-values rank table back onto the rows (AQE
+    broadcasts it when small); then ALL pairs aggregate in the single
+    map-side-combinable pass of :func:`feature_corr`. d columns cost
+    d rank passes + one scan — no d² shuffles.
+    """
+    from hipipe_spark.operators.core import register_cached
+    base = df.select(*cols)
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    base = base.persist()
+    cached = [base]
+    ranked = base
+    for c in cols:
+        rk = _avg_ranks(base, c)
+        cached.extend(getattr(rk, "_hipipe_cached", ()))
+        ranked = ranked.join(
+            rk.withColumnRenamed("__v", c)
+              .withColumnRenamed("__rk", f"__rk_{c}"), c)
+    rank_view = ranked.select(*[F.col(f"__rk_{c}").alias(c) for c in cols])
+    out = feature_corr(rank_view, cols).withColumnRenamed("corr", "rho")
+    return register_cached(out, *cached)
+
+
+def mad_outliers(df: DataFrame, group: str, value: str,
+                 threshold: float = 3.5, exact: bool = False,
+                 accuracy: int = 10000, out: str = "is_outlier",
+                 ndigits: int = 6) -> DataFrame:
+    """Per-group robust outlier flags via the modified z-score
+    (Iglewicz & Hoaglin): ``rz = 0.6745 (x − median_g) / MAD_g``,
+    flagged when ``|rz| > threshold`` — the data-quality pass that a
+    mean/std z-score can't do, because the outliers being hunted
+    corrupt the mean/std themselves. Adds ``rz`` (null when the group
+    MAD is 0 — degenerate group, more than half identical) and the
+    boolean ``out`` flag.
+
+    Plan: two group aggregates (median, then median of |x − med|) and
+    two joins of the group-dimension stat tables back onto the rows —
+    AQE broadcasts them; the row side never shuffles. ``exact=True``
+    uses exact interpolated percentiles (oracle-grade); the default
+    approx sketch is the 100-TB path (same split as
+    :func:`hipipe_spark.operators.encoders.fit_robust_scaler`).
+    """
+    x = F.col(value).cast("double")
+    def _median(col):
+        return (F.percentile(col, F.lit(0.5)) if exact
+                else F.percentile_approx(col, 0.5, accuracy))
+    med = df.groupBy(group).agg(_median(x).alias("__med"))
+    j = df.join(med, group)
+    mad = (j.groupBy(group)
+           .agg(_median(F.abs(x - F.col("__med"))).alias("__mad")))
+    rz = F.when(F.col("__mad") > 0,
+                0.6745 * (x - F.col("__med")) / F.col("__mad"))
+    return (j.join(mad, group)
+            .withColumn("rz", F.round(rz, ndigits))
+            .withColumn(out, F.coalesce(F.abs("rz") > threshold,
+                                        F.lit(False)))
+            .drop("__med", "__mad"))
+
+
 def future_window_label(
     df: DataFrame,
     key: str = "conv_id",
