@@ -2647,6 +2647,44 @@ def q_mad_outliers(spark, sf_dir):
                         exact=True)
 
 
+def q_rrf(spark, sf_dir):
+    """Reciprocal Rank Fusion (retrieval.py rrf_fuse): two synthetic
+    per-query runs over documents (25 query groups; run A = length
+    ranking, run B = a derived-hash ranking), top-10 each, fused with
+    k=60. One (query, doc) shuffle + one query-partitioned window."""
+    from hipipe_spark.operators.retrieval import rrf_fuse
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 25).alias("q"), "doc_id",
+        F.col("n_chars").alias("len_key"),
+        ((F.col("doc_id") * 37) % 1000).alias("hash_key"))
+    wa = Window.partitionBy("q").orderBy(F.col("len_key").desc(), "doc_id")
+    wb = Window.partitionBy("q").orderBy(F.col("hash_key").asc(), "doc_id")
+    run_a = (d.withColumn("rank", F.row_number().over(wa))
+             .filter(F.col("rank") <= 10).select("q", "doc_id", "rank"))
+    run_b = (d.withColumn("rank", F.row_number().over(wb))
+             .filter(F.col("rank") <= 10).select("q", "doc_id", "rank"))
+    return rrf_fuse(run_a.unionAll(run_b), k=60,
+                    query="q", doc="doc_id", rank="rank")
+
+
+def q_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration (evaluation.py isotonic_calibrate):
+    deterministic pseudo-probabilities and correlated labels from
+    integer arithmetic on o_orderkey; one aggregate to 20 bins, PAV
+    driver-side with integer-exact pooling. Oracle = the minimax
+    max-min range-average characterization of PAV, expressible in SQL
+    because the bin table is tiny."""
+    from hipipe_spark.operators.evaluation import isotonic_calibrate
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        ((F.col("o_orderkey") * 2654435761) % 1000000).alias("pr"),
+        ((F.col("o_orderkey") * 7919) % 1000).alias("u"))
+    scored = o.select(
+        (F.col("pr") / 1000000.0).alias("prob"),
+        (F.col("u") < 200 + F.floor(F.col("pr") / 2000))
+        .cast("double").alias("label"))
+    return isotonic_calibrate(scored, "prob", "label", n_bins=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2917,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss": q_fleiss,
         "spearman": q_spearman,
         "mad_outliers": q_mad_outliers,
+        "rrf": q_rrf,
+        "isotonic": q_isotonic,
     }
 
 
@@ -5091,6 +5131,54 @@ def oracle_sql() -> dict[str, str]:
             FROM b JOIN med USING (l_returnflag)
                    JOIN mad USING (l_returnflag))
       SELECT *, COALESCE(abs(rz) > 3.5, FALSE) AS is_outlier FROM z
+    """
+    d["rrf"] = """
+      WITH d AS (SELECT doc_id % 25 AS q, doc_id, n_chars AS len_key,
+                        (doc_id * 37) % 1000 AS hash_key
+                 FROM documents),
+      ra AS (SELECT q, doc_id,
+                    row_number() OVER (PARTITION BY q
+                      ORDER BY len_key DESC, doc_id) AS rank
+             FROM d),
+      rb AS (SELECT q, doc_id,
+                    row_number() OVER (PARTITION BY q
+                      ORDER BY hash_key ASC, doc_id) AS rank
+             FROM d),
+      runs AS (SELECT * FROM ra WHERE rank <= 10
+               UNION ALL SELECT * FROM rb WHERE rank <= 10),
+      s AS (SELECT q AS query_id, doc_id,
+                   sum(1.0 / (60 + rank)) AS sc,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM runs GROUP BY q, doc_id)
+      SELECT query_id, doc_id, round(sc, 6) AS rrf_score, n_sources,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sc DESC, doc_id ASC) AS INTEGER) AS fused_rank
+      FROM s
+    """
+    d["isotonic"] = """
+      WITH src AS (SELECT (o_orderkey * 2654435761) % 1000000 AS pr,
+                          (o_orderkey * 7919) % 1000 AS u
+                   FROM orders),
+      b AS (SELECT least(19, CAST(floor(pr / 1000000.0 * 20) AS INT)) AS bin,
+                   pr / 1000000.0 AS p,
+                   CASE WHEN u < 200 + CAST(floor(pr / 2000.0) AS BIGINT)
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM src),
+      g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   avg(p) AS avg_prob, sum(y) AS sy
+            FROM b GROUP BY bin),
+      r AS (SELECT i.bin AS i, j.bin AS j,
+                   (SELECT sum(sy) / sum(n) FROM g k
+                    WHERE k.bin BETWEEN i.bin AND j.bin) AS a
+            FROM g i JOIN g j ON i.bin <= j.bin),
+      mins AS (SELECT gb.bin, r.i, min(r.a) AS m
+               FROM g gb JOIN r ON r.i <= gb.bin AND r.j >= gb.bin
+               GROUP BY gb.bin, r.i),
+      cal AS (SELECT bin, max(m) AS calibrated FROM mins GROUP BY bin)
+      SELECT g.bin, g.n, round(g.avg_prob, 6) AS avg_prob,
+             round(g.sy / g.n, 6) AS frac_pos,
+             round(cal.calibrated, 6) AS calibrated
+      FROM g JOIN cal USING (bin)
     """
     return d
 

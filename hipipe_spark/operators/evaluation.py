@@ -347,6 +347,61 @@ def calibration_report(df: DataFrame, prob: str, label: str,
         F.round(brier, 6).alias("brier"))
 
 
+def isotonic_calibrate(df: DataFrame, prob: str, label: str,
+                       n_bins: int = 20, ndigits: int = 6) -> DataFrame:
+    """Isotonic (PAV) probability calibration on the binned
+    reliability table — the monotone recalibration map that
+    :func:`calibration_report` diagnoses the need for. Scores bin
+    uniformly on [0, 1] (same rule as calibration_report; 1.0 lands in
+    the top bin); the non-empty bin table collects driver-side
+    (dimension-sized, ≤ n_bins rows) and pool-adjacent-violators runs
+    there with EXACT integer pool comparisons (cross-multiplied
+    Σlabel·Σn, no float drift in the pooling decisions, assuming 0/1
+    labels). Returns one row per non-empty bin: ``bin, n, avg_prob,
+    frac_pos, calibrated`` — ``calibrated`` is the monotone fit, i.e.
+    the minimax ``max_{i≤b} min_{j≥b} (Σ_{i..j} labels / Σ_{i..j} n)``.
+
+    Plan: ONE map-side-combinable aggregate over the corpus to
+    ≤ n_bins rows; PAV is driver-side on that. Apply the map with a
+    broadcast join on ``bin``.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    p = F.col(prob).cast("double")
+    y = F.col(label).cast("double")
+    binc = F.least(F.lit(n_bins - 1),
+                   F.floor(p * n_bins).cast("int")).alias("bin")
+    rows = (df.select(binc, p.alias("p"), y.alias("y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("p").alias("avg_prob"),
+                 F.sum("y").alias("sy"))
+            .orderBy("bin").collect())
+    # PAV over (W=Σn, S=Σy) pools; violation test S1*W2 > S2*W1 is
+    # integer-exact for 0/1 labels
+    pools: list[list] = []  # [W, S, n_bins_in_pool]
+    for r in rows:
+        pools.append([int(r["n"]), float(r["sy"]), 1])
+        while (len(pools) > 1
+               and pools[-2][1] * pools[-1][0]
+               > pools[-1][1] * pools[-2][0]):
+            w2, s2, c2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+            pools[-1][2] += c2
+    cal: list[float] = []
+    for pw, ps, pc in pools:
+        cal.extend([ps / pw] * pc)
+    out = [(int(r["bin"]), int(r["n"]),
+            round(float(r["avg_prob"]), ndigits),
+            round(float(r["sy"]) / int(r["n"]), ndigits),
+            round(c, ndigits))
+           for r, c in zip(rows, cal)]
+    return df.sparkSession.createDataFrame(
+        out, "bin int, n bigint, avg_prob double, "
+             "frac_pos double, calibrated double")
+
+
 def bradley_terry(
     pairs: DataFrame,
     winner_col: str = "winner",

@@ -430,3 +430,41 @@ def stupid_backoff_logprob(docs: DataFrame, id_col: str = "doc_id",
                 F.exp(-mean_ls).alias("sb_ppl")))
     from hipipe_spark.operators.core import register_cached
     return register_cached(out, tri)
+
+
+def rrf_fuse(runs: DataFrame, k: int = 60, query: str = "query_id",
+             doc: str = "doc_id", rank: str = "rank",
+             top_n: int | None = None, ndigits: int = 6) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009): fuse
+    per-source rankings — BM25, ANN, recency, whatever — without score
+    normalization: ``score(q, d) = Σ_sources 1 / (k + rank_s(q, d))``.
+    The standard hybrid-retrieval combiner (k=60 from the paper).
+
+    Input: one row per (query, doc, source) with that source's 1-based
+    ``rank``; sources need not rank the same docs. Output per (query,
+    doc): ``rrf_score`` (rounded), ``n_sources``, and ``fused_rank``
+    (1-based; ties broken by ``doc`` ascending, so the ordering is
+    engine-stable).
+
+    Plan: ONE shuffle on (query, doc) folds all sources
+    (map-side-combinable sum), then one query-partitioned window for
+    the fused rank — partitioned by query, never a global sort. Skew
+    = a query with a huge candidate union; cap per-source lists
+    upstream (they're top-N by construction) and the window state is
+    bounded by Σ per-source N.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scored = (runs.groupBy(F.col(query).alias("query_id"),
+                           F.col(doc).alias("doc_id"))
+              .agg(F.sum(1.0 / (F.lit(float(k)) + F.col(rank)))
+                    .alias("__s"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_sources")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc())
+    out = scored.withColumn("fused_rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out.select("query_id", "doc_id",
+                      F.round("__s", ndigits).alias("rrf_score"),
+                      "n_sources", "fused_rank")
