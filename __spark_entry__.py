@@ -2620,6 +2620,18 @@ def q_fleiss(spark, sf_dir):
     return fleiss_kappa(d, "item", "rating")
 
 
+def q_kripp(spark, sf_dir):
+    """Krippendorff's alpha (evaluation.py krippendorff_alpha) over
+    the same synthetic rating log as `fleiss` — the missing-data-
+    robust agreement twin. One shuffle to cells, cell-sized folds."""
+    from hipipe_spark.operators.evaluation import krippendorff_alpha
+    d = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 200).alias("item"),
+        F.concat(F.lit("c"), (F.length("text") % 4).cast("string"))
+         .alias("rating"))
+    return krippendorff_alpha(d, "item", "rating")
+
+
 def q_spearman(spark, sf_dir):
     """Pairwise Spearman rank correlation (features.py spearman_corr)
     over lineitem qty/price/discount — per column the two-phase
@@ -2957,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "rrf": q_rrf,
         "isotonic": q_isotonic,
+        "kripp": q_kripp,
     }
 
 
@@ -5179,6 +5192,37 @@ def oracle_sql() -> dict[str, str]:
              round(g.sy / g.n, 6) AS frac_pos,
              round(cal.calibrated, 6) AS calibrated
       FROM g JOIN cal USING (bin)
+    """
+    d["kripp"] = """
+      WITH cells AS (
+        SELECT doc_id % 200 AS i,
+               'c' || CAST(length(text) % 4 AS VARCHAR) AS r,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM documents GROUP BY 1, 2),
+      per_item AS (
+        SELECT i, sum(c) AS ni FROM cells GROUP BY i
+        HAVING sum(c) >= 2),
+      paired AS (
+        SELECT cells.i, cells.r, cells.c, per_item.ni
+        FROM cells JOIN per_item ON per_item.i = cells.i),
+      do_tab AS (
+        SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+               sum(c * (ni - c) / (ni - 1)) AS do_num
+        FROM paired),
+      marg AS (SELECT r, sum(c) AS nc FROM paired GROUP BY r),
+      n_tab AS (SELECT CAST(sum(nc) AS BIGINT) AS n_ratings,
+                       sum(nc * nc) AS sq
+                FROM marg)
+      SELECT n_items, n_ratings,
+             round(do_num / n_ratings, 6) AS d_o,
+             round((n_ratings * 1.0 * n_ratings - sq)
+                   / (n_ratings * 1.0 * (n_ratings - 1)), 6) AS d_e,
+             CASE WHEN (n_ratings * 1.0 * n_ratings - sq) > 0
+                  THEN round(1.0 - (do_num / n_ratings)
+                             / ((n_ratings * 1.0 * n_ratings - sq)
+                                / (n_ratings * 1.0 * (n_ratings - 1))), 6)
+             END AS alpha
+      FROM do_tab, n_tab
     """
     return d
 

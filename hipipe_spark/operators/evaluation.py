@@ -176,6 +176,60 @@ def fleiss_kappa(df: DataFrame, item_col: str, rating_col: str,
         cells)
 
 
+def krippendorff_alpha(df: DataFrame, item_col: str, rating_col: str,
+                       ndigits: int = 6) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement
+    coefficient that stays well-defined under missing ratings and
+    per-item rater counts, where :func:`fleiss_kappa`'s chance model
+    is only approximate. Each input row = one rating of one item;
+    items with fewer than 2 ratings carry no pairable information and
+    are excluded (Krippendorff's own rule).
+
+    ``alpha = 1 − D_o / D_e`` with
+    ``D_o = (1/n) Σ_u Σ_c n_uc (n_u − n_uc) / (n_u − 1)`` and
+    ``D_e = (1/(n(n−1))) Σ_c n_c (n − n_c)`` over the n pairable
+    ratings. Returns ONE row: ``n_items, n_ratings, d_o, d_e, alpha``
+    (alpha NULL when ``D_e = 0`` — a single observed category has no
+    disagreement to correct for).
+
+    Plan: identical shape to :func:`fleiss_kappa` — ONE shuffle of the
+    rating log to (item, category) cells, then cell-sized folds; the
+    persisted cell table is released by the caller via
+    ``release_cached``.
+    """
+    from hipipe_spark.operators.core import register_cached
+    cells = (df.select(F.col(item_col).alias("__i"),
+                       F.col(rating_col).alias("__r"))
+             .groupBy("__i", "__r").agg(F.count(F.lit(1)).alias("__c"))
+             .persist())
+    per_item = (cells.groupBy("__i")
+                .agg(F.sum("__c").alias("__ni"))
+                .filter(F.col("__ni") >= 2))
+    paired = cells.join(per_item, "__i")
+    do_tab = paired.agg(
+        F.countDistinct("__i").cast("bigint").alias("n_items"),
+        F.sum(F.col("__c").cast("double")
+              * (F.col("__ni") - F.col("__c"))
+              / (F.col("__ni") - 1)).alias("__do_num"))
+    marg = paired.groupBy("__r").agg(F.sum("__c").alias("__nc"))
+    n_tab = marg.agg(
+        F.sum("__nc").cast("bigint").alias("n_ratings"),
+        F.sum(F.col("__nc").cast("double") * F.col("__nc"))
+         .alias("__sq"))
+    out = do_tab.crossJoin(F.broadcast(n_tab))
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("__do_num") / n
+    d_e = (n * n - F.col("__sq")) / (n * (n - 1))
+    return register_cached(
+        out.select(
+            "n_items", "n_ratings",
+            F.round(d_o, ndigits).alias("d_o"),
+            F.round(d_e, ndigits).alias("d_e"),
+            F.when(d_e > 0, F.round(1.0 - d_o / d_e, ndigits))
+             .alias("alpha")),
+        cells)
+
+
 def preference_pairs(df: DataFrame, group: str, cand_id: str, score: str,
                      per_group: int = 1, min_margin: float = 0.0,
                      ndigits: int = 6) -> DataFrame:

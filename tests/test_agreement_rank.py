@@ -92,3 +92,51 @@ def test_mad_outliers_flags_the_planted_spike(spark):
     assert len(flagged) == 1 and flagged[0]["v"] == 500.0
     g2 = [r for r in got if r["g"] == "g2"]
     assert all(r["rz"] is None and not r["is_outlier"] for r in g2)
+
+
+def test_krippendorff_alpha_matches_reference(spark):
+    from collections import Counter, defaultdict
+
+    from hipipe_spark.operators.evaluation import krippendorff_alpha
+
+    ratings = [
+        (1, "a"), (1, "a"), (1, "a"),
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "b"), (3, "c"), (3, "c"),
+        (4, "a"),                       # single rating: excluded
+        (5, "c"), (5, "c"),
+    ]
+
+    by_item = defaultdict(list)
+    for i, c in ratings:
+        by_item[i].append(c)
+    by_item = {i: cs for i, cs in by_item.items() if len(cs) >= 2}
+    n = sum(len(cs) for cs in by_item.values())
+    do = 0.0
+    for cs in by_item.values():
+        m, cnt = len(cs), Counter(cs)
+        do += (m * m - sum(v * v for v in cnt.values())) / (m - 1)
+    do /= n
+    allc = Counter(c for cs in by_item.values() for c in cs)
+    de = (n * n - sum(v * v for v in allc.values())) / (n * (n - 1))
+    expect = 1 - do / de
+
+    df = spark.createDataFrame(ratings, "item int, rating string")
+    row = krippendorff_alpha(df, "item", "rating").collect()[0]
+    assert row["n_items"] == 4 and row["n_ratings"] == n
+    assert abs(row["d_o"] - do) < 1e-6
+    assert abs(row["d_e"] - de) < 1e-6
+    assert abs(row["alpha"] - expect) < 1e-6
+
+
+def test_krippendorff_alpha_perfect_and_degenerate(spark):
+    from hipipe_spark.operators.evaluation import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "item int, rating string")
+    row = krippendorff_alpha(perfect, "item", "rating").collect()[0]
+    assert row["alpha"] == 1.0
+    one_cat = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "item int, rating string")
+    row = krippendorff_alpha(one_cat, "item", "rating").collect()[0]
+    assert row["d_e"] == 0.0 and row["alpha"] is None
