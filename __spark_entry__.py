@@ -2743,9 +2743,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     attribution, dsir, dsir_select, scd2, sample_per_key, calibration,
     minhash_incremental, bootstrap_ci, label_prop, topic_segments,
     dup_weights, k_anonymity, json_features, json_profile,
-    table_diff). 50 window slots < 80+ unverified queries this round —
-    the tail waits (every tail query IS replica-verified each round by
-    tools/check_oracles.py)."""
+    table_diff, bt_ratings, fleiss, kripp, spearman, mad_outliers,
+    rrf, isotonic). 50 window slots < 80+ unverified queries this
+    round — the tail waits (every tail query IS replica-verified each
+    round by tools/check_oracles.py)."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
