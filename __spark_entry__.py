@@ -2697,6 +2697,93 @@ def q_isotonic(spark, sf_dir):
     return isotonic_calibrate(scored, "prob", "label", n_bins=20)
 
 
+def q_ab_tests(spark, sf_dir):
+    """Per-segment Welch t-test + Benjamini-Hochberg FDR chained
+    (stats.py welch_ttest → bh_fdr): events value, arms = user_id
+    parity, one family of 5 hypotheses (event_type segments). ONE
+    map-side-combinable aggregate for all sufficient statistics, then
+    dimension-sized window arithmetic; q is computed from the ROUNDED
+    p both here and in the oracle, so the hash compare is exact."""
+    from hipipe_spark.operators.stats import bh_fdr, welch_ttest
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"))
+    t = welch_ttest(e, "event_type", "value", "arm", "a", "b")
+    return bh_fdr(t, "p_value", tiebreak=["event_type"], alpha=0.2)
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U per segment (stats.py
+    mann_whitney): rank sums from the (segment, value)-aggregated
+    table — cumulative-count windows over the value-dimension frame,
+    never a raw-row rank — with the Bowling normal-CDF approximation
+    mirrored exactly in the oracle."""
+    from hipipe_spark.operators.stats import mann_whitney
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"))
+    return mann_whitney(e, "event_type", "value", "arm", "a", "b")
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival over user lifetimes (stats.py
+    kaplan_meier): per-user duration = hours between first and last
+    event (one aggregate from raw rows), deterministic 25% censoring
+    (user_id % 4), then the product-limit curve via exp(Σ ln) with an
+    explicit zero-step flag — windows run on the duration-dimension
+    frame only."""
+    from hipipe_spark.operators.stats import kaplan_meier
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    life = e.groupBy("user_id").agg(
+        F.floor((F.max(sec) - F.min(sec)) / 3600)
+         .cast("bigint").alias("dur_h"),
+        F.max(F.when(F.col("user_id") % 4 != 0, 1).otherwise(0))
+         .cast("int").alias("ev"))
+    return kaplan_meier(life, "dur_h", "ev")
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (stats.py cuped): adjust
+    l_extendedprice by the l_quantity covariate, report per-
+    l_returnflag adjusted means and variance reduction. θ and x̄ are
+    rounded BEFORE the adjustment so both engines use identical
+    constants — the rounded-handoff pattern that makes a two-stage
+    float pipeline hash-comparable."""
+    from hipipe_spark.operators.stats import cuped
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("double").alias("x"))
+    return cuped(li, "l_returnflag", "y", "x")
+
+
+def q_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM change flags (stats.py cusum_flags):
+    the recursive max(0, s+x−k) in closed form S − min(0, running
+    min S) — two cumulative windows sharing one sort, no recursion,
+    no Python. k=60 (above the ~50 global mean), h=300: flags
+    sustained high-value runs (554 rows / 58 users at sf0.01)."""
+    from hipipe_spark.operators.stats import cusum_flags
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value")
+    return cusum_flags(e, "user_id", "event_id", "value", k=60.0, h=300.0)
+
+
+def q_edit_pairs(spark, sf_dir):
+    """Exact Levenshtein near-dup pairs (stats.py
+    edit_distance_pairs) on 30-char document prefixes, max_dist=8:
+    length-band blocking (explode to ≤ 2+2d/band buckets, equi-join,
+    |Δlen| guard) + Spark's threshold-pruned JVM levenshtein verify.
+    The oracle is the O(n²) cross join — affordable at 500 docs,
+    which is exactly why the blocked plan exists for the 100-TB
+    path."""
+    from hipipe_spark.operators.stats import edit_distance_pairs
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 30).alias("prefix"))
+    return edit_distance_pairs(d, "doc_id", "prefix", max_dist=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2744,9 +2831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     minhash_incremental, bootstrap_ci, label_prop, topic_segments,
     dup_weights, k_anonymity, json_features, json_profile,
     table_diff, bt_ratings, fleiss, kripp, spearman, mad_outliers,
-    rrf, isotonic). 50 window slots < 80+ unverified queries this
-    round — the tail waits (every tail query IS replica-verified each
-    round by tools/check_oracles.py)."""
+    rrf, isotonic, and the hypothesis-testing batch: ab_tests,
+    mann_whitney, kaplan_meier, cuped, cusum, edit_pairs). 50 window
+    slots < 80+ unverified queries this round — the tail waits (every
+    tail query IS replica-verified each round by
+    tools/check_oracles.py)."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
@@ -2971,6 +3060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "isotonic": q_isotonic,
         "kripp": q_kripp,
+        "ab_tests": q_ab_tests,
+        "mann_whitney": q_mann_whitney,
+        "kaplan_meier": q_kaplan_meier,
+        "cuped": q_cuped,
+        "cusum": q_cusum,
+        "edit_pairs": q_edit_pairs,
     }
 
 
@@ -5224,6 +5319,168 @@ def oracle_sql() -> dict[str, str]:
                                 / (n_ratings * 1.0 * (n_ratings - 1))), 6)
              END AS alpha
       FROM do_tab, n_tab
+    """
+    d["ab_tests"] = """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+                 FROM events),
+      agg AS (SELECT event_type,
+                     sum(CASE WHEN arm='a' THEN 1 ELSE 0 END) AS n_a,
+                     sum(CASE WHEN arm='a' THEN v ELSE 0.0 END) AS s_a,
+                     sum(CASE WHEN arm='a' THEN v*v ELSE 0.0 END) AS q_a,
+                     sum(CASE WHEN arm='b' THEN 1 ELSE 0 END) AS n_b,
+                     sum(CASE WHEN arm='b' THEN v ELSE 0.0 END) AS s_b,
+                     sum(CASE WHEN arm='b' THEN v*v ELSE 0.0 END) AS q_b
+              FROM e GROUP BY event_type),
+      st AS (SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                    CAST(n_b AS BIGINT) AS n_b,
+                    s_a/n_a AS m_a, s_b/n_b AS m_b,
+                    (q_a - s_a*s_a/n_a)/(n_a-1)/n_a AS sa,
+                    (q_b - s_b*s_b/n_b)/(n_b-1)/n_b AS sb
+             FROM agg),
+      tt AS (SELECT event_type, n_a, n_b,
+                    round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+                    CASE WHEN n_a>=2 AND n_b>=2 AND sa+sb>0
+                         THEN (m_a-m_b)/sqrt(sa+sb) END AS t_raw,
+                    CASE WHEN n_a>=2 AND n_b>=2 AND sa+sb>0
+                         THEN round((sa+sb)*(sa+sb)
+                              / (sa*sa/(n_a-1) + sb*sb/(n_b-1)), 2)
+                    END AS dof
+             FROM st),
+      tp AS (SELECT event_type, n_a, n_b, mean_a, mean_b,
+                    round(t_raw, 6) AS t_stat, dof,
+                    round(2.0 / (1.0 + exp(0.07056*pow(abs(t_raw), 3)
+                                           + 1.5976*abs(t_raw))), 6)
+                      AS p_value
+             FROM tt),
+      fam AS (SELECT *, count(*) OVER () AS m,
+                     row_number() OVER (ORDER BY p_value ASC, event_type)
+                       AS rk
+              FROM tp WHERE p_value IS NOT NULL),
+      bh AS (SELECT *, round(least(
+                      min(p_value * m / rk) OVER (
+                        ORDER BY p_value ASC, event_type
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                      1.0), 6) AS q_value
+             FROM fam)
+      SELECT event_type, n_a, n_b, mean_a, mean_b, t_stat, dof, p_value,
+             q_value, q_value <= 0.2 AS reject FROM bh
+      UNION ALL
+      SELECT event_type, n_a, n_b, mean_a, mean_b, t_stat, dof, p_value,
+             CAST(NULL AS DOUBLE), FALSE FROM tp WHERE p_value IS NULL
+    """
+    d["mann_whitney"] = """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+                 FROM events),
+      vc AS (SELECT event_type, v, CAST(count(*) AS DOUBLE) AS t,
+                    CAST(sum(CASE WHEN arm='a' THEN 1 ELSE 0 END) AS DOUBLE)
+                      AS ta
+             FROM e GROUP BY event_type, v),
+      rk AS (SELECT *, sum(t) OVER (PARTITION BY event_type ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - t + (t+1)/2 AS r
+             FROM vc),
+      ag AS (SELECT event_type, sum(ta) AS na, sum(t - ta) AS nb,
+                    sum(ta * r) AS ra, sum(t*t*t - t) AS tie
+             FROM rk GROUP BY event_type),
+      z AS (SELECT event_type, na, nb, ra - na*(na+1)/2 AS u,
+                   CASE WHEN na>=1 AND nb>=1
+                         AND na*nb/12*((na+nb+1)
+                             - tie/((na+nb)*(na+nb-1))) > 0
+                        THEN (ra - na*(na+1)/2 - na*nb/2)
+                             / sqrt(na*nb/12*((na+nb+1)
+                                    - tie/((na+nb)*(na+nb-1))))
+                   END AS z_raw
+            FROM ag)
+      SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             round(u, 1) AS u_a, round(z_raw, 6) AS z_stat,
+             round(2.0 / (1.0 + exp(0.07056*pow(abs(z_raw), 3)
+                                    + 1.5976*abs(z_raw))), 6) AS p_value
+      FROM z
+    """
+    d["kaplan_meier"] = """
+      WITH life AS (SELECT user_id,
+                      CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 3600)
+                           AS BIGINT) AS dur_h,
+                      max(CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END) AS ev
+                    FROM events GROUP BY user_id),
+      agg AS (SELECT dur_h,
+                     CAST(sum(ev) AS BIGINT) AS n_event,
+                     CAST(sum(1 - ev) AS BIGINT) AS n_censored
+              FROM life GROUP BY dur_h),
+      st AS (SELECT *, sum(n_event + n_censored) OVER () AS total,
+                    sum(n_event + n_censored) OVER (ORDER BY dur_h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS thru
+             FROM agg),
+      km AS (SELECT dur_h, n_event, n_censored,
+                    CAST(total - thru + n_event + n_censored AS BIGINT)
+                      AS n_risk,
+                    max(CASE WHEN 1.0 - CAST(n_event AS DOUBLE)
+                              / (total - thru + n_event + n_censored) <= 0
+                             THEN 1 ELSE 0 END) OVER (ORDER BY dur_h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS dead,
+                    sum(CASE WHEN 1.0 - CAST(n_event AS DOUBLE)
+                              / (total - thru + n_event + n_censored) > 0
+                             THEN ln(1.0 - CAST(n_event AS DOUBLE)
+                                  / (total - thru + n_event + n_censored))
+                             ELSE 0.0 END) OVER (ORDER BY dur_h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS logs
+             FROM st)
+      SELECT dur_h, n_risk, n_event, n_censored,
+             round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(logs) END, 6)
+               AS survival
+      FROM km
+    """
+    d["cuped"] = """
+      WITH li AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS y,
+                         CAST(l_quantity AS DOUBLE) AS x
+                  FROM lineitem),
+      g AS (SELECT round((sum(x*y) - sum(x)*sum(y)/count(*))
+                         / (sum(x*x) - sum(x)*sum(x)/count(*)), 4) AS theta,
+                   round(sum(x)/count(*), 4) AS xbar
+            FROM li),
+      adj AS (SELECT l_returnflag, theta, y,
+                     y - theta*(x - xbar) AS ya
+              FROM li, g),
+      o AS (SELECT l_returnflag, theta, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(y), 6) AS mean_raw,
+                   round(avg(ya), 6) AS mean_cuped,
+                   (sum(y*y) - sum(y)*sum(y)/count(*))/(count(*)-1) AS vr,
+                   (sum(ya*ya) - sum(ya)*sum(ya)/count(*))/(count(*)-1) AS va
+            FROM adj GROUP BY 1, 2)
+      SELECT l_returnflag, n, mean_raw, mean_cuped, theta,
+             round(vr, 2) AS var_raw, round(va, 2) AS var_cuped,
+             round(100*(1 - va/vr), 2) AS var_reduction_pct
+      FROM o
+    """
+    d["cusum"] = """
+      WITH s AS (SELECT event_id, user_id, value,
+                        sum(CAST(value AS DOUBLE) - 60.0) OVER (
+                          PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS S
+                 FROM events),
+      c AS (SELECT event_id, user_id, value,
+                   S - least(0.0, min(S) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     AS cs
+            FROM s)
+      SELECT event_id, user_id, value, round(cs, 6) AS cusum,
+             round(cs, 6) > 300.0 AS changed
+      FROM c
+    """
+    d["edit_pairs"] = """
+      WITH t AS (SELECT doc_id, substr(text, 1, 30) AS s FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS INT) AS dist
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE abs(length(a.s) - length(b.s)) <= 8
+        AND levenshtein(a.s, b.s) <= 8
     """
     return d
 

@@ -1,0 +1,360 @@
+"""Hypothesis-testing and survival statistics over grouped metrics.
+
+The experimentation half of a feature platform: once features exist,
+the same engine is asked "did segment X move?" — Welch t-tests per
+segment, Benjamini-Hochberg control over the resulting family of
+p-values, the rank-based Mann-Whitney U when the metric is heavy-
+tailed, Kaplan-Meier survival over entity lifetimes, CUPED variance
+reduction using a pre-period covariate, and CUSUM change-point flags
+over per-key streams. hipipe itself stops at the transform/column
+layer (reference ``stream/transform.hpp``, ``core/dataframe.hpp``);
+these are the downstream consumers its columns feed, re-expressed as
+single-pass Spark aggregations.
+
+Design rules shared by every operator here:
+
+- **Aggregate-first.** Tests reduce to per-segment sufficient
+  statistics (counts, sums, sums of squares, rank sums) computed in
+  ONE map-side-combinable ``groupBy`` — never a per-row Python path,
+  never a collect. The post-aggregate arithmetic runs on a
+  segment-dimension frame (thousands of rows at most at 100 TB).
+- **Closed-form normal CDF.** Spark and DuckDB both lack ``erf``, so
+  p-values use the Bowling et al. (2009) logistic approximation
+  ``Φ(z) ≈ 1/(1+exp(−(0.07056 z³ + 1.5976 z)))`` (|error| < 1.4e-4),
+  written with IDENTICAL arithmetic in the oracle SQL — the driver
+  hash-compare is exact, not tolerance-based.
+- **Rounded handoffs.** Any coefficient reused downstream (CUPED's
+  θ) is rounded BEFORE reuse so both engines adjust with the same
+  constant — float noise cannot compound across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def norm_sf2(z: Column) -> Column:
+    """Two-sided normal tail ``2·(1 − Φ(|z|))`` via the Bowling
+    logistic approximation (see module docstring). |error| < 2.8e-4
+    — ranking/thresholding-grade, and reproducible bit-for-bit in any
+    SQL engine (the point: the oracle writes the same expression)."""
+    a = F.abs(z)
+    return 2.0 / (1.0 + F.exp(0.07056 * a * a * a + 1.5976 * a))
+
+
+def welch_ttest(df: DataFrame, segment: str, value: str, arm: str,
+                arm_a: str, arm_b: str, ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` Welch unequal-variance t-test between arms
+    ``arm_a`` and ``arm_b`` of column ``arm``: one row per segment
+    with ``n_a, n_b, mean_a, mean_b, t_stat, dof, p_value`` (normal
+    approximation to the t tail — large-n experimentation regime;
+    null when either arm has n < 2 or both sample variances are 0).
+
+    Plan: a single hash aggregate per segment computing both arms'
+    (n, Σx, Σx²) via conditional sums — map-side combinable, one
+    shuffle on the segment key, post-arithmetic on the
+    segment-dimension result. At 10^12 rows this is the same cost as
+    any groupBy; there is no second pass.
+
+    Sample variance uses the sum-of-squares identity
+    ``(Σx² − (Σx)²/n)/(n−1)``; outputs are rounded so the identical
+    oracle expression hashes equal despite summation-order noise.
+    """
+    x = F.col(value).cast("double")
+    in_a = F.col(arm) == arm_a
+    in_b = F.col(arm) == arm_b
+
+    def _side(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.when(cond, x).otherwise(0.0)).alias(f"s_{tag}"),
+            F.sum(F.when(cond, x * x).otherwise(0.0)).alias(f"q_{tag}"),
+        ]
+
+    agg = (df.filter(in_a | in_b)
+             .groupBy(segment)
+             .agg(*_side(in_a, "a"), *_side(in_b, "b")))
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}")
+        mean = F.col(f"s_{tag}") / n
+        var = (F.col(f"q_{tag}") - F.col(f"s_{tag}") * F.col(f"s_{tag}") / n) \
+            / (n - 1)
+        return n, mean, var
+
+    n_a, m_a, v_a = _stats("a")
+    n_b, m_b, v_b = _stats("b")
+    ok = (n_a >= 2) & (n_b >= 2)
+    sa, sb = v_a / n_a, v_b / n_b
+    se2 = sa + sb
+    t = F.when(ok & (se2 > 0), (m_a - m_b) / F.sqrt(se2))
+    dof = F.when(ok & (se2 > 0),
+                 se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)))
+    return agg.select(
+        segment,
+        F.col("n_a"), F.col("n_b"),
+        F.round(m_a, ndigits).alias("mean_a"),
+        F.round(m_b, ndigits).alias("mean_b"),
+        F.round(t, ndigits).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+        F.round(norm_sf2(t), ndigits).alias("p_value"),
+    )
+
+
+def bh_fdr(df: DataFrame, p_col: str = "p_value",
+           tiebreak: list[str] | None = None, alpha: float = 0.05,
+           ndigits: int = 6) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a family of hypotheses:
+    adds ``q_value`` (the BH-adjusted p: ``min_{j≥i} p_(j)·m/j``
+    clipped at 1, rows ranked by p ascending) and ``reject``
+    (``q ≤ alpha``). Null p-values are excluded from the family
+    (q null, reject false).
+
+    The input is a HYPOTHESIS table — one row per test, i.e. segment-
+    dimension (the output of :func:`welch_ttest` / :func:`mann_whitney`)
+    — so the two unpartitioned windows here run over thousands of rows
+    at most, never the raw data; this is deliberately NOT an operator
+    for row-scale frames. ``tiebreak`` columns make the p-ascending
+    order (and therefore the hash) deterministic under ties.
+    """
+    tb = [F.col(c) for c in (tiebreak or [])]
+    tested = df.filter(F.col(p_col).isNotNull())
+    w_rank = Window.orderBy(F.col(p_col).asc(), *tb)
+    m = F.count(F.lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    raw = F.col(p_col) * m / F.row_number().over(w_rank)
+    # reverse running min over the SAME order: min of raw from this
+    # rank to the end of the family
+    w_tail = (Window.orderBy(F.col(p_col).asc(), *tb)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    q = F.least(F.min(raw).over(w_tail), F.lit(1.0))
+    flagged = (tested
+               .withColumn("q_value", F.round(q, ndigits))
+               .withColumn("reject", F.col("q_value") <= alpha))
+    skipped = (df.filter(F.col(p_col).isNull())
+               .withColumn("q_value", F.lit(None).cast("double"))
+               .withColumn("reject", F.lit(False)))
+    return flagged.unionByName(skipped)
+
+
+def mann_whitney(df: DataFrame, segment: str, value: str, arm: str,
+                 arm_a: str, arm_b: str, ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` Mann-Whitney U (Wilcoxon rank-sum) between two
+    arms: ``n_a, n_b, u_a, z_stat, p_value`` per segment, with average
+    ranks for ties and the tie-corrected normal approximation
+    ``σ² = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1)))`` (no continuity
+    correction — documented choice so the oracle is exact).
+
+    Plan: ranks are computed on the (segment, value)-AGGREGATED table,
+    not the raw rows — one groupBy producing per-distinct-value counts
+    (total and arm-a), then a cumulative-count window over that
+    value-dimension frame yields the average rank of every tie group
+    in closed form (``cum_before + (t+1)/2``). Rank sums and the tie
+    term then reduce in a second segment-level aggregate. Two shuffles
+    total, both on aggregated frames; the raw rows are touched once.
+    """
+    x = F.col(value).cast("double")
+    in_a, in_b = F.col(arm) == arm_a, F.col(arm) == arm_b
+    vc = (df.filter(in_a | in_b)
+            .groupBy(segment, x.alias("__v"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__t"),
+                 F.sum(F.when(in_a, 1).otherwise(0))
+                  .cast("double").alias("__ta")))
+    w = (Window.partitionBy(segment).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum("__t").over(w) - F.col("__t")
+    avg_rank = cum_before + (F.col("__t") + 1) / 2
+    ranked = vc.withColumn("__r", avg_rank)
+    agg = ranked.groupBy(segment).agg(
+        F.sum("__ta").alias("na"),
+        F.sum(F.col("__t") - F.col("__ta")).alias("nb"),
+        F.sum(F.col("__ta") * F.col("__r")).alias("ra"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+         .alias("tie"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u_a = F.col("ra") - na * (na + 1) / 2
+    mu = na * nb / 2
+    sig2 = na * nb / 12 * ((n + 1) - F.col("tie") / (n * (n - 1)))
+    z = F.when((na >= 1) & (nb >= 1) & (sig2 > 0),
+               (u_a - mu) / F.sqrt(sig2))
+    return agg.select(
+        segment,
+        na.cast("bigint").alias("n_a"), nb.cast("bigint").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(z, ndigits).alias("z_stat"),
+        F.round(norm_sf2(z), ndigits).alias("p_value"),
+    )
+
+
+def kaplan_meier(df: DataFrame, duration: str, event: str,
+                 by: str | None = None, ndigits: int = 6) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate over entity
+    lifetimes: one row per (stratum,) distinct duration with
+    ``n_risk`` (entities still at risk), ``n_event``, ``n_censored``
+    (``event`` = 1 observed, 0 right-censored), and ``survival`` —
+    ``Π_{t_j ≤ t} (1 − d_j/n_j)`` over EVENT times. Censored-only
+    times carry the running estimate forward (standard KM).
+
+    Plan: one groupBy on (stratum, duration) → a cumulative window
+    over the duration-dimension frame (distinct lifetimes, not raw
+    rows) computing at-risk counts by back-subtraction and the
+    product via exp(Σ ln) — with an explicit zero-survival flag once
+    a step multiplies by 0 (ln would be null/−inf, engine-dependent;
+    the flag keeps both engines exact). At 10^12 turns the per-entity
+    lifetime table is entity-dimension and the duration grid smaller
+    still; nothing here touches raw-row scale after the first
+    aggregate.
+    """
+    keys = ([by] if by else []) + [duration]
+    agg = df.groupBy(*keys).agg(
+        F.sum(F.when(F.col(event) == 1, 1).otherwise(0))
+         .cast("bigint").alias("n_event"),
+        F.sum(F.when(F.col(event) == 1, 0).otherwise(1))
+         .cast("bigint").alias("n_censored"),
+    )
+    part = [by] if by else []
+    w_all = (Window.partitionBy(*part)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    w_cum = (Window.partitionBy(*part).orderBy(duration)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum(F.col("n_event") + F.col("n_censored")).over(w_all)
+    left_through = F.sum(F.col("n_event") + F.col("n_censored")).over(w_cum)
+    n_risk = total - left_through + F.col("n_event") + F.col("n_censored")
+    stepped = agg.withColumn("n_risk", n_risk.cast("bigint"))
+    term = 1.0 - F.col("n_event") / F.col("n_risk")
+    dead = F.max(F.when(term <= 0, 1).otherwise(0)).over(w_cum)
+    log_s = F.sum(F.when(term > 0, F.log(term)).otherwise(0.0)).over(w_cum)
+    surv = F.when(dead == 1, 0.0).otherwise(F.exp(log_s))
+    out_cols = part + [duration, "n_risk", "n_event", "n_censored"]
+    return stepped.select(
+        *out_cols, F.round(surv, ndigits).alias("survival"))
+
+
+def cuped(df: DataFrame, group: str, metric: str, covariate: str,
+          theta_digits: int = 4, ndigits: int = 6) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): fit
+    ``θ = cov(y, x)/var(x)`` on the WHOLE frame, adjust
+    ``y' = y − θ·(x − x̄)``, and report per-``group`` ``n, mean_raw,
+    mean_cuped, var_raw, var_cuped, var_reduction_pct`` plus the
+    shared ``theta``. The covariate must be pre-experiment (a
+    pre-period metric) for the adjustment to be unbiased — that
+    contract is the caller's, stated here because it is the entire
+    leakage story of this operator.
+
+    Plan: pass 1 computes global (n, Σx, Σy, Σx², Σxy) in one
+    map-side-combinable aggregate; θ and x̄ are ROUNDED (``theta_digits``)
+    and broadcast back via a 1-row crossJoin, so pass 2's per-group
+    aggregate adjusts every row with the identical constants the
+    oracle uses — cross-engine float drift cannot enter the
+    adjustment. Two scans, two shuffles (one a 1-row exchange).
+    """
+    y = F.col(metric).cast("double")
+    x = F.col(covariate).cast("double")
+    g = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"), F.sum(x * y).alias("__sxy"),
+    ).select(
+        F.round((F.col("__sxy") - F.col("__sx") * F.col("__sy") / F.col("__n"))
+                / (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")),
+                theta_digits).alias("theta"),
+        F.round(F.col("__sx") / F.col("__n"), theta_digits).alias("__xbar"),
+    )
+    adj = df.crossJoin(F.broadcast(g)).withColumn(
+        "__yadj", y - F.col("theta") * (x - F.col("__xbar")))
+    ya = F.col("__yadj")
+    out = adj.groupBy(group, "theta").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg(y), ndigits).alias("mean_raw"),
+        F.round(F.avg(ya), ndigits).alias("mean_cuped"),
+        ((F.sum(y * y) - F.sum(y) * F.sum(y) / F.count(F.lit(1)))
+         / (F.count(F.lit(1)) - 1)).alias("__vr"),
+        ((F.sum(ya * ya) - F.sum(ya) * F.sum(ya) / F.count(F.lit(1)))
+         / (F.count(F.lit(1)) - 1)).alias("__va"),
+    )
+    return out.select(
+        group, "n", "mean_raw", "mean_cuped", "theta",
+        F.round(F.col("__vr"), 2).alias("var_raw"),
+        F.round(F.col("__va"), 2).alias("var_cuped"),
+        F.round(100 * (1 - F.col("__va") / F.col("__vr")), 2)
+         .alias("var_reduction_pct"),
+    )
+
+
+def cusum_flags(df: DataFrame, key: str, order: str, value: str,
+                k: float, h: float, ndigits: int = 6) -> DataFrame:
+    """One-sided CUSUM change detection per ``key``: the recursive
+    ``s_i = max(0, s_{i−1} + x_i − k)`` in closed form
+    ``s_i = S_i − min(0, min_{j≤i} S_j)`` with ``S`` the running sum
+    of ``x − k`` — two cumulative windows, NO recursion, no per-row
+    Python, no iterative loop. Adds ``cusum`` and ``changed``
+    (``cusum > h``). ``k`` is the slack (typically target mean +
+    tolerated drift), ``h`` the decision threshold.
+
+    Plan: one sort per key partition (both windows share the same
+    ordering, Spark pipelines them after a single exchange). State is
+    O(1) per row — this is the batch twin of a streaming CUSUM and
+    scales exactly like lag/lead.
+    """
+    x = F.col(value).cast("double")
+    w = (Window.partitionBy(key).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    big_s = F.sum(x - F.lit(float(k))).over(w)
+    run_min = F.min(big_s).over(w)
+    s = big_s - F.least(F.lit(0.0), run_min)
+    return (df.withColumn("cusum", F.round(s, ndigits))
+              .withColumn("changed", F.col("cusum") > h))
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, text: str,
+                        max_dist: int, band: int | None = None,
+                        ndigits: int = 6) -> DataFrame:
+    """Near-duplicate pairs under TRUE Levenshtein distance ≤
+    ``max_dist`` — the exact-verification tier under the MinHash/
+    SimHash candidate generators (reference hipipe has no dedup at
+    all; this closes the fuzzy-matching gap next to
+    ``dedup.ngram_jaccard``). Returns ``id_a, id_b, dist`` with
+    ``id_a < id_b``.
+
+    Candidate blocking: two strings within edit distance d differ in
+    length by at most d, so each doc lands in length-bucket
+    ``floor(len/band)`` on the build side and EXPLODES to the bucket
+    range covering ``[len−d, len+d]`` on the probe side (≤
+    ``2 + 2d/band`` buckets); an equi-join on bucket + the exact
+    |Δlen| ≤ d guard recovers every qualifying pair with no range
+    join and no cross join. Verification is Spark's built-in JVM
+    ``levenshtein`` (whole-stage codegen, threshold-pruned via the
+    3-arg form). ``band`` defaults to ``2·(max_dist+1)``. At corpus
+    scale the bucket key is length-distributed — pair fan-out is
+    bounded by the docs-per-length-band, the same skew envelope as
+    any LSH band; feed it candidate subsets (a bucketed sample or an
+    LSH-prefiltered set), not raw 100-TB text.
+    """
+    d = int(max_dist)
+    band = int(band) if band else 2 * (d + 1)
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(text).alias("__t"),
+                     F.length(text).alias("__len"))
+    build = base.withColumn("__b", F.floor(F.col("__len") / band))
+    lo = F.floor((F.col("__len") - d) / band)
+    hi = F.floor((F.col("__len") + d) / band)
+    probe = base.withColumn("__b", F.explode(F.sequence(lo, hi)))
+    cand = (probe.alias("a").join(build.alias("b"), "__b")
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .filter(F.abs(F.col("a.__len") - F.col("b.__len")) <= d)
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.col("a.__t").alias("__ta"),
+                    F.col("b.__t").alias("__tb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    # 3-arg levenshtein returns -1 once the running distance exceeds
+    # the threshold (early-exit prune) — keep only the in-range hits
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), d)
+    return (cand.withColumn("dist", dist)
+                .filter((F.col("dist") >= 0) & (F.col("dist") <= d))
+                .select("id_a", "id_b", "dist"))
