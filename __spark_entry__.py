@@ -2784,6 +2784,43 @@ def q_edit_pairs(spark, sf_dir):
     return edit_distance_pairs(d, "doc_id", "prefix", max_dist=8)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Threshold-KMV distinct-count sketch (sketches.py kmv_distinct):
+    distinct l_orderkey per l_returnflag with k=64, tau=0.05 — the
+    hash prefilter is a scan-pushed literal predicate, so at 100 TB
+    only ~5% of distinct hashes ever shuffle. The det-hash family
+    makes the sketch itself (not a tolerance band) DuckDB-checkable."""
+    from hipipe_spark.operators.sketches import kmv_distinct
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return kmv_distinct(li, "l_returnflag", "l_orderkey", k=64, tau=0.05)
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min heavy hitters (sketches.py cms_heavy_hitters): 4×32
+    sketch over events.user_id (150 users in 32 buckets — collisions
+    by construction, so the overestimate column is exercised), probed
+    for the exact top-10. The sketch build is ONE map-side-combinable
+    aggregate producing 128 rows regardless of input size."""
+    from hipipe_spark.operators.sketches import cms_heavy_hitters
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_heavy_hitters(e, "user_id", top_n=10, depth=4, width=32)
+
+
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-prefilter semi-join audit (sketches.py bloom_prefilter):
+    orders.o_custkey probed against a 4096-bit / 3-hash filter built
+    from high-balance customers. Zero false negatives by construction
+    (n_true == the exact semi-join count — pytest-pinned); the report
+    quantifies the false-positive rate the prefilter would admit
+    before the exact verify join at scale."""
+    from hipipe_spark.operators.sketches import bloom_prefilter
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .where("c_acctbal > 5000"))
+    return bloom_prefilter(o, "o_custkey", c, "c_custkey",
+                           m=4096, n_hashes=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3066,6 +3103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "cusum": q_cusum,
         "edit_pairs": q_edit_pairs,
+        "kmv_distinct": q_kmv_distinct,
+        "cms_heavy": q_cms_heavy,
+        "bloom_semi": q_bloom_semi,
     }
 
 
@@ -5481,6 +5521,79 @@ def oracle_sql() -> dict[str, str]:
       FROM t a JOIN t b ON a.doc_id < b.doc_id
       WHERE abs(length(a.s) - length(b.s)) <= 8
         AND levenshtein(a.s, b.s) <= 8
+    """
+    d["kmv_distinct"] = f"""
+      WITH hh AS (SELECT l_returnflag AS g,
+                         CAST({det_hash_i64_sql('l_orderkey', 7)} AS DOUBLE)
+                           / 2147483648.0 AS h01
+                  FROM lineitem),
+      kept AS (SELECT DISTINCT g, h01 FROM hh WHERE h01 <= 0.05),
+      rk AS (SELECT g, h01,
+                    row_number() OVER (PARTITION BY g ORDER BY h01) AS rk
+             FROM kept),
+      agg AS (SELECT g, count(*) AS n_kept,
+                     max(CASE WHEN rk = 64 THEN h01 END) AS h_k
+              FROM rk WHERE rk <= 64 GROUP BY g),
+      ex AS (SELECT l_returnflag AS g,
+                    count(DISTINCT l_orderkey) AS ed
+             FROM lineitem GROUP BY 1)
+      SELECT ex.g AS l_returnflag,
+             CASE WHEN h_k IS NOT NULL THEN round(63 / h_k, 2)
+                  ELSE CAST(coalesce(n_kept, 0) AS DOUBLE) END
+               AS kmv_estimate,
+             CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+             h_k IS NOT NULL AS saturated,
+             CAST(ed AS BIGINT) AS exact_distinct
+      FROM ex LEFT JOIN agg ON ex.g = agg.g
+    """
+    d["cms_heavy"] = f"""
+      WITH ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+      sk AS (SELECT d, ({det_hash_i64_sql('user_id + 100 + d', 0)}) % 32
+                      AS bucket,
+                    count(*) AS cnt
+             FROM events, ds GROUP BY 1, 2),
+      top AS (SELECT CAST(user_id AS BIGINT) AS item,
+                     count(*) AS true_cnt
+              FROM events GROUP BY 1
+              ORDER BY true_cnt DESC, item ASC LIMIT 10),
+      probe AS (SELECT item, true_cnt, d,
+                       ({det_hash_i64_sql('item + 100 + d', 0)}) % 32
+                         AS bucket
+                FROM top, ds),
+      est AS (SELECT item, true_cnt, min(cnt) AS cms_estimate
+              FROM probe JOIN sk USING (d, bucket) GROUP BY 1, 2)
+      SELECT item, CAST(true_cnt AS BIGINT) AS true_cnt,
+             CAST(cms_estimate AS BIGINT) AS cms_estimate,
+             CAST(cms_estimate - true_cnt AS BIGINT) AS overestimate
+      FROM est
+    """
+    d["bloom_semi"] = f"""
+      WITH hs AS (SELECT UNNEST([0, 1, 2]) AS i),
+      dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_acctbal > 5000),
+      bits AS (SELECT DISTINCT
+                 ({det_hash_i64_sql('dim.k + 200 + i', 0)}) % 4096 AS bit
+               FROM dim, hs),
+      fk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      ps AS (SELECT DISTINCT k,
+                    ({det_hash_i64_sql('fk.k + 200 + i', 0)}) % 4096 AS bit
+             FROM fk, hs),
+      need AS (SELECT k, count(*) AS n_pos FROM ps GROUP BY 1),
+      hits AS (SELECT p.k FROM ps p JOIN bits USING (bit)
+               JOIN need n ON n.k = p.k
+               GROUP BY p.k, n.n_pos HAVING count(*) = n.n_pos),
+      cand AS (SELECT h.k,
+                      CASE WHEN d2.k IS NOT NULL THEN 1 ELSE 0 END
+                        AS is_true
+               FROM hits h LEFT JOIN dim d2 ON d2.k = h.k),
+      nk AS (SELECT count(*) AS n_fact_keys FROM fk)
+      SELECT CAST(n_fact_keys AS BIGINT) AS n_fact_keys,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(is_true) AS BIGINT) AS n_true,
+             CAST(count(*) - sum(is_true) AS BIGINT) AS n_false_positive,
+             round((count(*) - sum(is_true))
+                   / CAST(n_fact_keys AS DOUBLE), 6) AS fp_rate
+      FROM cand, nk GROUP BY n_fact_keys
     """
     return d
 

@@ -1,0 +1,215 @@
+"""Fixed-size probabilistic sketches with deterministic hashing.
+
+At 100 TB an exact ``groupBy(key).agg(countDistinct(...))`` or a full
+frequency table is often the single most expensive shuffle in a
+pipeline. The classical answer is a sketch: a fixed-size summary built
+with ONE map-side-combinable pass whose size is independent of the
+input — KMV/theta for distinct counts, Count-Min for frequencies,
+Bloom filters for membership prefiltering. hipipe has no aggregation
+layer at all (its users hand-roll counters inside ``for_each`` stages,
+reference ``include/hipipe/core/stream/for_each.hpp:63``); this module
+supplies the scale-native versions.
+
+Everything here uses the :mod:`hipipe_spark.functions.hashing`
+det-hash family, so each sketch is reproducible bit-for-bit by a
+DuckDB oracle running the same arithmetic — the driver's hash-compare
+gate verifies the SKETCH ITSELF, not just a tolerance around it.
+
+Scale notes per operator:
+
+- :func:`kmv_distinct` — threshold-KMV: rows are prefiltered map-side
+  to ``hash01 <= tau`` (a scan-pushed literal predicate), so the
+  shuffle moves only ~``tau``·|distinct| hash values instead of every
+  distinct key. With ``tau = 4k / D_min`` (``D_min`` a lower bound on
+  the distinct count) the k-th minimum survives with overwhelming
+  probability; the estimator is the classical ``(k-1)/h_(k)``.
+- :func:`cms_heavy_hitters` — the sketch build is one exploded
+  ``groupBy(depth, bucket)`` whose result is exactly ``d×w`` rows no
+  matter the input size; partial aggregation collapses each input
+  partition to ≤ d·w counters before the shuffle.
+- :func:`bloom_prefilter` — the filter is an ``m``-row bit table
+  (broadcast-joined), never a per-row Python membership test; the
+  candidate set it admits (true matches + bounded false positives) is
+  then verified with an exact semi-join an order of magnitude smaller
+  than the unfiltered one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hipipe_spark.functions.hashing import det_hash01, det_hash_i64
+
+
+def kmv_distinct(df: DataFrame, group: str, key: str, k: int = 64,
+                 tau: float = 0.05) -> DataFrame:
+    """Per-``group`` distinct-count estimate of integer column ``key``
+    via a threshold-KMV (k-minimum-values / bottom-k theta) sketch.
+
+    Pipeline: ``hash01(key)`` → map-side filter ``<= tau`` (pushed to
+    the scan; at 100 TB this is the step that removes ~``1-tau`` of
+    the data before any shuffle) → distinct surviving hashes per group
+    → the k smallest → estimate ``(k-1) / h_(k)``. Groups with fewer
+    than ``k`` surviving hashes fall back to their exact survivor
+    count un-scaled — flagged in ``saturated`` (false = the sketch had
+    enough mass; callers should raise ``tau`` if many groups are
+    unsaturated).
+
+    Output: ``group, kmv_estimate (double), n_kept (bigint),
+    saturated (boolean)`` — plus ``exact_distinct`` for the error
+    column, affordable at test scale (the oracle computes the same).
+    """
+    h = det_hash01(F.col(key).cast("long"), seed=7)
+    kept = (df.select(F.col(group), h.alias("h01"))
+              .where(F.col("h01") <= F.lit(float(tau)))
+              .select(group, "h01").distinct())
+    w = Window.partitionBy(group).orderBy(F.col("h01").asc())
+    ranked = kept.withColumn("rk", F.row_number().over(w))
+    agg = (ranked.where(F.col("rk") <= k)
+           .groupBy(group)
+           .agg(F.count("*").alias("n_kept"),
+                F.max(F.when(F.col("rk") == k, F.col("h01")))
+                 .alias("h_k")))
+    exact = df.groupBy(group).agg(
+        F.countDistinct(key).alias("exact_distinct"))
+    est = F.when(
+        F.col("h_k").isNotNull(),
+        F.round((F.lit(k) - 1) / F.col("h_k"), 2)
+    ).otherwise(F.coalesce(F.col("n_kept"), F.lit(0)).cast("double"))
+    # left join FROM exact: a group none of whose hashes survived tau
+    # must still report (estimate = its 0 survivors, unsaturated)
+    return (exact.join(agg, group, "left")
+            .select(group,
+                    est.alias("kmv_estimate"),
+                    F.coalesce(F.col("n_kept"), F.lit(0))
+                     .cast("bigint").alias("n_kept"),
+                    F.col("h_k").isNotNull().alias("saturated"),
+                    F.col("exact_distinct").cast("bigint")
+                     .alias("exact_distinct"))
+            .orderBy(group))
+
+
+def cms_sketch(df: DataFrame, item: str, depth: int = 4,
+               width: int = 256) -> DataFrame:
+    """Build a Count-Min sketch of integer column ``item``: ``depth``
+    independent det-hash rows × ``width`` buckets. ONE exploded
+    map-side-combinable aggregate; the result is exactly ``depth ×
+    width`` rows regardless of input size — the property that makes it
+    shippable (broadcast, checkpoint, union-merge across days).
+
+    Output: ``d (int), bucket (int), cnt (bigint)``. Sketches built
+    from disjoint inputs merge by ``groupBy(d, bucket).sum(cnt)`` —
+    the linearity that gives incremental / streaming refresh for free.
+    """
+    rows = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 F.pmod(det_hash_i64(F.col(item).cast("long"),
+                                     seed=100 + d),
+                        F.lit(width)).cast("int").alias("bucket"))
+        for d in range(depth)])
+    return (df.select(F.explode(rows).alias("r"))
+            .groupBy(F.col("r.d").alias("d"),
+                     F.col("r.bucket").alias("bucket"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_heavy_hitters(df: DataFrame, item: str, top_n: int = 20,
+                      depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min frequency estimates for the ``top_n`` most frequent
+    values of ``item``, with the true counts and the (always ≥ 0)
+    collision overestimate alongside.
+
+    The sketch is :func:`cms_sketch`; a candidate's estimate is the
+    MIN over the ``depth`` counters it hashes into (the classic CMS
+    point query, overestimate ≤ collisions in its emptiest row). The
+    candidate list here is the exact top-``top_n`` — affordable at
+    test scale and exactly what the oracle reproduces; at 100 TB the
+    candidate stream would come from a cheap per-partition prepass
+    while the d×w sketch stays the only global state.
+
+    Output: ``item, true_cnt, cms_estimate, overestimate`` (bigints),
+    ordered by true count descending then item.
+    """
+    sketch = cms_sketch(df, item, depth=depth, width=width)
+    top = (df.groupBy(F.col(item).cast("long").alias("item"))
+           .agg(F.count("*").alias("true_cnt"))
+           .orderBy(F.col("true_cnt").desc(), F.col("item").asc())
+           .limit(top_n))
+    probes = top.select(
+        "item", "true_cnt",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     F.pmod(det_hash_i64(F.col("item"), seed=100 + d),
+                            F.lit(width)).cast("int").alias("bucket"))
+            for d in range(depth)])).alias("p")
+    ).select("item", "true_cnt", F.col("p.d").alias("pd"),
+             F.col("p.bucket").alias("pb"))
+    joined = probes.join(F.broadcast(sketch),
+                         (probes["pd"] == sketch["d"])
+                         & (probes["pb"] == sketch["bucket"]))
+    return (joined.groupBy("item", "true_cnt")
+            .agg(F.min("cnt").alias("cms_estimate"))
+            .select(F.col("item").cast("bigint"),
+                    F.col("true_cnt").cast("bigint"),
+                    F.col("cms_estimate").cast("bigint"),
+                    (F.col("cms_estimate") - F.col("true_cnt"))
+                    .cast("bigint").alias("overestimate"))
+            .orderBy(F.col("true_cnt").desc(), F.col("item").asc()))
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, dim: DataFrame,
+                    dim_key: str, m: int = 4096,
+                    n_hashes: int = 3) -> DataFrame:
+    """Bloom-filter semi-join audit: build an ``m``-bit filter over
+    ``dim``'s keys with ``n_hashes`` det-hash functions, admit the
+    ``fact`` rows whose every bit is set, then verify exactly.
+
+    The 100-TB shape: the bit table is ≤ ``m`` rows (broadcast — no
+    shuffle of the fact side beyond the final aggregate), the
+    membership test is ``n_hashes`` array positions all present —
+    computed as a broadcast join + count match, never a Python set.
+    False positives are the rows the filter admits that the exact
+    semi-join rejects; their rate is the sketch-quality metric.
+
+    Output: one row — ``n_fact_keys, n_candidates, n_true,
+    n_false_positive (bigints), fp_rate (double)`` where
+    ``fp_rate = n_false_positive / n_fact_keys`` (all counts over
+    DISTINCT fact keys — the unit a semi-join prefilter admits).
+    """
+    def positions(col):
+        return [F.pmod(det_hash_i64(col.cast("long"), seed=200 + i),
+                       F.lit(m)).cast("int")
+                for i in range(n_hashes)]
+
+    bits = (dim.select(F.explode(F.array(
+                *positions(F.col(dim_key)))).alias("bit"))
+            .distinct())
+    # probe DISTINCT keys and DISTINCT (key, bit) pairs: duplicate fact
+    # rows and two hash functions colliding onto one bit must not
+    # inflate/deflate the all-bits-present count
+    probe = (fact.select(F.col(fact_key).alias("fk")).distinct()
+             .select("fk", F.explode(F.array_distinct(F.array(
+                 *positions(F.col("fk"))))).alias("bit")))
+    need = probe.groupBy("fk").agg(F.count("*").alias("n_pos"))
+    hits = (probe.join(F.broadcast(bits), "bit")
+            .groupBy("fk").agg(F.count("*").alias("nbits"))
+            .join(need, "fk")
+            .where(F.col("nbits") == F.col("n_pos"))
+            .select("fk"))
+    truth = dim.select(F.col(dim_key).alias("fk")).distinct()
+    cand = hits.join(F.broadcast(truth.withColumn("is_true", F.lit(1))),
+                     "fk", "left")
+    nkeys = fact.agg(F.countDistinct(fact_key).alias("n_fact_keys"))
+    agg = cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"))
+    return agg.crossJoin(F.broadcast(nkeys)).select(
+        F.col("n_fact_keys").cast("bigint"),
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_true").cast("bigint"),
+        (F.col("n_candidates") - F.col("n_true")).cast("bigint")
+        .alias("n_false_positive"),
+        F.round((F.col("n_candidates") - F.col("n_true"))
+                / F.col("n_fact_keys").cast("double"), 6)
+        .alias("fp_rate"))
