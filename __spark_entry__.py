@@ -2821,6 +2821,77 @@ def q_bloom_semi(spark, sf_dir):
                            m=4096, n_hashes=3)
 
 
+def q_kendall(spark, sf_dir):
+    """Kendall tau-b per event_type between floor(value) (forced
+    ties) and event time (stats.py kendall_tau): Knight's O(n log n)
+    merge-sort inversion count inside one applyInPandas per group;
+    the oracle is the O(n²) pair enumeration — 2k-row groups keep it
+    affordable there, which is exactly the path that does NOT scale
+    and why the log-linear UDF exists."""
+    from hipipe_spark.operators.stats import kendall_tau
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor("value").cast("double").alias("xv"),
+        F.col("ts").cast("timestamp").cast("double").alias("yv"))
+    return kendall_tau(e, "event_type", "xv", "yv")
+
+
+def _clf_frame(spark, sf_dir):
+    """Deterministic multiclass prediction table: label = event_type,
+    pred corrupted to 'view' on a 30% det-hash coin."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = det_hash01(F.col("event_id"), seed=11)
+    return e.select(
+        F.col("event_type").alias("label"),
+        F.when(u < 0.3, F.lit("view")).otherwise(F.col("event_type"))
+         .alias("pred"))
+
+
+def q_class_report(spark, sf_dir):
+    """Per-class precision/recall/F1 from ONE confusion-cell
+    aggregate (evaluation.py classification_report) — class²-sized
+    state, sklearn null conventions for undefined ratios."""
+    from hipipe_spark.operators.evaluation import classification_report
+    return classification_report(_clf_frame(spark, sf_dir),
+                                 "label", "pred")
+
+
+def q_clf_summary(spark, sf_dir):
+    """Accuracy, macro/weighted F1 and the Gorodkin multiclass MCC
+    (evaluation.py classifier_summary) folded from the same
+    confusion cells as class_report."""
+    from hipipe_spark.operators.evaluation import classifier_summary
+    return classifier_summary(_clf_frame(spark, sf_dir),
+                              "label", "pred")
+
+
+def q_seasonal(spark, sf_dir):
+    """Classical additive decomposition of the hourly event-count
+    series, period 24 (temporal.py seasonal_decompose): 2×24
+    half-weighted centered MA trend, phase-mean seasonal centered to
+    zero, residual. The series is the AGGREGATE of the raw log
+    (dimension-sized), so the one unpartitioned sort is over ~720
+    rows regardless of corpus size."""
+    from hipipe_spark.operators.temporal import seasonal_decompose
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").alias("cnt")))
+    return seasonal_decompose(hours, "hour", "cnt", period=24)
+
+
+def q_dp_counts(spark, sf_dir):
+    """ε-DP noisy histogram with deterministic inverse-CDF Laplace
+    noise keyed on the cell (validate.py dp_counts, ε=0.5, seed=42):
+    the release itself — not a tolerance band around it — is
+    reproduced bit-for-bit by the DuckDB oracle via the det-hash
+    family."""
+    from hipipe_spark.operators.validate import dp_counts
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dp_counts(e, ["event_type"], epsilon=0.5, seed=42)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3106,6 +3177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cms_heavy": q_cms_heavy,
         "bloom_semi": q_bloom_semi,
+        "kendall": q_kendall,
+        "class_report": q_class_report,
+        "clf_summary": q_clf_summary,
+        "seasonal": q_seasonal,
+        "dp_counts": q_dp_counts,
     }
 
 
@@ -5594,6 +5670,139 @@ def oracle_sql() -> dict[str, str]:
              round((count(*) - sum(is_true))
                    / CAST(n_fact_keys AS DOUBLE), 6) AS fp_rate
       FROM cand, nk GROUP BY n_fact_keys
+    """
+    d["kendall"] = """
+      WITH e AS (SELECT event_id, event_type AS g,
+                        CAST(floor(value) AS DOUBLE) AS x,
+                        epoch(ts) AS y
+                 FROM events),
+      p AS (SELECT a.g,
+                   sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                            THEN 1 ELSE 0 END) AS nc,
+                   sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                            THEN 1 ELSE 0 END) AS nd,
+                   sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS n2,
+                   count(*) AS n0
+            FROM e a JOIN e b ON a.g = b.g AND a.event_id < b.event_id
+            GROUP BY a.g),
+      nn AS (SELECT g, count(*) AS n FROM e GROUP BY g)
+      SELECT nn.g AS event_type, CAST(nn.n AS BIGINT) AS n,
+             CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+             CASE WHEN (n0 - n1) > 0 AND (n0 - n2) > 0
+                  THEN round((nc - nd)
+                       / sqrt(CAST(n0 - n1 AS DOUBLE)
+                              * CAST(n0 - n2 AS DOUBLE)), 6)
+             END AS tau_b
+      FROM nn JOIN p ON p.g = nn.g
+    """
+    _clf_cells = f"""
+      f AS (SELECT event_type AS label,
+                   CASE WHEN ({det_hash01_sql('event_id', 11)}) < 0.3
+                        THEN 'view' ELSE event_type END AS pred
+            FROM events),
+      cells AS (SELECT label AS lab, pred AS prd, count(*) AS n
+                FROM f GROUP BY 1, 2),
+      classes AS (SELECT DISTINCT lab AS cls FROM cells
+                  UNION SELECT DISTINCT prd FROM cells),
+      bl AS (SELECT lab AS cls,
+                    sum(CASE WHEN lab = prd THEN n ELSE 0 END) AS tp_l,
+                    sum(n) AS support
+             FROM cells GROUP BY 1),
+      bp AS (SELECT prd AS cls,
+                    sum(CASE WHEN lab = prd THEN n ELSE 0 END) AS tp_p,
+                    sum(n) AS n_pred
+             FROM cells GROUP BY 1),
+      j AS (SELECT c.cls, coalesce(tp_l, 0) AS tp,
+                   coalesce(n_pred, 0) AS n_pred,
+                   coalesce(support, 0) AS support
+            FROM classes c LEFT JOIN bl ON bl.cls = c.cls
+                           LEFT JOIN bp ON bp.cls = c.cls)"""
+    d["class_report"] = f"""
+      WITH {_clf_cells}
+      SELECT cls AS class, CAST(tp AS BIGINT) AS tp,
+             CAST(n_pred - tp AS BIGINT) AS fp,
+             CAST(support - tp AS BIGINT) AS fn,
+             CAST(support AS BIGINT) AS support,
+             CASE WHEN n_pred > 0
+                  THEN round(CAST(tp AS DOUBLE) / n_pred, 6)
+             END AS "precision",
+             CASE WHEN support > 0
+                  THEN round(CAST(tp AS DOUBLE) / support, 6)
+             END AS recall,
+             CASE WHEN n_pred > 0 AND support > 0
+                  THEN round(2.0 * tp / (n_pred + support), 6)
+             END AS f1
+      FROM j
+    """
+    d["clf_summary"] = f"""
+      WITH {_clf_cells},
+      per AS (SELECT support, tp, n_pred,
+                     CASE WHEN n_pred > 0 AND support > 0
+                          THEN round(2.0 * tp / (n_pred + support), 6)
+                          ELSE 0.0 END AS f1z
+              FROM j),
+      ag AS (SELECT CAST(sum(support) AS DOUBLE) AS s,
+                    CAST(sum(tp) AS DOUBLE) AS c,
+                    avg(f1z) AS macro_raw,
+                    sum(f1z * support) / CAST(sum(support) AS DOUBLE)
+                      AS weighted_raw,
+                    CAST(sum(n_pred * support) AS DOUBLE) AS sum_pt,
+                    CAST(sum(n_pred * n_pred) AS DOUBLE) AS sum_p2,
+                    CAST(sum(support * support) AS DOUBLE) AS sum_t2
+             FROM per)
+      SELECT CAST(s AS BIGINT) AS n,
+             round(c / s, 6) AS accuracy,
+             round(macro_raw, 6) AS macro_f1,
+             round(weighted_raw, 6) AS weighted_f1,
+             CASE WHEN (s * s - sum_p2) * (s * s - sum_t2) > 0
+                  THEN round((c * s - sum_pt)
+                       / sqrt((s * s - sum_p2) * (s * s - sum_t2)), 6)
+             END AS mcc
+      FROM ag
+    """
+    d["seasonal"] = """
+      WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            AS hour,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1),
+      w AS (SELECT hour, CAST(cnt AS DOUBLE) AS v,
+                   sum(CAST(cnt AS DOUBLE)) OVER win AS s_full,
+                   first_value(CAST(cnt AS DOUBLE)) OVER win AS lo,
+                   last_value(CAST(cnt AS DOUBLE)) OVER win AS hi,
+                   count(*) OVER win AS cwin
+            FROM hrs
+            WINDOW win AS (ORDER BY hour
+                           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      b AS (SELECT hour, v,
+                   CASE WHEN cwin = 25
+                        THEN (s_full - 0.5 * lo - 0.5 * hi) / 24.0
+                   END AS trend,
+                   hour % 24 AS phase
+            FROM w),
+      ph AS (SELECT phase, avg(v - trend) AS phm FROM b GROUP BY 1),
+      ctr AS (SELECT avg(phm) AS cc FROM ph),
+      se AS (SELECT phase, phm - cc AS seasonal FROM ph, ctr)
+      SELECT b.hour, round(v, 6) AS cnt, round(trend, 6) AS trend,
+             round(seasonal, 6) AS seasonal,
+             round(v - trend - seasonal, 6) AS resid
+      FROM b JOIN se USING (phase)
+    """
+    d["dp_counts"] = f"""
+      WITH g AS (SELECT event_type, count(*) AS true_cnt
+                 FROM events GROUP BY 1),
+      h AS (SELECT event_type, true_cnt,
+                   (CAST({det_hash_str_i64_sql('event_type', 42)}
+                         AS DOUBLE) + 0.5) / 2147483648.0 AS u
+            FROM g),
+      nz AS (SELECT event_type, true_cnt,
+                    round(-2.0 * sign(u - 0.5)
+                          * ln(greatest(1.0 - 2.0 * abs(u - 0.5),
+                                        1e-12)), 4) AS noise
+             FROM h)
+      SELECT event_type, CAST(true_cnt AS BIGINT) AS true_cnt, noise,
+             round(greatest(true_cnt + noise, 0.0), 4) AS dp_cnt
+      FROM nz
     """
     return d
 

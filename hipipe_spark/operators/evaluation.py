@@ -589,3 +589,86 @@ def bradley_terry_oracle_sql(
       FROM p{n_iter} p
       LEFT JOIN wins w ON w.item = p.item
       LEFT JOIN totals t ON t.item = p.item""")
+
+
+def classification_report(df: DataFrame, label: str,
+                          pred: str) -> DataFrame:
+    """Per-class precision/recall/F1 over a multiclass prediction
+    table: ONE hash aggregate to the (label, pred) confusion cells —
+    a class²-sized table, never the raw rows — then cell arithmetic.
+    Classes present in either column are reported (absent counts are
+    0; undefined ratios are null, the sklearn zero-division=nan
+    convention).
+
+    Output: ``class, tp, fp, fn, support (bigints), precision,
+    recall, f1 (doubles, rounded 6)``, ordered by class.
+    """
+    cells = (df.groupBy(F.col(label).cast("string").alias("lab"),
+                        F.col(pred).cast("string").alias("prd"))
+             .agg(F.count("*").alias("n")))
+    classes = (cells.select(F.col("lab").alias("cls"))
+               .union(cells.select("prd")).distinct())
+    tp = F.sum(F.when(F.col("lab") == F.col("prd"), F.col("n"))
+               .otherwise(0))
+    by_lab = cells.groupBy(F.col("lab").alias("cls")).agg(
+        tp.alias("tp_l"), F.sum("n").alias("support"))
+    by_prd = cells.groupBy(F.col("prd").alias("cls")).agg(
+        tp.alias("tp_p"), F.sum("n").alias("n_pred"))
+    j = (classes.join(by_lab, "cls", "left")
+         .join(by_prd, "cls", "left")
+         .select("cls",
+                 F.coalesce(F.col("tp_l"), F.lit(0)).alias("tp"),
+                 F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+                 F.coalesce(F.col("support"), F.lit(0))
+                  .alias("support")))
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when((F.col("n_pred") > 0) & (F.col("support") > 0),
+                2 * F.col("tp")
+                / (F.col("n_pred") + F.col("support")))
+    return (j.select(
+        F.col("cls").alias("class"),
+        F.col("tp").cast("bigint"),
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("bigint").alias("fn"),
+        F.col("support").cast("bigint"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"))
+        .orderBy("class"))
+
+
+def classifier_summary(df: DataFrame, label: str,
+                       pred: str) -> DataFrame:
+    """One-row multiclass summary: accuracy, macro-F1 (unweighted
+    class mean, absent-class F1 counted as 0 per sklearn), weighted
+    F1 (support-weighted), and the Gorodkin (2004) multiclass
+    Matthews correlation
+    ``(c·s − Σ pₖtₖ) / sqrt((s² − Σpₖ²)(s² − Σtₖ²))``
+    — all from the same class²-sized confusion-cell aggregate.
+    Doubles rounded 6; MCC null when a marginal is degenerate.
+    """
+    rep = classification_report(df, label, pred)
+    per = rep.select(
+        "support", "tp",
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        F.coalesce(F.col("f1"), F.lit(0.0)).alias("f1z"))
+    agg = per.agg(
+        F.sum("support").alias("s"),
+        F.sum("tp").alias("c"),
+        F.avg("f1z").alias("macro_f1_raw"),
+        (F.sum(F.col("f1z") * F.col("support"))
+         / F.sum("support")).alias("weighted_f1_raw"),
+        F.sum(F.col("n_pred") * F.col("support")).alias("sum_pt"),
+        F.sum(F.col("n_pred") * F.col("n_pred")).alias("sum_p2"),
+        F.sum(F.col("support") * F.col("support")).alias("sum_t2"))
+    s = F.col("s").cast("double")
+    den = (s * s - F.col("sum_p2")) * (s * s - F.col("sum_t2"))
+    mcc = F.when(den > 0,
+                 (F.col("c") * s - F.col("sum_pt")) / F.sqrt(den))
+    return agg.select(
+        F.col("s").cast("bigint").alias("n"),
+        F.round(F.col("c") / s, 6).alias("accuracy"),
+        F.round(F.col("macro_f1_raw"), 6).alias("macro_f1"),
+        F.round(F.col("weighted_f1_raw"), 6).alias("weighted_f1"),
+        F.round(mcc, 6).alias("mcc"))

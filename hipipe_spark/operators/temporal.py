@@ -695,3 +695,64 @@ def rolling_slope(df: DataFrame, y, n: int = 8,
     if round_to is not None:
         res = F.round(res, round_to)
     return df.withColumn(out, res)
+
+
+def seasonal_decompose(df: DataFrame, t_col: str, value: str,
+                       period: int = 24) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    detrend of STL's ancestor, Macaulay 1931): ``value = trend +
+    seasonal + residual`` over a DENSE integer time index ``t_col``.
+
+    - trend: centered moving average — plain ``period``-point MA for
+      odd periods, the 2×m half-weighted-endpoint MA for even ones —
+      null at the edges (window must be complete);
+    - seasonal: per-phase (``t % period``) mean of the detrended
+      series, centered to sum to zero across phases;
+    - residual: what's left where trend is defined.
+
+    Scale shape: the input here is a SERIES — the aggregate of the
+    raw data (e.g. hourly counts of a 100-TB event log), thousands of
+    rows, not the log itself. The windows therefore run on a
+    dimension-sized frame; the one unpartitioned sort is over the
+    series length. Callers decompose per entity by grouping upstream
+    and adding the entity to every window's partition.
+
+    Output: ``t_col, value (double), trend, seasonal, resid``
+    (doubles rounded 6), ordered by ``t_col``.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    w_ord = Window.orderBy(t_col)
+    h = period // 2
+    win = w_ord.rowsBetween(-h, h)
+    v = F.col(value).cast("double")
+    if period % 2 == 0:
+        # 2×m MA: half weight on both endpoints, full on the interior
+        full = F.sum(v).over(win)
+        lo = F.first(v).over(win)
+        hi = F.last(v).over(win)
+        trend_raw = (full - 0.5 * lo - 0.5 * hi) / F.lit(float(period))
+        need = period + 1
+    else:
+        trend_raw = F.sum(v).over(win) / F.lit(float(period))
+        need = period
+    trend = F.when(F.count(v).over(win) == need, trend_raw)
+    base = df.select(F.col(t_col), v.alias("__v"),
+                     trend.alias("__trend"),
+                     F.pmod(F.col(t_col).cast("bigint"),
+                            F.lit(period)).alias("__phase"))
+    det = F.col("__v") - F.col("__trend")
+    # phase table: PERIOD rows; centered so seasonal sums to 0 across
+    # one period (unweighted across phases, the classical convention)
+    phases = base.groupBy("__phase").agg(F.avg(det).alias("__ph"))
+    center = phases.agg(F.avg("__ph").alias("__c"))
+    phases = phases.crossJoin(F.broadcast(center)).select(
+        "__phase", (F.col("__ph") - F.col("__c")).alias("__seasonal"))
+    out = base.join(F.broadcast(phases), "__phase").select(
+        t_col,
+        F.round(F.col("__v"), 6).alias(value),
+        F.round(F.col("__trend"), 6).alias("trend"),
+        F.round(F.col("__seasonal"), 6).alias("seasonal"),
+        F.round(F.col("__v") - F.col("__trend") - F.col("__seasonal"),
+                6).alias("resid"))
+    return out.orderBy(t_col)

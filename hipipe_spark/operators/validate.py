@@ -233,3 +233,45 @@ def table_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def dp_counts(df: DataFrame, group_cols: Sequence[str],
+              epsilon: float = 1.0, seed: int = 0) -> DataFrame:
+    """ε-differentially-private release of a group-count histogram
+    with DETERMINISTIC Laplace noise: the draw for each cell is the
+    inverse-CDF transform of a det-hash uniform of the cell's own key
+    — so the release is reproducible across runs, cluster sizes, and
+    the DuckDB oracle, while keeping the Laplace(Δ=1, b=1/ε) shape
+    the count query needs.
+
+    ``noise = −b · sign(u − ½) · ln(1 − 2|u − ½|)``, u ∈ (0,1) from
+    :func:`~hipipe_spark.functions.hashing.det_hash_str_i64` of the
+    concatenated group key. One map-side-combinable aggregate; the
+    noise arithmetic runs on the cell-dimension table. (Determinism
+    is a *reproducibility* device — a production ε-budgeted release
+    would swap in fresh randomness; the plan is identical.)
+
+    Output: group cols, ``true_cnt (bigint)``, ``noise (double)``,
+    ``dp_cnt (double)`` = max(0, true + noise) rounded 4 — the
+    post-processing clamp costs no privacy.
+    """
+    from hipipe_spark.functions.hashing import det_hash_i64, _M
+    from hipipe_spark.functions.hashing import det_hash_str_i64
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    g = df.groupBy(*group_cols).agg(F.count("*").alias("true_cnt"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                for c in group_cols])
+    u = (det_hash_str_i64(key, seed=seed).cast("double") + 0.5) \
+        / F.lit(float(_M))
+    b = 1.0 / float(epsilon)
+    half = u - F.lit(0.5)
+    mag = F.greatest(1.0 - 2.0 * F.abs(half), F.lit(1e-12))
+    noise = F.round(-F.lit(b) * F.signum(half) * F.log(mag), 4)
+    return (g.withColumn("noise", noise)
+            .select(*group_cols,
+                    F.col("true_cnt").cast("bigint").alias("true_cnt"),
+                    "noise",
+                    F.round(F.greatest(F.col("true_cnt") + F.col("noise"),
+                                       F.lit(0.0)), 4).alias("dp_cnt"))
+            .orderBy(*group_cols))

@@ -1,0 +1,163 @@
+"""Kendall tau-b vs brute force, classification metrics vs manual
+confusion math, seasonal decomposition recovery, deterministic DP."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hipipe_spark.operators.evaluation import (
+    classification_report, classifier_summary)
+from hipipe_spark.operators.stats import kendall_tau
+from hipipe_spark.operators.temporal import seasonal_decompose
+from hipipe_spark.operators.validate import dp_counts
+
+
+def _brute_tau(xs, ys):
+    n = len(xs)
+    nc = nd = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx * dy > 0:
+                nc += 1
+            elif dx * dy < 0:
+                nd += 1
+            if dx == 0:
+                n1 += 1
+            if dy == 0:
+                n2 += 1
+    n0 = n * (n - 1) // 2
+    den = (n0 - n1) * (n0 - n2)
+    tau = (nc - nd) / math.sqrt(den) if den > 0 else None
+    return nc, nd, tau
+
+
+def test_kendall_matches_brute_force_with_ties(spark):
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 8, 120).astype(float)      # heavy x ties
+    ys = (xs * 2 + rng.randint(0, 5, 120)).astype(float)  # y ties too
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(xs, ys)],
+        "g: string, x: double, y: double")
+    r = kendall_tau(df, "g", "x", "y").collect()[0]
+    nc, nd, tau = _brute_tau(list(xs), list(ys))
+    assert (r.nc, r.nd) == (nc, nd)
+    assert abs(r.tau_b - tau) < 5.1e-7   # operator rounds tau to 6dp
+
+
+def test_kendall_perfect_and_constant(spark):
+    df = spark.createDataFrame(
+        [("up", float(i), float(i * 3)) for i in range(50)]
+        + [("dn", float(i), float(-i)) for i in range(50)]
+        + [("const", float(i), 1.0) for i in range(50)],
+        "g: string, x: double, y: double")
+    out = {r.g: r for r in kendall_tau(df, "g", "x", "y").collect()}
+    assert out["up"].tau_b == 1.0
+    assert out["dn"].tau_b == -1.0
+    assert out["const"].tau_b is None      # zero denominator
+
+
+@pytest.fixture(scope="module")
+def clf(spark):
+    # labels a,b,c; predictions with known confusion
+    rows = (
+        [("a", "a")] * 40 + [("a", "b")] * 10
+        + [("b", "b")] * 30 + [("b", "c")] * 20
+        + [("c", "c")] * 25 + [("c", "a")] * 5)
+    return spark.createDataFrame(rows, "label: string, pred: string")
+
+
+def test_classification_report_manual(clf):
+    rep = {r["class"]: r for r in
+           classification_report(clf, "label", "pred").collect()}
+    assert rep["a"].tp == 40 and rep["a"].fp == 5 and rep["a"].fn == 10
+    assert rep["a"].precision == round(40 / 45, 6)
+    assert rep["a"].recall == round(40 / 50, 6)
+    assert rep["b"].f1 == round(2 * 30 / (40 + 50), 6)
+    assert rep["c"].support == 30
+
+
+def test_classifier_summary_manual(clf):
+    s = classifier_summary(clf, "label", "pred").collect()[0]
+    assert s.n == 130
+    assert s.accuracy == round(95 / 130, 6)
+    # Gorodkin MCC from the known confusion matrix
+    t = {"a": 50, "b": 50, "c": 30}
+    p = {"a": 45, "b": 40, "c": 45}
+    c, n = 95, 130
+    num = c * n - sum(p[k] * t[k] for k in t)
+    den = math.sqrt((n * n - sum(v * v for v in p.values()))
+                    * (n * n - sum(v * v for v in t.values())))
+    assert abs(s.mcc - num / den) < 1e-6
+
+
+def test_classification_absent_predicted_class(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("b", "b"), ("c", "b")],
+        "label: string, pred: string")
+    rep = {r["class"]: r for r in
+           classification_report(df, "label", "pred").collect()}
+    assert rep["c"].precision is None     # never predicted
+    assert rep["c"].recall == 0.0
+
+
+def test_seasonal_recovers_planted_pattern(spark):
+    period = 12
+    n = 30 * period
+    rows = [(t, 100.0 + 0.5 * t + 10.0 * math.sin(2 * math.pi
+                                                  * (t % period) / period))
+            for t in range(n)]
+    df = spark.createDataFrame(rows, "t: bigint, v: double")
+    out = seasonal_decompose(df, "t", "v", period=period).collect()
+    by_t = {r.t: r for r in out}
+    # edges have no trend; interior does
+    assert by_t[0].trend is None and by_t[n - 1].trend is None
+    mid = by_t[n // 2]
+    assert mid.trend is not None
+    # additivity where defined
+    for r in out:
+        if r.trend is not None:
+            assert abs(r.v - (r.trend + r.seasonal + r.resid)) < 1e-4
+    # planted amplitude-10 sinusoid recovered within 5%
+    amp = max(abs(r.seasonal) for r in out)
+    assert 9.5 < amp < 10.5
+    # seasonal sums to ~0 across one period
+    one = sorted({r.t % period: r.seasonal for r in out}.items())
+    assert abs(sum(s for _, s in one)) < 1e-3
+    # linear trend slope recovered on the interior
+    a, b = by_t[100], by_t[200]
+    assert abs((b.trend - a.trend) / 100 - 0.5) < 0.01
+
+
+def test_dp_counts_deterministic_and_clamped(spark):
+    df = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 3, "g: string")
+    r1 = {r.g: r for r in dp_counts(df, ["g"], epsilon=0.5,
+                                    seed=1).collect()}
+    r2 = {r.g: r for r in dp_counts(df, ["g"], epsilon=0.5,
+                                    seed=1).collect()}
+    assert r1["x"].noise == r2["x"].noise          # reproducible
+    r3 = {r.g: r for r in dp_counts(df, ["g"], epsilon=0.5,
+                                    seed=2).collect()}
+    assert any(r1[g].noise != r3[g].noise for g in r1)  # seed matters
+    assert all(r.dp_cnt >= 0 for r in r1.values())      # clamp
+    assert r1["x"].true_cnt == 50
+    with pytest.raises(ValueError):
+        dp_counts(df, ["g"], epsilon=0.0)
+
+
+def test_dp_noise_scale_tracks_epsilon(spark):
+    # same cells, two epsilons: noise scales exactly by b2/b1
+    df = spark.createDataFrame([(str(i),) for i in range(200)],
+                               "g: string")
+    lo = {r.g: r.noise for r in
+          dp_counts(df, ["g"], epsilon=0.5, seed=3).collect()}
+    hi = {r.g: r.noise for r in
+          dp_counts(df, ["g"], epsilon=2.0, seed=3).collect()}
+    for g in lo:
+        assert abs(lo[g] - 4.0 * hi[g]) < 2e-3     # b=2.0 vs b=0.5
+    # empirical mean |noise| ≈ b for Laplace
+    mean_abs = float(np.mean([abs(v) for v in lo.values()]))
+    assert 1.0 < mean_abs < 3.5                    # b = 2.0
