@@ -2892,6 +2892,36 @@ def q_dp_counts(spark, sf_dir):
     return dp_counts(e, ["event_type"], epsilon=0.5, seed=42)
 
 
+def q_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient (graph.py
+    triangle_stats) over the part co-purchase graph (parts sharing an
+    order). Compact-forward orientation a<b<c: each triangle
+    enumerated exactly once via two equi-joins on node ids — the
+    standard distributed triangle plan, AQE-skew-splittable."""
+    from hipipe_spark.operators.graph import triangle_stats
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return triangle_stats(pairs)
+
+
+def q_histq(spark, sf_dir):
+    """Mergeable histogram quantile sketch (sketches.py
+    hist_quantiles): 64 fixed bins of l_extendedprice per
+    l_returnflag, estimates vs the exact interpolated percentile.
+    The sketch state is 64 counters per group — mergeable by summing,
+    served in O(bins); the rounded-handoff (lo, hi) makes bin
+    assignment bit-identical in the oracle."""
+    from hipipe_spark.operators.sketches import hist_quantiles
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hist_quantiles(li, "l_returnflag", "l_extendedprice",
+                          n_bins=64, qs=(0.25, 0.5, 0.75, 0.9))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3182,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clf_summary": q_clf_summary,
         "seasonal": q_seasonal,
         "dp_counts": q_dp_counts,
+        "triangles": q_triangles,
+        "histq": q_histq,
     }
 
 
@@ -5803,6 +5835,72 @@ def oracle_sql() -> dict[str, str]:
       SELECT event_type, CAST(true_cnt AS BIGINT) AS true_cnt, noise,
              round(greatest(true_cnt + noise, 0.0), 4) AS dp_cnt
       FROM nz
+    """
+    d["triangles"] = """
+      WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT node, count(*) AS deg
+              FROM (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+              GROUP BY 1),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                      CAST(sum(deg * (deg - 1) / 2) AS BIGINT)
+                        AS n_wedges
+               FROM deg),
+      tri AS (SELECT count(*) AS n_triangles
+              FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+                         JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT n_nodes, n_edges, n_wedges,
+             CAST(n_triangles AS BIGINT) AS n_triangles,
+             CASE WHEN n_wedges > 0
+                  THEN round(3.0 * n_triangles / n_wedges, 6)
+             END AS global_cc
+      FROM base, tri
+    """
+    d["histq"] = """
+      WITH li AS (SELECT l_returnflag AS g,
+                         CAST(l_extendedprice AS DOUBLE) AS v
+                  FROM lineitem),
+      rng AS (SELECT g, round(min(v), 6) AS lo, round(max(v), 6) AS hi,
+                     count(*) AS n,
+                     quantile_cont(v, 0.25) AS ex0,
+                     quantile_cont(v, 0.50) AS ex1,
+                     quantile_cont(v, 0.75) AS ex2,
+                     quantile_cont(v, 0.90) AS ex3
+              FROM li GROUP BY g),
+      b AS (SELECT li.g, lo, hi, n,
+                   CASE WHEN hi > lo
+                        THEN least(63, greatest(0,
+                             CAST(floor((v - lo) / (hi - lo) * 64)
+                                  AS INT)))
+                        ELSE 0 END AS bin
+            FROM li JOIN rng ON rng.g = li.g),
+      bins AS (SELECT g, lo, hi, n, bin, count(*) AS cnt
+               FROM b GROUP BY 1, 2, 3, 4, 5),
+      cum AS (SELECT *, sum(cnt) OVER (PARTITION BY g ORDER BY bin)
+                        AS cum
+              FROM bins),
+      qs AS (SELECT UNNEST([0.25, 0.50, 0.75, 0.90]) AS q,
+                    UNNEST([0, 1, 2, 3]) AS qi),
+      hit AS (SELECT c.*, q, qi,
+                     row_number() OVER (PARTITION BY c.g, q
+                                        ORDER BY bin) AS rk
+              FROM cum c, qs
+              WHERE cum >= q * n),
+      fin AS (SELECT h.g, q, qi,
+                     h.lo + (bin + (q * h.n - (cum - cnt)) / cnt)
+                        * ((h.hi - h.lo) / 64.0) AS est,
+                     CASE qi WHEN 0 THEN ex0 WHEN 1 THEN ex1
+                             WHEN 2 THEN ex2 ELSE ex3 END AS exact
+              FROM hit h JOIN rng r2 ON r2.g = h.g
+              WHERE rk = 1)
+      SELECT g AS l_returnflag, q, round(est, 4) AS est,
+             round(exact, 4) AS exact,
+             round(abs(est - exact), 4) AS err
+      FROM fin
     """
     return d
 

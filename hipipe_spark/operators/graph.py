@@ -255,3 +255,48 @@ def label_propagation_oracle_sql(
           WHERE a.node NOT IN (SELECT node FROM {prev}))""")
     return (pre + "".join(steps)
             + f"\n      SELECT node, label, seeded FROM l{n_iter}")
+
+
+def triangle_stats(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph: node/edge
+    counts, wedge (2-path) count, triangle count, and the global
+    clustering coefficient ``3·triangles / wedges``.
+
+    The compact-forward orientation trick: edges are canonicalized to
+    ``a < b`` and triangles enumerated as ``a < b < c`` via two
+    equi-joins — each triangle is generated exactly once and the
+    quadratic wedge explosion is halved. At 100 TB the join keys are
+    node ids (hash-shuffled, AQE-skew-splittable); degree-based
+    orientation (low→high degree) is the standard next step for
+    power-law graphs and slots into the same plan by re-keying the
+    canonical order.
+
+    Output: one row — ``n_nodes, n_edges, n_wedges, n_triangles
+    (bigints), global_cc (double, rounded 6; null when wedge-free)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.where(a != b)
+         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .distinct())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    base = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("deg")) / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+         .alias("n_wedges"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y")            # paths x < y < z
+           .join(e3, ["x", "z"])       # close the triangle
+           .agg(F.count("*").alias("n_triangles")))
+    out = base.crossJoin(tri)
+    cc = F.when(F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles")
+                        / F.col("n_wedges"), 6))
+    return out.select("n_nodes", "n_edges", "n_wedges",
+                      F.col("n_triangles").cast("bigint")
+                       .alias("n_triangles"),
+                      cc.alias("global_cc"))

@@ -213,3 +213,75 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, dim: DataFrame,
         F.round((F.col("n_candidates") - F.col("n_true"))
                 / F.col("n_fact_keys").cast("double"), 6)
         .alias("fp_rate"))
+
+
+def hist_quantiles(df: DataFrame, group: str, value: str,
+                   n_bins: int = 128,
+                   qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile sketch: per group, ONE
+    range pass (min/max/count — map-side combinable) and ONE bin-count
+    aggregate whose state is exactly ``n_bins`` counters per group —
+    the property that makes per-day sketches mergeable by summing and
+    quantile serving O(bins). Estimates interpolate linearly inside
+    the covering bin; error is bounded by the bin width.
+
+    The (lo, hi) range is ROUNDED before binning (the rounded-handoff
+    pattern) so bin assignment — and therefore the whole sketch — is
+    bit-identical in the DuckDB oracle. ``exact`` (true interpolated
+    percentile) rides along for the error column; at 100 TB you'd drop
+    it — it costs the full sort the sketch exists to avoid.
+
+    Output: ``group, q, est, exact, err`` (doubles rounded 4),
+    ordered by group, q.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    g = F.col(group)
+    v = F.col(value).cast("double")
+    rng = df.groupBy(group).agg(
+        F.round(F.min(v), 6).alias("lo"),
+        F.round(F.max(v), 6).alias("hi"),
+        F.count(v).alias("n"),
+        *[F.percentile(v, float(q)).alias(f"__ex{i}")
+          for i, q in enumerate(qs)])
+    binned = (df.select(g, v.alias("__v"))
+              .join(F.broadcast(rng), group)
+              .select(group, "lo", "hi", "n",
+                      F.when(F.col("hi") > F.col("lo"),
+                             F.least(F.lit(n_bins - 1), F.greatest(
+                                 F.lit(0),
+                                 F.floor((F.col("__v") - F.col("lo"))
+                                         / (F.col("hi") - F.col("lo"))
+                                         * n_bins).cast("int"))))
+                       .otherwise(F.lit(0)).alias("bin")))
+    bins = (binned.groupBy(group, "lo", "hi", "n", "bin")
+            .agg(F.count("*").alias("cnt")))
+    w = (Window.partitionBy(group).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    qlits = F.explode(F.array(*[
+        F.struct(F.lit(float(q)).alias("q"), F.lit(i).alias("qi"))
+        for i, q in enumerate(qs)])).alias("qq")
+    probes = cum.select(group, "lo", "hi", "n", "bin", "cnt", "cum",
+                        qlits).select(
+        group, "lo", "hi", "n", "bin", "cnt", "cum",
+        F.col("qq.q").alias("q"), F.col("qq.qi").alias("qi"))
+    # first bin whose cumulative count reaches the target rank q·n
+    hit = probes.where(F.col("cum") >= F.col("q") * F.col("n"))
+    w2 = Window.partitionBy(group, "q").orderBy("bin")
+    first = (hit.withColumn("rk", F.row_number().over(w2))
+             .where(F.col("rk") == 1))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    frac = (F.col("q") * F.col("n")
+            - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    est = F.col("lo") + (F.col("bin") + frac) * width
+    exact = F.array(*[F.col(f"__ex{i}") for i in range(len(qs))]) \
+        .getItem(F.col("qi"))
+    out = first.join(F.broadcast(rng.select(
+        group, *[f"__ex{i}" for i in range(len(qs))])), group)
+    return (out.select(
+        group, F.col("q"),
+        F.round(est, 4).alias("est"),
+        F.round(exact, 4).alias("exact"),
+        F.round(F.abs(est - exact), 4).alias("err"))
+        .orderBy(group, "q"))

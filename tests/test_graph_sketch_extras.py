@@ -1,0 +1,56 @@
+"""triangle_stats on known graphs; hist_quantiles error bounds."""
+
+import numpy as np
+
+from hipipe_spark.operators.graph import triangle_stats
+from hipipe_spark.operators.sketches import hist_quantiles
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def test_triangles_k4(spark):
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    r = triangle_stats(_edges(spark, k4)).collect()[0]
+    assert r.n_nodes == 4 and r.n_edges == 6
+    assert r.n_triangles == 4          # C(4,3)
+    assert r.n_wedges == 12            # 4 nodes × C(3,2)
+    assert r.global_cc == 1.0
+
+
+def test_triangles_path_graph_has_none(spark):
+    path = [(i, i + 1) for i in range(10)]
+    r = triangle_stats(_edges(spark, path)).collect()[0]
+    assert r.n_triangles == 0
+    assert r.global_cc == 0.0
+
+
+def test_triangles_canonicalizes_duplicates_and_direction(spark):
+    # triangle 1-2-3 given with reversed + duplicated + self edges
+    messy = [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (2, 2)]
+    r = triangle_stats(_edges(spark, messy)).collect()[0]
+    assert r.n_edges == 3 and r.n_triangles == 1
+    assert r.n_nodes == 3
+
+
+def test_hist_quantiles_error_bounded_by_bin_width(spark):
+    rng = np.random.RandomState(5)
+    vals = rng.gamma(2.0, 50.0, 4000)
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g: string, v: double")
+    out = hist_quantiles(df, "g", "v", n_bins=128).collect()
+    width = (vals.max() - vals.min()) / 128
+    assert len(out) == 4
+    for r in out:
+        assert r.err <= width + 1e-6   # interpolation stays in-bin
+    # median estimate sane
+    med = [r for r in out if r.q == 0.5][0]
+    assert abs(med.est - np.percentile(vals, 50)) < width + 1e-6
+
+
+def test_hist_quantiles_exact_on_degenerate_group(spark):
+    df = spark.createDataFrame([("c", 7.0)] * 20, "g: string, v: double")
+    out = hist_quantiles(df, "g", "v", n_bins=16).collect()
+    for r in out:
+        assert r.est == 7.0 and r.exact == 7.0 and r.err == 0.0
