@@ -2922,6 +2922,38 @@ def q_histq(spark, sf_dir):
                           n_bins=64, qs=(0.25, 0.5, 0.75, 0.9))
 
 
+def q_lttb(spark, sf_dir):
+    """LTTB downsampling (temporal.py lttb_downsample, fixed-anchor
+    parallel variant) of the hourly event-count series to 48 points:
+    every bucket's triangle-area argmax is independent (anchors =
+    neighbor-bucket means), so the classic sequential chain becomes
+    one mean aggregate + one per-bucket window — the shape that
+    survives a 10⁹-point series."""
+    from hipipe_spark.operators.temporal import lttb_downsample
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").alias("cnt")))
+    return lttb_downsample(hours, "hour", "cnt", n_out=48)
+
+
+def q_kmv_join(spark, sf_dir):
+    """Sketch-based join-cardinality estimation (sketches.py
+    kmv_join_estimate): distinct-key overlap of orders.o_custkey vs
+    high-balance customers WITHOUT running the join — KMV set algebra
+    (union (k−1)/h_k, Jaccard from shared k-minima, intersection =
+    J×union), the planner-side estimate that decides broadcast vs
+    shuffle at 100 TB. Exact overlap rides along as the error
+    column."""
+    from hipipe_spark.operators.sketches import kmv_join_estimate
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .where("c_acctbal > 2500"))
+    return kmv_join_estimate(o, "o_custkey", c, "c_custkey",
+                             k=128, tau=0.2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3214,6 +3246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         "triangles": q_triangles,
         "histq": q_histq,
+        "lttb": q_lttb,
+        "kmv_join": q_kmv_join,
     }
 
 
@@ -5901,6 +5935,80 @@ def oracle_sql() -> dict[str, str]:
              round(exact, 4) AS exact,
              round(abs(est - exact), 4) AS err
       FROM fin
+    """
+    d["lttb"] = """
+      WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            AS hour,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM hrs),
+      ix AS (SELECT hour, CAST(cnt AS DOUBLE) AS v,
+                    row_number() OVER (ORDER BY hour) AS i
+             FROM hrs),
+      pts AS (SELECT hour, v, i,
+                     CASE WHEN i = 1 THEN 0
+                          WHEN i = n THEN 47
+                          ELSE 1 + CAST(floor((i - 2) * 46 / (n - 2))
+                                        AS INT)
+                     END AS b
+              FROM ix, nn),
+      means AS (SELECT b, avg(CAST(hour AS DOUBLE)) AS mt,
+                       avg(v) AS mv
+                FROM pts GROUP BY b),
+      cand AS (SELECT p.*, pm.mt AS pt, pm.mv AS pv,
+                      nm.mt AS nt, nm.mv AS nv
+               FROM pts p LEFT JOIN means pm ON pm.b = p.b - 1
+                          LEFT JOIN means nm ON nm.b = p.b + 1),
+      sc AS (SELECT *, round(
+                 CASE WHEN pt IS NULL OR nt IS NULL THEN 0.0
+                      ELSE abs((pt - nt) * (v - pv)
+                               - (pt - CAST(hour AS DOUBLE))
+                                 * (nv - pv))
+                 END, 6) AS s
+             FROM cand),
+      pick AS (SELECT *, row_number() OVER (PARTITION BY b
+                                            ORDER BY s DESC, hour)
+                           AS rk
+               FROM sc)
+      SELECT hour, round(v, 6) AS cnt, CAST(b AS INT) AS bucket
+      FROM pick WHERE rk = 1
+    """
+    d["kmv_join"] = f"""
+      WITH ha AS (SELECT DISTINCT h01, 1 AS in_a
+                  FROM (SELECT CAST({det_hash_i64_sql('o_custkey', 7)}
+                               AS DOUBLE) / 2147483648.0 AS h01
+                        FROM orders)
+                  WHERE h01 <= 0.2),
+      hb AS (SELECT DISTINCT h01, 1 AS in_b
+             FROM (SELECT CAST({det_hash_i64_sql('c_custkey', 7)}
+                          AS DOUBLE) / 2147483648.0 AS h01
+                   FROM customer WHERE c_acctbal > 2500)
+             WHERE h01 <= 0.2),
+      u AS (SELECT coalesce(ha.h01, hb.h01) AS h01,
+                   coalesce(in_a, 0) AS in_a,
+                   coalesce(in_b, 0) AS in_b
+            FROM ha FULL JOIN hb ON ha.h01 = hb.h01),
+      tk AS (SELECT *, row_number() OVER (ORDER BY h01) AS rk FROM u),
+      ag AS (SELECT count(*) AS k_used,
+                    max(CASE WHEN rk = 128 THEN h01 END) AS h_k,
+                    sum(in_a * in_b) AS nboth
+             FROM tk WHERE rk <= 128),
+      ex AS (SELECT count(*) AS exact_inter
+             FROM (SELECT DISTINCT o_custkey FROM orders) a
+             JOIN (SELECT DISTINCT c_custkey FROM customer
+                   WHERE c_acctbal > 2500) b
+               ON a.o_custkey = b.c_custkey)
+      SELECT CAST(k_used AS BIGINT) AS k_used,
+             CASE WHEN h_k IS NOT NULL THEN round(127 / h_k, 2)
+                  ELSE round(k_used / 0.2, 2) END AS union_est,
+             round(nboth / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+             round(round(nboth / CAST(k_used AS DOUBLE), 6)
+                   * (CASE WHEN h_k IS NOT NULL
+                           THEN round(127 / h_k, 2)
+                           ELSE round(k_used / 0.2, 2) END), 2)
+               AS inter_est,
+             CAST(exact_inter AS BIGINT) AS exact_inter
+      FROM ag, ex
     """
     return d
 

@@ -285,3 +285,63 @@ def hist_quantiles(df: DataFrame, group: str, value: str,
         F.round(exact, 4).alias("exact"),
         F.round(F.abs(est - exact), 4).alias("err"))
         .orderBy(group, "q"))
+
+
+def kmv_join_estimate(df_a: DataFrame, key_a: str, df_b: DataFrame,
+                      key_b: str, k: int = 256,
+                      tau: float = 0.05) -> DataFrame:
+    """Estimate the distinct-key overlap of a join WITHOUT running it
+    — the sketch-based cardinality estimation a planner wants before
+    committing to a 100-TB shuffle. Two threshold-KMV sketches (same
+    det-hash, same ``tau`` scan-pushed prefilter as
+    :func:`kmv_distinct`), combined by the classic KMV set algebra
+    (Beyer et al. 2007):
+
+    - union estimate ``(k−1)/h_(k)`` over the k smallest hashes of
+      A ∪ B,
+    - Jaccard estimate = fraction of those k minima present in BOTH
+      sides,
+    - intersection estimate = Jaccard × union.
+
+    Output: one row — ``k_used (bigint), union_est, jaccard_est,
+    inter_est (doubles), exact_inter (bigint)`` (the exact overlap
+    rides along for the error column; at 100 TB you'd drop it — it IS
+    the join being avoided). ``k_used`` < k means the tau-filtered
+    union had fewer than k hashes — the union estimate falls back
+    to the fixed-threshold theta form ``survivors / tau``.
+    """
+    ha = (df_a.select(det_hash01(F.col(key_a).cast("long"), seed=7)
+                      .alias("h01"))
+          .where(F.col("h01") <= F.lit(float(tau)))
+          .distinct().withColumn("in_a", F.lit(1)))
+    hb = (df_b.select(det_hash01(F.col(key_b).cast("long"), seed=7)
+                      .alias("h01"))
+          .where(F.col("h01") <= F.lit(float(tau)))
+          .distinct().withColumn("in_b", F.lit(1)))
+    u = (ha.join(hb.withColumnRenamed("in_b", "in_b"), "h01", "full")
+         .select("h01",
+                 F.coalesce(F.col("in_a"), F.lit(0)).alias("in_a"),
+                 F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b")))
+    w = Window.orderBy(F.col("h01").asc())
+    topk = u.withColumn("rk", F.row_number().over(w)) \
+            .where(F.col("rk") <= k)
+    agg = topk.agg(
+        F.count("*").alias("k_used"),
+        F.max(F.when(F.col("rk") == k, F.col("h01"))).alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("both"))
+    exact = (df_a.select(F.col(key_a).alias("kk")).distinct()
+             .join(df_b.select(F.col(key_b).alias("kk")).distinct(),
+                   "kk")
+             .agg(F.count("*").alias("exact_inter")))
+    # unsaturated fallback: the tau-truncated stream is itself a
+    # fixed-threshold theta sketch — estimate = survivors / tau
+    union_est = F.when(F.col("h_k").isNotNull(),
+                       F.round((F.lit(k) - 1) / F.col("h_k"), 2)) \
+        .otherwise(F.round(F.col("k_used") / F.lit(float(tau)), 2))
+    jac = F.round(F.col("both") / F.col("k_used"), 6)
+    return (agg.crossJoin(F.broadcast(exact))
+            .select(F.col("k_used").cast("bigint"),
+                    union_est.alias("union_est"),
+                    jac.alias("jaccard_est"),
+                    F.round(jac * union_est, 2).alias("inter_est"),
+                    F.col("exact_inter").cast("bigint")))

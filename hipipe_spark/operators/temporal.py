@@ -756,3 +756,73 @@ def seasonal_decompose(df: DataFrame, t_col: str, value: str,
         F.round(F.col("__v") - F.col("__trend") - F.col("__seasonal"),
                 6).alias("resid"))
     return out.orderBy(t_col)
+
+
+def lttb_downsample(df: DataFrame, t_col: str, value: str,
+                    n_out: int = 100) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of a numeric series to ``n_out`` visually-representative points —
+    the standard way to ship a 10⁹-point metric series to a 2,000-px
+    dashboard without losing its spikes.
+
+    This is the FIXED-ANCHOR parallel variant: classic LTTB anchors
+    each bucket's triangle on the PREVIOUSLY CHOSEN point (a
+    sequential chain); anchoring on the neighbor buckets' mean points
+    instead makes every bucket's argmax independent — one index
+    window, one mean aggregate, two broadcast-sized joins, one
+    per-bucket argmax window, no sequential pass. Steinarsson's
+    thesis (§4.2) measures the two variants as visually equivalent.
+
+    First and last points are always kept (buckets 0 and n_out−1).
+    Deterministic tie-break: larger area first, then earlier t. If
+    the series has ≤ ``n_out`` points it is returned whole. The
+    global index sort runs on the SERIES — the dimension-sized
+    aggregate of the raw data, same contract as
+    :func:`seasonal_decompose`.
+
+    Output: ``t_col, value (double), bucket (int)``, ordered by t.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    t = F.col(t_col)
+    v = F.col(value).cast("double")
+    n_df = df.agg(F.count("*").alias("__n"))
+    base = (df.select(t, v.alias("__v"))
+            .crossJoin(F.broadcast(n_df))
+            .withColumn("__i", F.row_number().over(Window.orderBy(t_col))))
+    nn = F.col("__n")
+    bucket = (F.when(F.col("__i") == 1, F.lit(0))
+              .when(F.col("__i") == nn, F.lit(n_out - 1))
+              .otherwise(1 + F.floor((F.col("__i") - 2)
+                                     * (n_out - 2)
+                                     / (nn - 2)).cast("int")))
+    small = base.where(nn <= n_out).select(
+        t_col, F.round(F.col("__v"), 6).alias(value),
+        (F.col("__i") - 1).cast("int").alias("bucket"))
+    pts = (base.where(nn > n_out)
+           .withColumn("__b", bucket.cast("int")))
+    means = (pts.groupBy("__b")
+             .agg(F.avg(t.cast("double")).alias("mt"),
+                  F.avg("__v").alias("mv")))
+    prev_m = means.select((F.col("__b") + 1).alias("__b"),
+                          F.col("mt").alias("pt"),
+                          F.col("mv").alias("pv"))
+    next_m = means.select((F.col("__b") - 1).alias("__b"),
+                          F.col("mt").alias("nt"),
+                          F.col("mv").alias("nv"))
+    cand = (pts.join(F.broadcast(prev_m), "__b", "left")
+            .join(F.broadcast(next_m), "__b", "left"))
+    area = F.abs((F.col("pt") - F.col("nt"))
+                 * (F.col("__v") - F.col("pv"))
+                 - (F.col("pt") - t.cast("double"))
+                 * (F.col("nv") - F.col("pv")))
+    # endpoint buckets have no neighbor mean: keep their single point
+    score = F.when(F.col("pt").isNull() | F.col("nt").isNull(),
+                   F.lit(0.0)).otherwise(area)
+    w = Window.partitionBy("__b").orderBy(F.desc("__sc"), t_col)
+    picked = (cand.withColumn("__sc", F.round(score, 6))
+              .withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") == 1))
+    big = picked.select(t_col, F.round(F.col("__v"), 6).alias(value),
+                        F.col("__b").alias("bucket"))
+    return small.unionByName(big).orderBy(t_col)
