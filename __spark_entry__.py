@@ -2954,6 +2954,54 @@ def q_kmv_join(spark, sf_dir):
                              k=128, tau=0.2)
 
 
+def _hourly_by_type(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (e.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").alias("cnt")))
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per event_type over the hourly count
+    series (stats.py theil_sen): median of pairwise slopes (29%
+    breakdown point vs OLS's 0), intercept from the rounded-slope
+    handoff. The O(n²) pair join runs on the SERIES — the
+    dimension-sized aggregate — never the raw log."""
+    from hipipe_spark.operators.stats import theil_sen
+    return theil_sen(_hourly_by_type(spark, sf_dir),
+                     "event_type", "hour", "cnt")
+
+
+def q_did(spark, sf_dir):
+    """Difference-in-differences per event_type (stats.py
+    diff_in_diff): treat = even user_id, post = second half of the
+    month, outcome = value. Four cell means + DiD effect + Welch-
+    composed SE + Bowling p from ONE conditional-sum aggregate."""
+    from hipipe_spark.operators.stats import diff_in_diff
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .alias("post"))
+    return diff_in_diff(e, "event_type", "treat", "post", "value")
+
+
+def q_forecast_eval(spark, sf_dir):
+    """Naive vs seasonal-naive forecast backtest on the hourly count
+    series (temporal.py forecast_eval): MAE/RMSE/sMAPE/MASE on the
+    common support — the baseline floor any forecaster must beat;
+    MASE(naive) ≡ 1 is the built-in self-check."""
+    from hipipe_spark.operators.temporal import forecast_eval
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").alias("cnt")))
+    return forecast_eval(hours, "hour", "cnt", season=24)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3248,6 +3296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histq": q_histq,
         "lttb": q_lttb,
         "kmv_join": q_kmv_join,
+        "theil_sen": q_theil_sen,
+        "did": q_did,
+        "forecast_eval": q_forecast_eval,
     }
 
 
@@ -6009,6 +6060,110 @@ def oracle_sql() -> dict[str, str]:
                AS inter_est,
              CAST(exact_inter AS BIGINT) AS exact_inter
       FROM ag, ex
+    """
+    d["theil_sen"] = """
+      WITH s AS (SELECT event_type AS g,
+                        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+      e AS (SELECT g, CAST(t AS DOUBLE) AS t, CAST(c AS DOUBLE) AS v
+            FROM s),
+      sl AS (SELECT a.g, (b.v - a.v) / (b.t - a.t) AS sp
+             FROM e a JOIN e b ON a.g = b.g AND a.t < b.t),
+      m AS (SELECT g, round(quantile_cont(sp, 0.5), 6) AS slope
+            FROM sl GROUP BY g),
+      ic AS (SELECT e.g, m.slope,
+                    round(quantile_cont(v - m.slope * t, 0.5), 6)
+                      AS intercept
+             FROM e JOIN m ON m.g = e.g
+             GROUP BY e.g, m.slope),
+      nn AS (SELECT g, count(*) AS n FROM e GROUP BY g)
+      SELECT nn.g AS event_type, CAST(nn.n AS BIGINT) AS n,
+             slope, intercept
+      FROM nn LEFT JOIN ic ON ic.g = nn.g
+    """
+    d["did"] = """
+      WITH e AS (SELECT event_type AS seg, CAST(value AS DOUBLE) AS v,
+                        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                          AS t,
+                        CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN 1 ELSE 0 END AS p
+                 FROM events),
+      a AS (SELECT seg,
+              sum(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END) AS n1,
+              sum(CASE WHEN t=1 AND p=0 THEN v ELSE 0.0 END) AS s1,
+              sum(CASE WHEN t=1 AND p=0 THEN v*v ELSE 0.0 END) AS q1,
+              sum(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END) AS n2,
+              sum(CASE WHEN t=1 AND p=1 THEN v ELSE 0.0 END) AS s2,
+              sum(CASE WHEN t=1 AND p=1 THEN v*v ELSE 0.0 END) AS q2,
+              sum(CASE WHEN t=0 AND p=0 THEN 1 ELSE 0 END) AS n3,
+              sum(CASE WHEN t=0 AND p=0 THEN v ELSE 0.0 END) AS s3,
+              sum(CASE WHEN t=0 AND p=0 THEN v*v ELSE 0.0 END) AS q3,
+              sum(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END) AS n4,
+              sum(CASE WHEN t=0 AND p=1 THEN v ELSE 0.0 END) AS s4,
+              sum(CASE WHEN t=0 AND p=1 THEN v*v ELSE 0.0 END) AS q4
+            FROM e GROUP BY seg),
+      b AS (SELECT seg, n1, n2, n3, n4,
+                   s1/n1 AS m1, s2/n2 AS m2, s3/n3 AS m3, s4/n4 AS m4,
+                   ((0.0 + (q1 - s1*s1/n1)/(n1-1)/n1)
+                        + (q2 - s2*s2/n2)/(n2-1)/n2)
+                        + (q3 - s3*s3/n3)/(n3-1)/n3
+                        + (q4 - s4*s4/n4)/(n4-1)/n4 AS var,
+                   (s2/n2 - s1/n1) - (s4/n4 - s3/n3) AS did,
+                   n1 >= 2 AND n2 >= 2 AND n3 >= 2 AND n4 >= 2 AS okn
+            FROM a),
+      c AS (SELECT *, okn AND var > 0 AS ok,
+                   did / sqrt(var) AS z
+            FROM b)
+      SELECT seg AS event_type,
+             CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n,
+             round(m1, 6) AS mean_t_pre, round(m2, 6) AS mean_t_post,
+             round(m3, 6) AS mean_c_pre, round(m4, 6) AS mean_c_post,
+             round(did, 6) AS did,
+             round(CASE WHEN ok THEN sqrt(var) END, 6) AS se,
+             round(CASE WHEN ok THEN z END, 6) AS z_stat,
+             round(CASE WHEN ok THEN
+               2.0 / (1.0 + exp(0.07056*pow(abs(z), 3)
+                                + 1.5976*abs(z))) END, 6) AS p_value
+      FROM c
+    """
+    d["forecast_eval"] = """
+      WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            AS hour,
+                          count(*) AS cnt
+                   FROM events GROUP BY 1),
+      l AS (SELECT hour, CAST(cnt AS DOUBLE) AS v,
+                   lag(CAST(cnt AS DOUBLE), 1)
+                     OVER (ORDER BY hour) AS f1,
+                   lag(CAST(cnt AS DOUBLE), 24)
+                     OVER (ORDER BY hour) AS fs
+            FROM hrs),
+      b AS (SELECT * FROM l
+            WHERE fs IS NOT NULL AND f1 IS NOT NULL),
+      a AS (SELECT count(*) AS n,
+                   sum(abs(v - f1)) AS ae1,
+                   sum((v - f1) * (v - f1)) AS se1,
+                   sum(CASE WHEN abs(v) + abs(f1) > 0
+                            THEN 2.0 * abs(v - f1)
+                                 / (abs(v) + abs(f1))
+                            ELSE 0.0 END) AS sm1,
+                   sum(abs(v - fs)) AS ae2,
+                   sum((v - fs) * (v - fs)) AS se2,
+                   sum(CASE WHEN abs(v) + abs(fs) > 0
+                            THEN 2.0 * abs(v - fs)
+                                 / (abs(v) + abs(fs))
+                            ELSE 0.0 END) AS sm2
+            FROM b)
+      SELECT 'naive' AS method, CAST(n AS BIGINT) AS n,
+             round(ae1 / n, 6) AS mae, round(sqrt(se1 / n), 6) AS rmse,
+             round(sm1 / n, 6) AS smape,
+             round((ae1 / n) / (ae1 / n), 6) AS mase
+      FROM a
+      UNION ALL
+      SELECT 'seasonal_naive', CAST(n AS BIGINT),
+             round(ae2 / n, 6), round(sqrt(se2 / n), 6),
+             round(sm2 / n, 6), round((ae2 / n) / (ae1 / n), 6)
+      FROM a
     """
     return d
 

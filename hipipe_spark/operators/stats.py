@@ -428,3 +428,107 @@ def kendall_tau(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     return (out.select(F.col("__g").alias(group), "n", "nc", "nd",
                        "tau_b")
             .orderBy(group))
+
+
+def theil_sen(df: DataFrame, group: str, t_col: str,
+              value: str) -> DataFrame:
+    """Per-``group`` Theil–Sen robust trend: slope = median of all
+    pairwise slopes, intercept = median of ``v − slope·t`` (slope is
+    ROUNDED before reuse — the rounded-handoff pattern). Breakdown
+    point 29%: a third of the points can be arbitrarily corrupt
+    before the estimate moves, which is why it replaces OLS on dirty
+    telemetry.
+
+    Contract: the input is a SERIES — the dimension-sized aggregate
+    of the raw data (same as :func:`~hipipe_spark.operators.temporal.
+    seasonal_decompose`), so the O(n²) pair self-join is over series
+    points, never raw rows; at 720 hourly points that is ~259k pairs
+    per group. For longer series, pre-thin with
+    :func:`~hipipe_spark.operators.temporal.lttb_downsample`.
+
+    Output: ``group, n (bigint), slope, intercept (doubles rounded
+    6)``; groups with < 2 distinct t report null slope.
+    """
+    base = df.select(F.col(group).alias("__g"),
+                     F.col(t_col).cast("double").alias("__t"),
+                     F.col(value).cast("double").alias("__v"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                    & (F.col("a.__t") < F.col("b.__t")))
+             .select(F.col("a.__g").alias("__g"),
+                     ((F.col("b.__v") - F.col("a.__v"))
+                      / (F.col("b.__t") - F.col("a.__t")))
+                     .alias("__s")))
+    slope = (pairs.groupBy("__g")
+             .agg(F.round(F.percentile(F.col("__s"), 0.5), 6)
+                  .alias("slope")))
+    resid = (base.join(slope, "__g")
+             .groupBy("__g", "slope")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.percentile(
+                      F.col("__v") - F.col("slope") * F.col("__t"),
+                      0.5), 6).alias("intercept")))
+    out = (base.groupBy("__g").agg(F.count("*").alias("n_all"))
+           .join(resid.drop("n"), "__g", "left"))
+    return (out.select(F.col("__g").alias(group),
+                       F.col("n_all").cast("bigint").alias("n"),
+                       "slope", "intercept")
+            .orderBy(group))
+
+
+def diff_in_diff(df: DataFrame, segment: str, treat: str, post: str,
+                 value: str) -> DataFrame:
+    """Per-``segment`` difference-in-differences estimator from ONE
+    conditional-sum aggregate: the four cell means (treat×post), the
+    DiD effect ``(T,post − T,pre) − (C,post − C,pre)``, its standard
+    error ``sqrt(Σ s²ᵢ/nᵢ)`` over the four cells (the unequal-variance
+    Welch composition), z-statistic, and the Bowling-approximated
+    two-sided p — the identical expression the oracle writes.
+
+    ``treat``/``post`` are boolean-ish columns (cast to int).
+    Output: ``segment, n (bigint), mean_t_pre, mean_t_post,
+    mean_c_pre, mean_c_post, did, se, z_stat, p_value`` (doubles
+    rounded 6; inference null when any cell has < 2 rows or zero
+    variance sum).
+    """
+    t = F.col(treat).cast("int")
+    p = F.col(post).cast("int")
+    v = F.col(value).cast("double")
+    cells = {"tpre": (t == 1) & (p == 0), "tpost": (t == 1) & (p == 1),
+             "cpre": (t == 0) & (p == 0), "cpost": (t == 0) & (p == 1)}
+    aggs = []
+    for tag, cond in cells.items():
+        aggs += [F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"),
+                 F.sum(F.when(cond, v).otherwise(0.0)).alias(f"s_{tag}"),
+                 F.sum(F.when(cond, v * v).otherwise(0.0))
+                  .alias(f"q_{tag}")]
+    g = df.groupBy(F.col(segment)).agg(*aggs)
+
+    def mean(tag):
+        return F.col(f"s_{tag}") / F.col(f"n_{tag}")
+
+    def sem2(tag):
+        n = F.col(f"n_{tag}")
+        return ((F.col(f"q_{tag}") - F.col(f"s_{tag}")
+                 * F.col(f"s_{tag}") / n) / (n - 1) / n)
+
+    did = (mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre"))
+    var = sum((sem2(tag) for tag in cells), F.lit(0.0))
+    ok = (F.lit(True))
+    for tag in cells:
+        ok = ok & (F.col(f"n_{tag}") >= 2)
+    ok = ok & (var > 0)
+    z = did / F.sqrt(var)
+    n_tot = sum((F.col(f"n_{tag}") for tag in cells), F.lit(0))
+    return (g.select(
+        F.col(segment),
+        n_tot.cast("bigint").alias("n"),
+        F.round(mean("tpre"), 6).alias("mean_t_pre"),
+        F.round(mean("tpost"), 6).alias("mean_t_post"),
+        F.round(mean("cpre"), 6).alias("mean_c_pre"),
+        F.round(mean("cpost"), 6).alias("mean_c_post"),
+        F.round(did, 6).alias("did"),
+        F.round(F.when(ok, F.sqrt(var)), 6).alias("se"),
+        F.round(F.when(ok, z), 6).alias("z_stat"),
+        F.round(F.when(ok, norm_sf2(z)), 6).alias("p_value"))
+        .orderBy(segment))

@@ -826,3 +826,66 @@ def lttb_downsample(df: DataFrame, t_col: str, value: str,
     big = picked.select(t_col, F.round(F.col("__v"), 6).alias(value),
                         F.col("__b").alias("bucket"))
     return small.unionByName(big).orderBy(t_col)
+
+
+def forecast_eval(df: DataFrame, t_col: str, value: str,
+                  season: int = 24) -> DataFrame:
+    """Forecast-baseline backtest over a series: score the NAIVE
+    (carry last value) and SEASONAL-NAIVE (carry value from one
+    season ago) one-step forecasts with MAE / RMSE / sMAPE / MASE —
+    the sanity floor every fancy forecaster must beat (Hyndman's
+    M-competition discipline; MASE = MAE / MAE_naive, so naive
+    scores exactly 1 by construction).
+
+    Both methods are scored on the COMMON support (rows where the
+    seasonal lag exists) so the comparison is fair. The input is a
+    dimension-sized SERIES (same contract as
+    :func:`seasonal_decompose`); two lag windows share one sort, the
+    metrics fold in ONE aggregate.
+
+    Output: two rows — ``method ('naive'|'seasonal_naive'), n
+    (bigint), mae, rmse, smape, mase`` (doubles rounded 6).
+    """
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    w = Window.orderBy(t_col)
+    v = F.col(value).cast("double")
+    base = (df.select(F.col(t_col), v.alias("__v"),
+                      F.lag(v, 1).over(w).alias("__f1"),
+                      F.lag(v, season).over(w).alias("__fs"))
+            .where(F.col("__fs").isNotNull()
+                   & F.col("__f1").isNotNull()))
+
+    def err(f):
+        e = F.col("__v") - F.col(f)
+        den = F.abs(F.col("__v")) + F.abs(F.col(f))
+        sm = F.when(den > 0, 2.0 * F.abs(e) / den).otherwise(F.lit(0.0))
+        return [F.sum(F.abs(e)), F.sum(e * e), F.sum(sm)]
+
+    a1 = err("__f1")
+    a2 = err("__fs")
+    agg = base.agg(F.count("*").alias("n"),
+                   a1[0].alias("ae1"), a1[1].alias("se1"),
+                   a1[2].alias("sm1"),
+                   a2[0].alias("ae2"), a2[1].alias("se2"),
+                   a2[2].alias("sm2"))
+    n = F.col("n").cast("double")
+    mae1, mae2 = F.col("ae1") / n, F.col("ae2") / n
+    rows = F.explode(F.array(
+        F.struct(F.lit("naive").alias("method"),
+                 F.round(mae1, 6).alias("mae"),
+                 F.round(F.sqrt(F.col("se1") / n), 6).alias("rmse"),
+                 F.round(F.col("sm1") / n, 6).alias("smape"),
+                 F.round(mae1 / mae1, 6).alias("mase")),
+        F.struct(F.lit("seasonal_naive").alias("method"),
+                 F.round(mae2, 6).alias("mae"),
+                 F.round(F.sqrt(F.col("se2") / n), 6).alias("rmse"),
+                 F.round(F.col("sm2") / n, 6).alias("smape"),
+                 F.round(mae2 / mae1, 6).alias("mase")))).alias("r")
+    return (agg.select(F.col("n").cast("bigint").alias("n"), rows)
+            .select(F.col("r.method").alias("method"), "n",
+                    F.col("r.mae").alias("mae"),
+                    F.col("r.rmse").alias("rmse"),
+                    F.col("r.smape").alias("smape"),
+                    F.col("r.mase").alias("mase"))
+            .orderBy("method"))
