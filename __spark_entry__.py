@@ -19,7 +19,7 @@ from hipipe_spark.datagen import transcripts_from_events
 from hipipe_spark.functions.casts import string_to_bool
 from hipipe_spark.functions.hashing import (
     det_hash01, det_hash01_sql, det_hash_i64, det_hash_i64_sql,
-    det_hash_str_i64_sql,
+    det_hash_mix_i64_sql, det_hash_str_i64_sql,
 )
 from hipipe_spark.functions.text import (
     fingerprint, punct_ratio, token_count, tokens,
@@ -3002,6 +3002,19 @@ def q_forecast_eval(spark, sf_dir):
     return forecast_eval(hours, "hour", "cnt", season=24)
 
 
+def q_hll(spark, sf_dir):
+    """HyperLogLog distinct count (sketches.py hll_distinct, p=10 →
+    1024 registers ≈ 1 KB per group at ANY input size): distinct
+    l_orderkey per l_returnflag, same probe as kmv_distinct so the
+    two sketches' error profiles are directly comparable. Registers
+    come from an integer CASE rank ladder (no float log2), so both
+    engines compute identical registers and the oracle checks the
+    SKETCH, not a tolerance."""
+    from hipipe_spark.operators.sketches import hll_distinct
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_distinct(li, "l_returnflag", "l_orderkey", p=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3299,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "did": q_did,
         "forecast_eval": q_forecast_eval,
+        "hll": q_hll,
     }
 
 
@@ -6164,6 +6178,36 @@ def oracle_sql() -> dict[str, str]:
              round(ae2 / n, 6), round(sqrt(se2 / n), 6),
              round(sm2 / n, 6), round((ae2 / n) / (ae1 / n), 6)
       FROM a
+    """
+    _hll_bits = 21                      # 31-bit hash, p = 10
+    _hll_rank = ("CASE " + " ".join(
+        f"WHEN w >= {1 << (_hll_bits - r)} THEN {r}"
+        for r in range(1, _hll_bits + 1)) + f" ELSE {_hll_bits + 1} END")
+    _hll_am2 = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024
+    d["hll"] = f"""
+      WITH h AS (SELECT l_returnflag AS g,
+                        {det_hash_mix_i64_sql('l_orderkey', 13)} AS h
+                 FROM lineitem),
+      base AS (SELECT g, h % 1024 AS b,
+                      CAST(floor(h / 1024) AS BIGINT) AS w
+               FROM h),
+      r AS (SELECT g, b, {_hll_rank} AS rk FROM base),
+      regs AS (SELECT g, b, max(rk) AS mr FROM r GROUP BY 1, 2),
+      agg AS (SELECT g, sum(pow(2.0, -mr)) AS s, count(*) AS v
+              FROM regs GROUP BY g),
+      ex AS (SELECT l_returnflag AS g,
+                    count(DISTINCT l_orderkey) AS ed
+             FROM lineitem GROUP BY 1)
+      SELECT ex.g AS l_returnflag,
+             round(CASE WHEN ({_hll_am2!r} / (s + (1024 - v))
+                             <= 2560.0)
+                         AND (1024 - v) > 0
+                        THEN 1024.0 * ln(1024.0 / (1024 - v))
+                        ELSE {_hll_am2!r} / (s + (1024 - v)) END, 2)
+               AS hll_estimate,
+             CAST(1024 AS BIGINT) AS n_registers,
+             CAST(ed AS BIGINT) AS exact_distinct
+      FROM ex LEFT JOIN agg ON agg.g = ex.g
     """
     return d
 

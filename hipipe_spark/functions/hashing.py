@@ -86,3 +86,34 @@ def salt_col(key: Column, n_salts: int, extra: Column | None = None) -> Column:
     no oracle needs to reproduce salts — they never change results)."""
     cols = [key] if extra is None else [key, extra]
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def det_hash_mix_i64(key: Column, seed: int = 0) -> Column:
+    """Wang-style avalanche hash in [0, 2^31) of an integer column —
+    xor/shift/multiply rounds, all intermediates < 2^62, reproducible
+    bit-for-bit in DuckDB (:func:`det_hash_mix_i64_sql`).
+
+    Use this (not :func:`det_hash_i64`) when the CONSUMER needs
+    uniform BITS, not just uniform order statistics: the LCG family
+    is an affine bijection, so contiguous key ranges map to a lattice
+    whose leading-zero counts are wildly biased — fine for KMV's
+    k-th-minimum, fatal for HyperLogLog register ranks (measured:
+    +84% bias at 100k keys vs ±4% with this mix)."""
+    h0 = F.pmod(key + F.lit(int(seed)), F.lit(_M))
+    h1 = h0.bitwiseXOR(F.lit(61)).bitwiseXOR(F.shiftright(h0, 16))
+    h2 = F.pmod(h1 * F.lit(9), F.lit(_M))
+    h3 = h2.bitwiseXOR(F.shiftright(h2, 4))
+    h4 = F.pmod(h3 * F.lit(0x27D4EB2D), F.lit(_M))
+    return h4.bitwiseXOR(F.shiftright(h4, 15))
+
+
+def det_hash_mix_i64_sql(key_expr: str, seed: int = 0) -> str:
+    """DuckDB SQL text of :func:`det_hash_mix_i64` (same rounds, same
+    constants; xor()/>> are exact on non-negative BIGINTs)."""
+    h0 = f"((CAST(({key_expr}) AS BIGINT) + {int(seed)}) % {_M})"
+    h0 = f"((({h0}) % {_M} + {_M}) % {_M})"  # pmod
+    h1 = f"xor(xor({h0}, 61), ({h0} >> 16))"
+    h2 = f"((({h1}) * 9) % {_M})"
+    h3 = f"xor({h2}, ({h2} >> 4))"
+    h4 = f"((({h3}) * {0x27D4EB2D}) % {_M})"
+    return f"xor({h4}, ({h4} >> 15))"

@@ -345,3 +345,62 @@ def kmv_join_estimate(df_a: DataFrame, key_a: str, df_b: DataFrame,
                     jac.alias("jaccard_est"),
                     F.round(jac * union_est, 2).alias("inter_est"),
                     F.col("exact_inter").cast("bigint")))
+
+
+def hll_distinct(df: DataFrame, group: str, key: str,
+                 p: int = 10) -> DataFrame:
+    """Per-``group`` HyperLogLog distinct count (Flajolet et al.
+    2007) with 2^p registers — the industry-standard fixed-size
+    distinct sketch (~1.04/√m relative error, m = 2^p registers of
+    5 bits: ~1 KB per group at p=10 regardless of input size).
+
+    Built Spark-native and DuckDB-exact: bucket = det-hash mod m,
+    register = max leading-rank of the remaining 31−p hash bits per
+    bucket (ONE map-side-combinable ``groupBy(group, bucket)
+    .max()`` — registers merge by max, the HLL union property), the
+    raw estimate ``α_m m² / Σ 2^(−M_j)`` with Flajolet's small-range
+    correction ``m·ln(m/V)``. The rank ladder is an integer CASE
+    chain — no float log2 at bit boundaries, so both engines compute
+    IDENTICAL registers; only the final Σ 2^(−M_j) is float, absorbed
+    by rounding.
+
+    Output: ``group, hll_estimate (double, rounded 2), n_registers
+    (bigint, = V non-zero + zero registers = m), exact_distinct
+    (bigint)`` — exact rides along for the error column.
+    """
+    from hipipe_spark.functions.hashing import det_hash_mix_i64
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    bits = 31 - p                       # the mix hash yields 31 bits
+    # NOT det_hash_i64: an LCG's lattice structure biases leading-zero
+    # ranks by +80% — HLL needs the avalanche mix (see hashing.py)
+    h = det_hash_mix_i64(F.col(key).cast("long"), seed=13)
+    bucket = F.pmod(h, F.lit(m))
+    # explicit floor: Spark's double→long cast truncates but DuckDB's
+    # CAST rounds — floor() is the one spelling both engines agree on
+    w = F.floor(h / F.lit(m)).cast("long")  # the remaining `bits` bits
+    # rank = leading zeros of w in `bits` bits, + 1; w == 0 → bits+1
+    rank = F.lit(bits + 1)
+    for r in range(bits, 0, -1):        # w >= 2^(bits-r) → rank <= r
+        rank = F.when(w >= (1 << (bits - r)), F.lit(r)).otherwise(rank)
+    regs = (df.select(F.col(group), bucket.alias("__b"),
+                      rank.alias("__r"))
+            .groupBy(group, "__b").agg(F.max("__r").alias("__m")))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(group).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__m"))).alias("__s"),
+        F.count("*").alias("__v"))      # non-zero registers
+    # absent buckets are zero registers: 2^0 = 1 each
+    zeros = F.lit(m) - F.col("__v")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros)
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    exact = df.groupBy(group).agg(
+        F.countDistinct(key).alias("exact_distinct"))
+    return (exact.join(agg, group, "left")
+            .select(group,
+                    F.round(est, 2).alias("hll_estimate"),
+                    F.lit(m).cast("bigint").alias("n_registers"),
+                    F.col("exact_distinct").cast("bigint"))
+            .orderBy(group))

@@ -92,3 +92,34 @@ def test_bloom_fp_rate_shrinks_with_m(spark):
                           n_hashes=3).collect()[0]
     assert big.fp_rate <= small.fp_rate
     assert big.n_true == small.n_true
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from hipipe_spark.operators.sketches import hll_distinct
+    n = 20000
+    df = spark.createDataFrame([("g", i) for i in range(n)],
+                               "g: string, k: long")
+    r = hll_distinct(df, "g", "k", p=10).collect()[0]
+    assert r.exact_distinct == n and r.n_registers == 1024
+    assert abs(r.hll_estimate - n) / n < 0.1   # ~3× the 3.3% stderr
+
+
+def test_hll_small_range_linear_counting(spark):
+    from hipipe_spark.operators.sketches import hll_distinct
+    df = spark.createDataFrame([("g", i) for i in range(100)] * 5,
+                               "g: string, k: long")
+    r = hll_distinct(df, "g", "k", p=10).collect()[0]
+    # linear-counting regime: near-exact at 100 ≪ 1024 registers
+    assert abs(r.hll_estimate - 100) < 5
+    assert r.exact_distinct == 100
+
+
+def test_hll_invariant_to_duplication(spark):
+    from hipipe_spark.operators.sketches import hll_distinct
+    once = spark.createDataFrame([("g", i) for i in range(3000)],
+                                 "g: string, k: long")
+    many = spark.createDataFrame([("g", i % 3000) for i in range(30000)],
+                                 "g: string, k: long")
+    a = hll_distinct(once, "g", "k").collect()[0].hll_estimate
+    b = hll_distinct(many, "g", "k").collect()[0].hll_estimate
+    assert a == b                       # registers see sets, not bags
