@@ -3015,6 +3015,71 @@ def q_hll(spark, sf_dir):
     return hll_distinct(li, "l_returnflag", "l_orderkey", p=10)
 
 
+def q_gini(spark, sf_dir):
+    """Gini concentration of event value per event_type (stats.py
+    gini_coefficient): the rank identity 2Σi·x/(nΣx) − (n+1)/n, tie-
+    order invariant — the skew diagnostic that sizes salting factors
+    before a 100-TB shuffle is committed."""
+    from hipipe_spark.operators.stats import gini_coefficient
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_coefficient(e, "event_type", "value")
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit of l_extendedprice per l_returnflag
+    (validate.py benford): digit from the integer-part STRING (float
+    log10 at power-of-ten boundaries is engine-dependent — substring
+    of a cast integer is exact in both), all 9 digits materialized,
+    Nigrini MAD conformity per group."""
+    from hipipe_spark.operators.validate import benford
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford(li, "l_returnflag", "l_extendedprice")
+
+
+def q_qnorm(spark, sf_dir):
+    """Quantile normalization across event_type groups (encoders.py
+    quantile_normalize): every group forced onto the averaged order-
+    statistic reference — the batch-effect correction that makes
+    per-source score distributions comparable before mixing. Input
+    capped to exactly 1500 rows per type (the classical equal-size
+    contract), event_id as the deterministic tiebreak."""
+    from hipipe_spark.operators.encoders import quantile_normalize
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    capped = (e.select("event_id", "event_type", "value")
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= 1500).drop("__rn"))
+    out = quantile_normalize(capped, "event_type", "value", "event_id")
+    return out.select("event_id", "event_type",
+                      F.round(F.col("value"), 6).alias("value"),
+                      "qn_value").orderBy("event_id")
+
+
+def q_fs_link(spark, sf_dir):
+    """Fellegi–Sunter record-linkage scoring (linkage.py
+    fs_link_score) over customer pairs blocked by nation: three
+    agreement fields (market segment, account-balance proximity,
+    custkey residue) with fixed (m, u) parameters → log₂ likelihood-
+    ratio weight → link / possible / non-link. Blocking bounds the
+    pair fan-out exactly like the dedup LSH tiers."""
+    from hipipe_spark.operators.linkage import fs_link_score
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+             .select(F.col("a.c_custkey").alias("id_a"),
+                     F.col("b.c_custkey").alias("id_b"),
+                     (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+                     .alias("seg_agree"),
+                     (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal"))
+                      < 1000).alias("bal_agree"),
+                     (F.col("a.c_custkey") % 10
+                      == F.col("b.c_custkey") % 10).alias("key_agree")))
+    return fs_link_score(pairs, ["seg_agree", "bal_agree", "key_agree"],
+                         m=[0.9, 0.8, 0.7], u=[0.2, 0.18, 0.1],
+                         upper=4.0, lower=-2.0)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3313,6 +3378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did": q_did,
         "forecast_eval": q_forecast_eval,
         "hll": q_hll,
+        "gini": q_gini,
+        "benford": q_benford,
+        "qnorm": q_qnorm,
+        "fs_link": q_fs_link,
     }
 
 
@@ -6208,6 +6277,103 @@ def oracle_sql() -> dict[str, str]:
              CAST(1024 AS BIGINT) AS n_registers,
              CAST(ed AS BIGINT) AS exact_distinct
       FROM ex LEFT JOIN agg ON agg.g = ex.g
+    """
+    d["gini"] = """
+      WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                 FROM events),
+      r AS (SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS i
+            FROM e),
+      a AS (SELECT g, count(*) AS n, sum(v) AS tot, sum(i * v) AS iw
+            FROM r GROUP BY g)
+      SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+             round(tot, 4) AS total,
+             CASE WHEN tot > 0
+                  THEN round(2.0 * iw / (CAST(n AS DOUBLE) * tot)
+                             - (CAST(n AS DOUBLE) + 1)
+                               / CAST(n AS DOUBLE), 6)
+             END AS gini
+      FROM a
+    """
+    from hipipe_spark.operators.validate import BENFORD_P
+    _bexp = ("CASE digit " + " ".join(
+        f"WHEN {dd} THEN {pp!r}" for dd, pp in BENFORD_P.items())
+        + " END")
+    d["benford"] = f"""
+      WITH li AS (SELECT l_returnflag AS g,
+                         abs(CAST(l_extendedprice AS DOUBLE)) AS v
+                  FROM lineitem),
+      o AS (SELECT g,
+                   CAST(substring(CAST(CAST(floor(v) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT)
+                     AS digit,
+                   count(*) AS n_obs
+            FROM li WHERE v >= 1 GROUP BY 1, 2),
+      gs AS (SELECT DISTINCT g FROM o),
+      ds AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS digit),
+      f AS (SELECT gs.g, ds.digit, coalesce(n_obs, 0) AS n_obs
+            FROM gs CROSS JOIN ds
+            LEFT JOIN o ON o.g = gs.g AND o.digit = ds.digit),
+      s AS (SELECT g, digit, n_obs,
+                   CAST(n_obs AS DOUBLE)
+                     / sum(n_obs) OVER (PARTITION BY g) AS share,
+                   {_bexp} AS expv
+            FROM f)
+      SELECT g AS l_returnflag, digit,
+             CAST(n_obs AS BIGINT) AS n_obs,
+             round(share, 6) AS share,
+             round(expv, 6) AS expected,
+             round(abs(share - expv), 6) AS deviation,
+             round(avg(abs(share - expv)) OVER (PARTITION BY g), 6)
+               AS mad
+      FROM s
+    """
+    d["qnorm"] = """
+      WITH capped AS (SELECT event_id, event_type,
+                             CAST(value AS DOUBLE) AS value
+                      FROM (SELECT event_id, event_type, value,
+                                   row_number() OVER (
+                                     PARTITION BY event_type
+                                     ORDER BY event_id) AS rn
+                            FROM events)
+                      WHERE rn <= 1500),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id)
+                        AS rk
+            FROM capped),
+      ref AS (SELECT rk, avg(value) AS refv FROM r GROUP BY rk)
+      SELECT event_id, event_type, round(value, 6) AS value,
+             round(refv, 6) AS qn_value
+      FROM r JOIN ref USING (rk)
+    """
+    import math as _math
+    _fsw = []
+    for _m, _u in ((0.9, 0.2), (0.8, 0.18), (0.7, 0.1)):
+        _fsw.append((round(_math.log2(_m / _u), 6),
+                     round(_math.log2((1 - _m) / (1 - _u)), 6)))
+    d["fs_link"] = f"""
+      WITH p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                        a.c_mktsegment = b.c_mktsegment AS seg_agree,
+                        abs(a.c_acctbal - b.c_acctbal) < 1000
+                          AS bal_agree,
+                        a.c_custkey % 10 = b.c_custkey % 10
+                          AS key_agree
+                 FROM customer a JOIN customer b
+                   ON a.c_nationkey = b.c_nationkey
+                  AND a.c_custkey < b.c_custkey),
+      s AS (SELECT *, round(
+              ((0.0 + CASE WHEN seg_agree THEN {_fsw[0][0]!r}
+                           ELSE {_fsw[0][1]!r} END)
+                    + CASE WHEN bal_agree THEN {_fsw[1][0]!r}
+                           ELSE {_fsw[1][1]!r} END)
+                    + CASE WHEN key_agree THEN {_fsw[2][0]!r}
+                           ELSE {_fsw[2][1]!r} END, 4) AS weight
+            FROM p)
+      SELECT id_a, id_b, seg_agree, bal_agree, key_agree, weight,
+             CASE WHEN weight >= 4.0 THEN 'link'
+                  WHEN weight <= -2.0 THEN 'non_link'
+                  ELSE 'possible' END AS decision
+      FROM s
     """
     return d
 

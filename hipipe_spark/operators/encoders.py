@@ -629,3 +629,37 @@ def hash_features(df: DataFrame,
             lambda acc, e: acc + F.when(e["b"] == b, e["s"])
                                   .otherwise(F.lit(0.0))))
     return df.withColumn(f"{out}_idx", idx).withColumn(f"{out}_val", val)
+
+
+def quantile_normalize(df: DataFrame, group: str, value: str,
+                       order_col: str,
+                       out: str = "qn_value") -> DataFrame:
+    """Classic quantile normalization (Bolstad et al. 2003 — the
+    microarray/batch-effect workhorse): force every group's
+    distribution onto the shared reference formed by averaging the
+    groups' order statistics — after it, every group has IDENTICAL
+    marginal distribution while each row keeps its within-group rank.
+
+    Requires equal group sizes (the classical contract; raises
+    otherwise). ``order_col`` breaks value ties deterministically so
+    ranks — and the driver hash — are stable at any parallelism.
+
+    Plan: one rank window per group, one rank-dimension aggregate
+    (n_rows/n_groups rows), one broadcast join back. Output: input
+    columns + ``out`` (double, rounded 6).
+    """
+    sizes = [r["n"] for r in
+             df.groupBy(group).agg(F.count("*").alias("n"))
+             .select("n").distinct().collect()]
+    if len(sizes) > 1:
+        raise ValueError(
+            f"quantile_normalize requires equal group sizes, got "
+            f"{sorted(sizes)}")
+    v = F.col(value).cast("double")
+    w = Window.partitionBy(group).orderBy(v.asc(), F.col(order_col))
+    ranked = df.withColumn("__r", F.row_number().over(w))
+    ref = (ranked.groupBy("__r")
+           .agg(F.avg(v).alias("__ref")))
+    return (ranked.join(F.broadcast(ref), "__r")
+            .withColumn(out, F.round(F.col("__ref"), 6))
+            .drop("__r", "__ref"))

@@ -532,3 +532,36 @@ def diff_in_diff(df: DataFrame, segment: str, treat: str, post: str,
         F.round(F.when(ok, z), 6).alias("z_stat"),
         F.round(F.when(ok, norm_sf2(z)), 6).alias("p_value"))
         .orderBy(segment))
+
+
+def gini_coefficient(df: DataFrame, group: str,
+                     value: str) -> DataFrame:
+    """Per-``group`` Gini concentration of a non-negative metric via
+    the rank identity ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n`` — one
+    sort window per group plus one aggregate. Σ i·x is invariant to
+    tie order (equal x ⇒ the i's sum is fixed), so no tiebreak column
+    is needed and the result is deterministic at any parallelism.
+
+    The skew diagnostic for 100-TB planning: "how concentrated is
+    traffic per segment" decides salting factors and hot-key budgets
+    before a shuffle is committed. Output: ``group, n (bigint),
+    total (double rounded 4), gini (double rounded 6; null when
+    Σx ≤ 0)``, ordered by group.
+    """
+    v = F.col(value).cast("double")
+    w = Window.partitionBy(group).orderBy(F.col("__v").asc())
+    ranked = df.select(F.col(group), v.alias("__v")) \
+        .withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(group).agg(
+        F.count("*").alias("n"),
+        F.sum("__v").alias("tot"),
+        F.sum(F.col("__i") * F.col("__v")).alias("iw"))
+    n = F.col("n").cast("double")
+    gini = F.when(F.col("tot") > 0,
+                  2.0 * F.col("iw") / (n * F.col("tot"))
+                  - (n + 1) / n)
+    return (agg.select(group,
+                       F.col("n").cast("bigint").alias("n"),
+                       F.round(F.col("tot"), 4).alias("total"),
+                       F.round(gini, 6).alias("gini"))
+            .orderBy(group))

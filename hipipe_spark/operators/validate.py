@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -275,3 +275,61 @@ def dp_counts(df: DataFrame, group_cols: Sequence[str],
                     F.round(F.greatest(F.col("true_cnt") + F.col("noise"),
                                        F.lit(0.0)), 4).alias("dp_cnt"))
             .orderBy(*group_cols))
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9
+BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d)
+             for d in range(1, 10)}
+
+
+def benford(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Benford's-law conformity audit of a positive metric: per
+    (group, first-significant-digit) the observed share vs the
+    Benford expectation ``log10(1+1/d)``, plus the group's MAD
+    (mean absolute deviation across the 9 digits — Nigrini's
+    conformity statistic; < 0.006 ≈ close conformity for counts).
+
+    The first digit comes from the INTEGER-PART STRING (rows with
+    ``|value| < 1`` are excluded), never ``log10`` — float log at
+    power-of-ten boundaries is engine-dependent; substring of a cast
+    integer is exact in both engines. ONE hash aggregate on (group,
+    digit); digits a group never produced still appear (share 0) so
+    MAD is over all 9 digits.
+
+    Output: ``group, digit (int), n_obs (bigint), share, expected,
+    deviation, mad (doubles rounded 6)``, ordered by group, digit.
+    """
+    v = F.abs(F.col(value).cast("double"))
+    digit = F.substring(
+        F.floor(v).cast("bigint").cast("string"), 1, 1).cast("int")
+    obs = (df.where(v >= 1)
+           .groupBy(F.col(group).alias("g"), digit.alias("digit"))
+           .agg(F.count("*").alias("n_obs")))
+    digits = obs.sparkSession.createDataFrame(
+        [(d,) for d in range(1, 10)], "digit: int")
+    groups = obs.select("g").distinct()
+    full = (groups.crossJoin(F.broadcast(digits))
+            .join(obs, ["g", "digit"], "left")
+            .select("g", "digit",
+                    F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")))
+    w = Window.partitionBy("g")
+    share = F.col("n_obs") / F.sum("n_obs").over(w)
+    expected = F.lit(None).cast("double")
+    for d, pd in BENFORD_P.items():
+        expected = F.when(F.col("digit") == d, F.lit(pd)) \
+            .otherwise(expected)
+    # two projections: mad is a window over a window-derived column
+    staged = full.select(
+        "g", "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        share.alias("__share"),
+        expected.alias("__exp"),
+        F.abs(share - expected).alias("__dev"))
+    return (staged.select(
+        F.col("g").alias(group),
+        "digit", "n_obs",
+        F.round(F.col("__share"), 6).alias("share"),
+        F.round(F.col("__exp"), 6).alias("expected"),
+        F.round(F.col("__dev"), 6).alias("deviation"),
+        F.round(F.avg("__dev").over(w), 6).alias("mad"))
+        .orderBy(group, "digit"))
