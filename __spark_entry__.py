@@ -3080,6 +3080,18 @@ def q_fs_link(spark, sf_dir):
                          upper=4.0, lower=-2.0)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank corpus keywords (graph.py textrank_keywords):
+    PageRank over the word co-occurrence graph (window 2, both
+    directions, weights = corpus counts). The iteration state is
+    VOCABULARY-sized regardless of corpus size; the co-occurrence
+    self-join fans out ≤ window per token — linear, never quadratic.
+    Oracle: the same edges fed to the unrolled-CTE PageRank replica."""
+    from hipipe_spark.operators.graph import textrank_keywords
+    return textrank_keywords(_docs(spark, sf_dir), "doc_id", "text",
+                             window=2, n_iter=6, top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3382,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "qnorm": q_qnorm,
         "fs_link": q_fs_link,
+        "textrank": q_textrank,
     }
 
 
@@ -6375,6 +6388,24 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'possible' END AS decision
       FROM s
     """
+    _tr_edges = f"""
+      SELECT src, dst, 1.0 AS w FROM (
+        WITH tok AS (SELECT doc_id AS id, {_det_tokens_sql('text')}
+                       AS toks
+                     FROM documents),
+        p AS (SELECT id, unnest(toks) AS w,
+                     unnest(range(1, len(toks) + 1)) AS pos
+              FROM tok),
+        pr AS (SELECT a.w AS src, b.w AS dst
+               FROM p a JOIN p b
+                 ON a.id = b.id AND b.pos > a.pos
+                AND b.pos <= a.pos + 2)
+        SELECT src, dst FROM pr
+        UNION ALL SELECT dst AS src, src AS dst FROM pr)"""
+    d["textrank"] = ("SELECT * FROM ("
+                     + pagerank_oracle_sql(_tr_edges, damping=0.85,
+                                           n_iter=6, round_to=6)
+                     + ") ORDER BY rank DESC, node LIMIT 20")
     return d
 
 

@@ -300,3 +300,39 @@ def triangle_stats(edges: DataFrame, src: str = "src",
                       F.col("n_triangles").cast("bigint")
                        .alias("n_triangles"),
                       cc.alias("global_cc"))
+
+
+def textrank_keywords(df: DataFrame, id_col: str, text_col: str,
+                      window: int = 2, n_iter: int = 6,
+                      top_k: int = 20) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus
+    keywords = PageRank over the word co-occurrence graph (an edge
+    per ordered pair of words within ``window`` token positions,
+    weight = corpus-wide co-occurrence count), top-``top_k`` by rank.
+
+    Distributed shape: tokenize → posexplode → one bounded self-join
+    per document (fan-out ≤ window per token — linear in corpus
+    size, never quadratic), then :func:`pagerank` on the VOCABULARY
+    graph — node count is vocabulary-sized, so the iteration state is
+    dimension-sized no matter how large the corpus. Both directions
+    are emitted (undirected co-occurrence).
+
+    Output: ``node (the word), rank (double, rounded 6)``, top_k rows
+    ordered by rank desc then word.
+    """
+    from hipipe_spark.functions.text import tokens as _tokens
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_tokens(F.lower(F.col(text_col))))
+         .alias("__p", "__w"))
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (a.join(b, (F.col("a.__id") == F.col("b.__id"))
+                    & (F.col("b.__p") > F.col("a.__p"))
+                    & (F.col("b.__p") <= F.col("a.__p") + window))
+             .select(F.col("a.__w").alias("src"),
+                     F.col("b.__w").alias("dst")))
+    edges = pairs.unionAll(pairs.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    ranked = pagerank(edges, n_iter=n_iter, round_to=6)
+    return (ranked.orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(top_k))

@@ -54,3 +54,20 @@ def test_hist_quantiles_exact_on_degenerate_group(spark):
     out = hist_quantiles(df, "g", "v", n_bins=16).collect()
     for r in out:
         assert r.est == 7.0 and r.exact == 7.0 and r.err == 0.0
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    from hipipe_spark.operators.graph import textrank_keywords
+    # "spark" co-occurs with everything; filler words are peripheral
+    docs = [
+        (1, "spark engine runs spark jobs on spark clusters"),
+        (2, "the engine compiles plans for spark"),
+        (3, "clusters schedule jobs and spark handles plans"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = textrank_keywords(df, "doc_id", "text", window=2,
+                            n_iter=6, top_k=5).collect()
+    assert out[0].node == "spark"
+    assert len(out) == 5
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks, reverse=True)
