@@ -3092,6 +3092,21 @@ def q_textrank(spark, sf_dir):
                              window=2, n_iter=6, top_k=20)
 
 
+def q_acf(spark, sf_dir):
+    """ACF + cumulative Ljung–Box over the hourly event-count series
+    (temporal.py acf_ljung_box, lags 1..12): the is-it-white-noise
+    diagnostic behind every forecaster; all lag columns share ONE
+    sort window, Q from rounded-handoff r_k, Wilson–Hilferty χ²
+    tail via the Bowling Φ — identical expression in the oracle."""
+    from hipipe_spark.operators.temporal import acf_ljung_box
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").cast("double").alias("cnt")))
+    return acf_ljung_box(hours, "hour", "cnt", max_lag=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3395,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qnorm": q_qnorm,
         "fs_link": q_fs_link,
         "textrank": q_textrank,
+        "acf": q_acf,
     }
 
 
@@ -6406,6 +6422,44 @@ def oracle_sql() -> dict[str, str]:
                      + pagerank_oracle_sql(_tr_edges, damping=0.85,
                                            n_iter=6, round_to=6)
                      + ") ORDER BY rank DESC, node LIMIT 20")
+    _K = 12
+    _lags = ", ".join(f"lag(d, {k}) OVER win AS l{k}"
+                      for k in range(1, _K + 1))
+    _nums = ", ".join(f"sum(d * l{k}) AS num{k}"
+                      for k in range(1, _K + 1))
+    _lag_arr = "[" + ", ".join(str(k) for k in range(1, _K + 1)) + "]"
+    _r_arr = "[" + ", ".join(f"round(num{k} / den, 6)"
+                             for k in range(1, _K + 1)) + "]"
+    d["acf"] = f"""
+      WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            AS hour,
+                          CAST(count(*) AS DOUBLE) AS cnt
+                   FROM events GROUP BY 1),
+      mu AS (SELECT round(avg(cnt), 6) AS mu FROM hrs),
+      b AS (SELECT hour, cnt - mu AS d FROM hrs, mu),
+      l AS (SELECT d, {_lags}
+            FROM b WINDOW win AS (ORDER BY hour)),
+      a AS (SELECT count(*) AS n, sum(d * d) AS den, {_nums} FROM l),
+      per AS (SELECT CAST(n AS DOUBLE) AS n,
+                     UNNEST({_lag_arr}) AS lag,
+                     UNNEST({_r_arr}) AS r
+              FROM a),
+      q AS (SELECT CAST(lag AS INT) AS lag, r,
+                   round(n * (n + 2)
+                         * sum(r * r / (n - lag)) OVER (ORDER BY lag),
+                         6) AS q_stat
+            FROM per),
+      zt AS (SELECT lag, r, q_stat,
+                    (pow(q_stat / CAST(lag AS DOUBLE),
+                         {1.0 / 3.0!r})
+                     - (1.0 - 2.0 / (9.0 * CAST(lag AS DOUBLE))))
+                    / sqrt(2.0 / (9.0 * CAST(lag AS DOUBLE))) AS z
+             FROM q)
+      SELECT lag, r, q_stat,
+             round(1.0 / (1.0 + exp(0.07056 * z * z * z
+                                    + 1.5976 * z)), 6) AS p_value
+      FROM zt
+    """
     return d
 
 

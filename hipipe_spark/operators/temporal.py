@@ -889,3 +889,67 @@ def forecast_eval(df: DataFrame, t_col: str, value: str,
                     F.col("r.smape").alias("smape"),
                     F.col("r.mase").alias("mase"))
             .orderBy("method"))
+
+
+def acf_ljung_box(df: DataFrame, t_col: str, value: str,
+                  max_lag: int = 10) -> DataFrame:
+    """Autocorrelation function to ``max_lag`` plus the cumulative
+    Ljung–Box portmanteau test — "is this series white noise?" — the
+    residual diagnostic run after :func:`seasonal_decompose` or any
+    forecaster.
+
+    - ``r_k = Σ (v_t−v̄)(v_{t−k}−v̄) / Σ (v_t−v̄)²`` (v̄ ROUNDED
+      before differencing — the rounded handoff, so both engines
+      difference with the same constant);
+    - ``Q_k = n(n+2) Σ_{j≤k} r_j²/(n−j)`` from the ROUNDED r_j —
+      integer-plus-6dp inputs make Q bit-identical cross-engine;
+    - p via the Wilson–Hilferty cube-root normal approximation of
+      the χ²_k upper tail, Bowling-logistic Φ (same expression in
+      the oracle).
+
+    The input is a dimension-sized SERIES (same contract as
+    :func:`seasonal_decompose`): all ``max_lag`` lag columns share
+    ONE sort window; the test statistics fold on a max_lag-row frame.
+
+    Output: ``lag (int), r (double), q_stat, p_value (doubles,
+    rounded 6)``, ordered by lag.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    stats0 = df.agg(F.round(F.avg(F.col(value).cast("double")), 6)
+                    .alias("__mu"))
+    w = Window.orderBy(t_col)
+    dev = F.col(value).cast("double") - F.col("__mu")
+    base = (df.crossJoin(F.broadcast(stats0))
+            .select(F.col(t_col), dev.alias("__d")))
+    lagged = base.select(
+        "__d", *[F.lag("__d", k).over(w).alias(f"__l{k}")
+                 for k in range(1, max_lag + 1)])
+    agg = lagged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__d") * F.col("__d")).alias("den"),
+        *[F.sum(F.col("__d") * F.col(f"__l{k}")).alias(f"num{k}")
+          for k in range(1, max_lag + 1)])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.round(F.col(f"num{k}") / F.col("den"), 6)
+                  .alias("r"))
+        for k in range(1, max_lag + 1)])).alias("x")
+    per = (agg.select("n", rows)
+           .select(F.col("n"), F.col("x.lag").alias("lag"),
+                   F.col("x.r").alias("r")))
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    n = F.col("n").cast("double")
+    q = (n * (n + 2)
+         * F.sum(F.col("r") * F.col("r") / (n - F.col("lag"))).over(wq))
+    per2 = per.select("lag", "r", F.round(q, 6).alias("q_stat"))
+    # Wilson–Hilferty: χ²_k upper tail ≈ 1 − Φ(z),
+    # z = ((Q/k)^⅓ − (1 − 2/(9k))) / sqrt(2/(9k))
+    k = F.col("lag").cast("double")
+    z = ((F.pow(F.col("q_stat") / k, 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * k)))
+         / F.sqrt(2.0 / (9.0 * k)))
+    p = 1.0 / (1.0 + F.exp(0.07056 * z * z * z + 1.5976 * z))
+    return (per2.select("lag", "r", "q_stat",
+                        F.round(p, 6).alias("p_value"))
+            .orderBy("lag"))

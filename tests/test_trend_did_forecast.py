@@ -86,3 +86,30 @@ def test_forecast_eval_rejects_bad_season(spark):
     df = spark.createDataFrame([(1, 1.0)], "t: bigint, v: double")
     with pytest.raises(ValueError):
         forecast_eval(df, "t", "v", season=0)
+
+
+def test_acf_detects_planted_period(spark):
+    import math
+    from hipipe_spark.operators.temporal import acf_ljung_box
+    period = 6
+    rows = [(t, 10.0 * math.sin(2 * math.pi * t / period))
+            for t in range(600)]
+    df = spark.createDataFrame(rows, "t: bigint, v: double")
+    out = {r.lag: r for r in
+           acf_ljung_box(df, "t", "v", max_lag=6).collect()}
+    assert out[6].r > 0.95               # full period: strong positive
+    assert out[3].r < -0.95              # half period: strong negative
+    assert out[6].p_value < 1e-6         # decisively not white noise
+    qs = [out[k].q_stat for k in range(1, 7)]
+    assert qs == sorted(qs)              # Q is cumulative
+
+
+def test_acf_white_noise_not_rejected(spark):
+    import numpy as np
+    from hipipe_spark.operators.temporal import acf_ljung_box
+    rng = np.random.RandomState(9)
+    rows = [(t, float(v)) for t, v in enumerate(rng.normal(0, 1, 800))]
+    df = spark.createDataFrame(rows, "t: bigint, v: double")
+    out = acf_ljung_box(df, "t", "v", max_lag=10).collect()
+    assert all(abs(r.r) < 0.15 for r in out)
+    assert out[-1].p_value > 0.01        # no spurious rejection
