@@ -3107,6 +3107,37 @@ def q_acf(spark, sf_dir):
     return acf_ljung_box(hours, "hour", "cnt", max_lag=12)
 
 
+def q_node_cc(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (graph.py node_clustering) over the part co-purchase graph: same
+    a<b<c enumeration as `triangles`, each triangle credits its three
+    corners via one explode — top-20 most triangle-dense parts."""
+    from hipipe_spark.operators.graph import node_clustering
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return node_clustering(pairs, top_k=20)
+
+
+def q_seasonal_anom(spark, sf_dir):
+    """Seasonal-hybrid anomaly flags on the hourly series (temporal.py
+    seasonal_anomalies): decompose away trend + daily cycle, then
+    flag residuals beyond 3.5 robust sigmas (median/MAD, rounded
+    handoff) — a level shift or the cycle itself can never
+    masquerade as an anomaly."""
+    from hipipe_spark.operators.temporal import seasonal_anomalies
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").alias("cnt")))
+    return seasonal_anomalies(hours, "hour", "cnt", period=24, k=3.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3411,6 +3442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_link": q_fs_link,
         "textrank": q_textrank,
         "acf": q_acf,
+        "node_cc": q_node_cc,
+        "seasonal_anom": q_seasonal_anom,
     }
 
 
@@ -5990,7 +6023,7 @@ def oracle_sql() -> dict[str, str]:
              END AS mcc
       FROM ag
     """
-    d["seasonal"] = """
+    _seasonal_q = """
       WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
                             AS hour,
                           count(*) AS cnt
@@ -6017,6 +6050,7 @@ def oracle_sql() -> dict[str, str]:
              round(v - trend - seasonal, 6) AS resid
       FROM b JOIN se USING (phase)
     """
+    d["seasonal"] = _seasonal_q
     d["dp_counts"] = f"""
       WITH g AS (SELECT event_type, count(*) AS true_cnt
                  FROM events GROUP BY 1),
@@ -6459,6 +6493,44 @@ def oracle_sql() -> dict[str, str]:
              round(1.0 / (1.0 + exp(0.07056 * z * z * z
                                     + 1.5976 * z)), 6) AS p_value
       FROM zt
+    """
+    d["node_cc"] = """
+      WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT node, count(*) AS deg
+              FROM (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+              GROUP BY 1),
+      tri AS (SELECT node, count(*) AS triangles
+              FROM (SELECT UNNEST([e1.a, e1.b, e2.b]) AS node
+                    FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+                               JOIN e0 e3 ON e3.a = e1.a
+                                         AND e3.b = e2.b)
+              GROUP BY 1)
+      SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+             CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+             CASE WHEN d.deg >= 2
+                  THEN round(2.0 * coalesce(t.triangles, 0)
+                             / (d.deg * (d.deg - 1)), 6)
+             END AS local_cc
+      FROM deg d LEFT JOIN tri t ON t.node = d.node
+      ORDER BY triangles DESC, d.node ASC LIMIT 20
+    """
+    d["seasonal_anom"] = f"""
+      WITH dec AS ({_seasonal_q}),
+      base AS (SELECT * FROM dec WHERE resid IS NOT NULL),
+      med AS (SELECT round(quantile_cont(resid, 0.5), 6) AS med
+              FROM base),
+      mad AS (SELECT round(quantile_cont(abs(resid - med), 0.5), 6)
+                       AS mad,
+                     any_value(med) AS med2
+              FROM base, med)
+      SELECT hour, cnt, resid,
+             abs(resid - med2) > 3.5 * 1.4826 * mad AS anomaly
+      FROM base, mad
+      ORDER BY hour
     """
     return d
 

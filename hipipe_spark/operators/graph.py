@@ -336,3 +336,41 @@ def textrank_keywords(df: DataFrame, id_col: str, text_col: str,
     ranked = pagerank(edges, n_iter=n_iter, round_to=6)
     return (ranked.orderBy(F.col("rank").desc(), F.col("node").asc())
             .limit(top_k))
+
+
+def node_clustering(edges: DataFrame, src: str = "src",
+                    dst: str = "dst", top_k: int = 20) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient
+    ``2·Δ(v) / (deg(v)·(deg(v)−1))`` — the top-``top_k`` most
+    triangle-dense nodes (ties broken by node id). The node-level
+    twin of :func:`triangle_stats`: same canonical a<b<c enumeration,
+    then each triangle credits its three corners via one explode —
+    no per-node re-enumeration.
+
+    Output: ``node, deg (bigint), triangles (bigint), local_cc
+    (double rounded 6; null when deg < 2)``, top_k rows ordered by
+    triangles desc, node asc.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.where(a != b)
+         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .distinct())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+           .select(F.explode(F.array("x", "y", "z")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("triangles")))
+    j = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
+         .alias("triangles"))
+    cc = F.when(F.col("deg") >= 2,
+                F.round(2.0 * F.col("triangles")
+                        / (F.col("deg") * (F.col("deg") - 1)), 6))
+    return (j.withColumn("local_cc", cc)
+            .orderBy(F.col("triangles").desc(), F.col("node").asc())
+            .limit(top_k))

@@ -953,3 +953,38 @@ def acf_ljung_box(df: DataFrame, t_col: str, value: str,
     return (per2.select("lag", "r", "q_stat",
                         F.round(p, 6).alias("p_value"))
             .orderBy("lag"))
+
+
+def seasonal_anomalies(df: DataFrame, t_col: str, value: str,
+                       period: int = 24, k: float = 3.5) -> DataFrame:
+    """Seasonal-hybrid anomaly detection (the S-H-ESD idea reduced to
+    its robust core): remove trend + seasonality via
+    :func:`seasonal_decompose`, then flag residuals beyond ``k``
+    robust sigmas — ``|resid − median| > k · 1.4826 · MAD`` — so a
+    level shift or a daily cycle never masquerades as an anomaly and
+    the threshold itself is outlier-proof (median/MAD, not mean/sd).
+
+    median and MAD are ROUNDED before thresholding (the rounded
+    handoff); rows where trend is undefined (series edges) are
+    excluded. Same dimension-sized-series contract as the decompose.
+
+    Output: ``t_col, value, resid (doubles), anomaly (boolean)``
+    ordered by t — the full series with flags, so downstream can
+    windowed-join anomalies back to raw events.
+    """
+    dec = seasonal_decompose(df, t_col, value, period=period)
+    base = dec.where(F.col("resid").isNotNull())
+    med = base.agg(
+        F.round(F.percentile(F.col("resid"), 0.5), 6).alias("__med"))
+    with_med = base.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.round(F.percentile(
+            F.abs(F.col("resid") - F.col("__med")), 0.5), 6)
+        .alias("__mad"),
+        F.first("__med").alias("__med2"))
+    flagged = (base.crossJoin(F.broadcast(mad))
+               .select(F.col(t_col), F.col(value), F.col("resid"),
+                       (F.abs(F.col("resid") - F.col("__med2"))
+                        > F.lit(float(k)) * 1.4826 * F.col("__mad"))
+                       .alias("anomaly")))
+    return flagged.orderBy(t_col)

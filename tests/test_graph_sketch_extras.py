@@ -71,3 +71,20 @@ def test_textrank_hub_word_ranks_first(spark):
     assert len(out) == 5
     ranks = [r.rank for r in out]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_node_clustering_known_graph(spark):
+    from hipipe_spark.operators.graph import node_clustering
+    # K4 on {0,1,2,3} plus a pendant node 4 attached to 0
+    edges = ([(i, j) for i in range(4) for j in range(4) if i < j]
+             + [(0, 4)])
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    out = {r.node: r for r in node_clustering(df, top_k=10).collect()}
+    # inside K4 every node is in C(3,2)=3 triangles
+    for v in (1, 2, 3):
+        assert out[v].triangles == 3 and out[v].local_cc == 1.0
+    # node 0 has deg 4 but only the 3 K4 triangles: cc = 3/C(4,2)=0.5
+    assert out[0].deg == 4 and out[0].triangles == 3
+    assert out[0].local_cc == 0.5
+    # the pendant has deg 1: cc undefined
+    assert out[4].triangles == 0 and out[4].local_cc is None

@@ -113,3 +113,31 @@ def test_acf_white_noise_not_rejected(spark):
     out = acf_ljung_box(df, "t", "v", max_lag=10).collect()
     assert all(abs(r.r) < 0.15 for r in out)
     assert out[-1].p_value > 0.01        # no spurious rejection
+
+
+def test_seasonal_anomalies_flags_planted_spike_only(spark):
+    import math
+    import numpy as np
+    from hipipe_spark.operators.temporal import seasonal_anomalies
+    rng = np.random.RandomState(21)
+    period, n = 24, 24 * 20
+    # noise sigma chosen so the spike's leakage into the mean-based
+    # trend (spike/25) and phase means (spike/20) stays well under the
+    # 3.5-robust-sigma threshold while the spike itself towers over it
+    rows = []
+    for t in range(n):
+        v = (100.0 + 0.1 * t
+             + 15.0 * math.sin(2 * math.pi * t / period)
+             + float(rng.normal(0, 3.0)))
+        if t == 240:
+            v += 40.0                    # the anomaly
+        rows.append((t, v))
+    df = spark.createDataFrame(rows, "t: bigint, v: double")
+    out = {r.t: r for r in
+           seasonal_anomalies(df, "t", "v", period=period,
+                              k=3.5).collect()}
+    assert out[240].anomaly
+    flagged = [t for t, r in out.items() if r.anomaly]
+    assert len(flagged) <= 3             # spike + at most noise tail
+    # edges (undefined trend) are excluded entirely
+    assert 0 not in out and n - 1 not in out
