@@ -187,14 +187,19 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, dim: DataFrame,
             .distinct())
     # probe DISTINCT keys and DISTINCT (key, bit) pairs: duplicate fact
     # rows and two hash functions colliding onto one bit must not
-    # inflate/deflate the all-bits-present count
+    # inflate/deflate the all-bits-present count. n_pos and the hit
+    # count fold in ONE aggregate off a LEFT broadcast join — two
+    # separate aggregates joined back would sort-merge two
+    # fact-key-sized frames (plan-audit-pinned).
     probe = (fact.select(F.col(fact_key).alias("fk")).distinct()
              .select("fk", F.explode(F.array_distinct(F.array(
                  *positions(F.col("fk"))))).alias("bit")))
-    need = probe.groupBy("fk").agg(F.count("*").alias("n_pos"))
-    hits = (probe.join(F.broadcast(bits), "bit")
-            .groupBy("fk").agg(F.count("*").alias("nbits"))
-            .join(need, "fk")
+    marked = probe.join(
+        F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+    hits = (marked.groupBy("fk")
+            .agg(F.count("*").alias("n_pos"),
+                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .alias("nbits"))
             .where(F.col("nbits") == F.col("n_pos"))
             .select("fk"))
     truth = dim.select(F.col(dim_key).alias("fk")).distinct()
