@@ -3138,6 +3138,37 @@ def q_seasonal_anom(spark, sf_dir):
     return seasonal_anomalies(hours, "hour", "cnt", period=24, k=3.5)
 
 
+def q_mde(spark, sf_dir):
+    """Per-segment minimum detectable effect at current sample size
+    (stats.py mde_report): (z_{α/2}+z_β)·σ·√(4/n) from ONE
+    sufficient-statistics aggregate — the pre-experiment sizing
+    answer the welch/mann-whitney family needs."""
+    from hipipe_spark.operators.stats import mde_report
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mde_report(e, "event_type", "value")
+
+
+def q_burstiness(spark, sf_dir):
+    """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    (stats.py burstiness, Goh–Barabási): −1 periodic, 0 Poisson, →1
+    bursty — plus CV; one shared lag sort + one aggregate."""
+    from hipipe_spark.operators.stats import burstiness
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burstiness(e, "user_id", "ts", "event_id")
+
+
+def q_seq_patterns(spark, sf_dir):
+    """Frequent event-type trigrams per user journey (temporal.py
+    seq_patterns): contiguous length-3 patterns with distinct-user
+    support — the n-gram tier of sequence mining at a lag-window
+    price (two lags share one sort)."""
+    from hipipe_spark.operators.temporal import seq_patterns
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seq_patterns(e, "user_id", "event_type",
+                        ["ts", "event_id"], n=3, min_support=2,
+                        top_k=25)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3444,6 +3475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "node_cc": q_node_cc,
         "seasonal_anom": q_seasonal_anom,
+        "mde": q_mde,
+        "burstiness": q_burstiness,
+        "seq_patterns": q_seq_patterns,
     }
 
 
@@ -6531,6 +6565,68 @@ def oracle_sql() -> dict[str, str]:
              abs(resid - med2) > 3.5 * 1.4826 * mad AS anomaly
       FROM base, mad
       ORDER BY hour
+    """
+    d["mde"] = f"""
+      WITH a AS (SELECT event_type, count(*) AS n,
+                        sum(CAST(value AS DOUBLE)) AS s,
+                        sum(CAST(value AS DOUBLE)
+                            * CAST(value AS DOUBLE)) AS q
+                 FROM events GROUP BY 1),
+      b AS (SELECT event_type, n, s / CAST(n AS DOUBLE) AS mean,
+                   CASE WHEN n >= 2
+                        THEN sqrt((q - s * s / CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) - 1)) END AS sd
+            FROM a),
+      c AS (SELECT *, CASE WHEN n >= 2
+                           THEN {(1.959964 + 0.841621)!r} * sd
+                                * sqrt(4.0 / CAST(n AS DOUBLE)) END
+                        AS mde
+            FROM b)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             round(mean, 6) AS mean, round(sd, 6) AS sd,
+             round(mde, 6) AS mde_abs,
+             round(CASE WHEN n >= 2 AND mean <> 0
+                        THEN mde / mean END, 6) AS mde_rel
+      FROM c
+    """
+    d["burstiness"] = """
+      WITH g AS (SELECT user_id,
+                        epoch(ts) - lag(epoch(ts)) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                          AS gap
+                 FROM events),
+      a AS (SELECT user_id, count(*) AS n, sum(gap) AS s,
+                   sum(gap * gap) AS q
+            FROM g WHERE gap IS NOT NULL GROUP BY 1),
+      b AS (SELECT user_id, n, s / CAST(n AS DOUBLE) AS mu,
+                   CASE WHEN n >= 2
+                        THEN sqrt((q - s * s / CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) - 1)) END AS sd
+            FROM a)
+      SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+             round(mu, 6) AS mean_gap,
+             round(CASE WHEN n >= 2 AND mu > 0 THEN sd / mu END, 6)
+               AS cv,
+             round(CASE WHEN n >= 2 AND mu > 0
+                        THEN (sd - mu) / (sd + mu) END, 6) AS b
+      FROM b
+    """
+    d["seq_patterns"] = """
+      WITH g AS (SELECT user_id AS k,
+                        lag(event_type, 2) OVER win AS t1,
+                        lag(event_type, 1) OVER win AS t2,
+                        event_type AS t3
+                 FROM events
+                 WINDOW win AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+      a AS (SELECT t1, t2, t3, count(*) AS occurrences,
+                   count(DISTINCT k) AS support
+            FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+            HAVING count(DISTINCT k) >= 2)
+      SELECT t1, t2, t3, CAST(occurrences AS BIGINT) AS occurrences,
+             CAST(support AS BIGINT) AS support
+      FROM a
+      ORDER BY support DESC, occurrences DESC, t1, t2, t3 LIMIT 25
     """
     return d
 

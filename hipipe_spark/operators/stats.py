@@ -565,3 +565,80 @@ def gini_coefficient(df: DataFrame, group: str,
                        F.round(F.col("tot"), 4).alias("total"),
                        F.round(gini, 6).alias("gini"))
             .orderBy(group))
+
+
+# two-sided alpha=0.05 and power=0.8 normal quantiles (standard
+# experimentation constants, embedded as literals so the oracle folds
+# the identical arithmetic)
+Z_ALPHA_2 = 1.959964
+Z_POWER = 0.841621
+
+
+def mde_report(df: DataFrame, segment: str, value: str,
+               z_alpha_2: float = Z_ALPHA_2,
+               z_power: float = Z_POWER) -> DataFrame:
+    """Minimum detectable effect per segment at the CURRENT sample
+    size — the pre-experiment sizing question answered from one
+    aggregate: for a 50/50 split of this segment's n with this
+    segment's variance, the smallest true lift a two-sided α=.05 /
+    power=.8 test would detect is ``(z_{α/2}+z_β)·σ·√(4/n)``.
+
+    ONE map-side-combinable aggregate (n, Σx, Σx²); the quantile
+    constants are literals (no inverse-CDF in either engine).
+    Output: ``segment, n (bigint), mean, sd, mde_abs, mde_rel``
+    (doubles rounded 6; null when n < 2 or mean = 0 for mde_rel).
+    """
+    x = F.col(value).cast("double")
+    agg = df.groupBy(segment).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"))
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    var = (F.col("q") - F.col("s") * F.col("s") / n) / (n - 1)
+    sd = F.sqrt(var)
+    mde = (float(z_alpha_2) + float(z_power)) * sd * F.sqrt(4.0 / n)
+    ok = F.col("n") >= 2
+    return (agg.select(
+        segment,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.when(ok, sd), 6).alias("sd"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(F.when(ok & (mean != 0), mde / mean), 6)
+         .alias("mde_rel"))
+        .orderBy(segment))
+
+
+def burstiness(df: DataFrame, key: str, ts_col: str,
+               order_col: str) -> DataFrame:
+    """Per-key burstiness of the inter-event gap process (Goh &
+    Barabási 2008): ``B = (σ−μ)/(σ+μ)`` over the gaps — −1 for a
+    perfectly periodic process, 0 for Poisson, →1 for heavy bursts —
+    plus the coefficient of variation. The feature that separates
+    "steady worker" from "incident responder" in transcript tempo.
+
+    One lag window per key (shared sort) + one aggregate of gap
+    sufficient statistics. Output: ``key, n_gaps (bigint), mean_gap,
+    cv, b (doubles rounded 6)``; keys with < 2 gaps report nulls.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    g = (df.select(F.col(key), gap.alias("__g"))
+         .where(F.col("__g").isNotNull()))
+    agg = g.groupBy(key).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("__g").alias("s"),
+        F.sum(F.col("__g") * F.col("__g")).alias("q"))
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("s") / n
+    sd = F.sqrt((F.col("q") - F.col("s") * F.col("s") / n) / (n - 1))
+    ok = (F.col("n_gaps") >= 2) & (mu > 0)
+    return (agg.select(
+        F.col(key),
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_gap"),
+        F.round(F.when(ok, sd / mu), 6).alias("cv"),
+        F.round(F.when(ok, (sd - mu) / (sd + mu)), 6).alias("b"))
+        .orderBy(key))

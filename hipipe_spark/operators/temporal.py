@@ -988,3 +988,40 @@ def seasonal_anomalies(df: DataFrame, t_col: str, value: str,
                         > F.lit(float(k)) * 1.4826 * F.col("__mad"))
                        .alias("anomaly")))
     return flagged.orderBy(t_col)
+
+
+def seq_patterns(df: DataFrame, key: str, token: str,
+                 order: Sequence[str], n: int = 3,
+                 min_support: int = 2, top_k: int = 25) -> DataFrame:
+    """Frequent length-``n`` sequential patterns of ``token`` per
+    ``key`` stream — the contiguous-n-gram tier of sequence mining
+    (PrefixSpan's gapped patterns cost a combinatorial search; for
+    journey analytics the contiguous patterns carry most of the
+    signal at a lag-window price). Support = DISTINCT keys containing
+    the pattern; ``occurrences`` counts every instance.
+
+    One lag window per key (all n−1 lags share the sort), one
+    (pattern)-keyed aggregate. Output: token columns ``t1..tn``,
+    ``occurrences (bigint)``, ``support (bigint)``, filtered to
+    ``support ≥ min_support``, top_k by (support desc, occurrences
+    desc, t1..tn asc).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    w = Window.partitionBy(key).orderBy(*order)
+    cols = [F.lag(F.col(token), n - 1 - i).over(w).alias(f"t{i + 1}")
+            for i in range(n - 1)] + [F.col(token).alias(f"t{n}")]
+    grams = (df.select(F.col(key).alias("__k"), *cols)
+             .where(F.col("t1").isNotNull()))
+    agg = (grams.groupBy(*[f"t{i + 1}" for i in range(n)])
+           .agg(F.count("*").alias("occurrences"),
+                F.countDistinct("__k").alias("support"))
+           .where(F.col("support") >= min_support))
+    return (agg.select(*[f"t{i + 1}" for i in range(n)],
+                       F.col("occurrences").cast("bigint")
+                        .alias("occurrences"),
+                       F.col("support").cast("bigint").alias("support"))
+            .orderBy(F.col("support").desc(),
+                     F.col("occurrences").desc(),
+                     *[F.col(f"t{i + 1}").asc() for i in range(n)])
+            .limit(top_k))

@@ -161,3 +161,66 @@ def test_dp_noise_scale_tracks_epsilon(spark):
     # empirical mean |noise| ≈ b for Laplace
     mean_abs = float(np.mean([abs(v) for v in lo.values()]))
     assert 1.0 < mean_abs < 3.5                    # b = 2.0
+
+
+def test_mde_shrinks_with_sqrt_n(spark):
+    from hipipe_spark.operators.stats import mde_report
+    import numpy as np
+    rng = np.random.RandomState(4)
+    rows = ([("small", float(v)) for v in rng.normal(10, 2, 100)]
+            + [("big", float(v)) for v in rng.normal(10, 2, 400)])
+    df = spark.createDataFrame(rows, "seg: string, v: double")
+    out = {r.seg: r for r in mde_report(df, "seg", "v").collect()}
+    # 4x the sample → half the MDE (same sigma)
+    ratio = out["small"].mde_abs / out["big"].mde_abs
+    assert 1.7 < ratio < 2.3
+    # sanity: MDE ≈ 2.8 * sd * sqrt(4/n)
+    r = out["big"]
+    assert abs(r.mde_abs - 2.801585 * r.sd * (4 / 400) ** 0.5) < 1e-4
+
+
+def test_burstiness_regimes(spark):
+    import datetime as dt
+    import numpy as np
+    from hipipe_spark.operators.stats import burstiness
+    base = dt.datetime(2026, 1, 1)
+    rng = np.random.RandomState(6)
+    rows = []
+    # periodic: constant 60s gaps → B = -1
+    t = base
+    for i in range(200):
+        rows.append(("periodic", t, i))
+        t += dt.timedelta(seconds=60)
+    # poisson: exponential gaps → B ≈ 0
+    t = base
+    for i in range(2000):
+        rows.append(("poisson", t, i))
+        t += dt.timedelta(seconds=float(rng.exponential(60)))
+    # bursty: pareto-ish heavy gaps → B > 0.3
+    t = base
+    for i in range(2000):
+        rows.append(("bursty", t, i))
+        t += dt.timedelta(seconds=float(rng.pareto(1.2) * 10 + 0.001))
+    df = spark.createDataFrame(rows, "k: string, ts: timestamp, i: long")
+    out = {r.k: r for r in burstiness(df, "k", "ts", "i").collect()}
+    assert out["periodic"].b == -1.0
+    assert abs(out["poisson"].b) < 0.1
+    assert out["bursty"].b > 0.3
+
+
+def test_seq_patterns_planted_motif(spark):
+    import datetime as dt
+    from hipipe_spark.operators.temporal import seq_patterns
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(10):
+        seq = ["a", "b", "c"] * 4 + ["x"]      # motif in every user
+        for i, tok in enumerate(seq):
+            rows.append((u, base + dt.timedelta(seconds=i), i, tok))
+    df = spark.createDataFrame(rows,
+                               "u: long, ts: timestamp, i: long, tok: string")
+    out = seq_patterns(df, "u", "tok", ["ts", "i"], n=3,
+                       min_support=2, top_k=5).collect()
+    top = out[0]
+    assert (top.t1, top.t2, top.t3) == ("a", "b", "c")
+    assert top.support == 10 and top.occurrences == 40
