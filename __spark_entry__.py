@@ -3169,6 +3169,43 @@ def q_seq_patterns(spark, sf_dir):
                         top_k=25)
 
 
+def q_rfm(spark, sf_dir):
+    """RFM segmentation per user (analytics.py rfm_segments): one
+    raw-data aggregate, three ntile windows on the USER-dimension
+    frame; recency anchored to corpus max(ts) (no extra scan); ties
+    ntile-broken by key so the driver hash is stable."""
+    from hipipe_spark.operators.analytics import rfm_segments
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_segments(e, "user_id", "ts", "value", n_tiles=5)
+
+
+def q_entropy_rate(spark, sf_dir):
+    """First-order Markov entropy rate of the event-type process
+    (analytics.py entropy_rate): conditional bits/next-event vs the
+    marginal — the predictability gap a sequence model can exploit;
+    two state²-dimension aggregates off one bigram lag window."""
+    from hipipe_spark.operators.analytics import entropy_rate
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return entropy_rate(e, "user_id", "event_type", ["ts", "event_id"])
+
+
+def q_ccf(spark, sf_dir):
+    """Cross-correlation (temporal.py ccf, lags −6..6) between hourly
+    purchase value and hourly view count — the lead–lag discovery
+    tool; all 13 shift columns share ONE sort, correlations fold in
+    one aggregate, means rounded-handoff."""
+    from hipipe_spark.operators.temporal import ccf
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                          F.col("value")).otherwise(0.0)).alias("a"),
+             F.sum(F.when(F.col("event_type") == "view", 1)
+                   .otherwise(0)).alias("b")))
+    return ccf(hours, "hour", "a", "b", max_lag=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3478,6 +3515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mde": q_mde,
         "burstiness": q_burstiness,
         "seq_patterns": q_seq_patterns,
+        "rfm": q_rfm,
+        "entropy_rate": q_entropy_rate,
+        "ccf": q_ccf,
     }
 
 
@@ -6627,6 +6667,93 @@ def oracle_sql() -> dict[str, str]:
              CAST(support AS BIGINT) AS support
       FROM a
       ORDER BY support DESC, occurrences DESC, t1, t2, t3 LIMIT 25
+    """
+    d["rfm"] = """
+      WITH per AS (SELECT user_id, max(epoch(ts)) AS last,
+                          count(*) AS frequency,
+                          round(sum(CAST(value AS DOUBLE)), 4)
+                            AS monetary
+                   FROM events GROUP BY 1),
+      an AS (SELECT max(last) AS now FROM per),
+      p2 AS (SELECT *, round(now - last, 6) AS recency_s
+             FROM per, an),
+      t AS (SELECT *,
+                   ntile(5) OVER (ORDER BY recency_s ASC, user_id)
+                     AS r,
+                   ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                     AS f,
+                   ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                     AS m
+            FROM p2)
+      SELECT user_id, recency_s,
+             CAST(frequency AS BIGINT) AS frequency, monetary,
+             CAST(r AS INT) AS r, CAST(f AS INT) AS f,
+             CAST(m AS INT) AS m,
+             CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+               || CAST(m AS VARCHAR) AS rfm
+      FROM t
+    """
+    d["entropy_rate"] = """
+      WITH big AS (SELECT user_id AS k,
+                          lag(event_type) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) AS a,
+                          event_type AS b
+                   FROM events),
+      cells AS (SELECT a, b, count(*) AS n FROM big
+                WHERE a IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT n, CAST(n AS DOUBLE)
+                       / CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE)
+                         AS p
+             FROM cells),
+      hr AS (SELECT sum(n) AS nt2, sum(n * -log2(p)) AS hr_num
+             FROM rt),
+      na AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+      nt AS (SELECT sum(n) AS nt FROM cells),
+      mg AS (SELECT sum(na * -log2(CAST(na AS DOUBLE)
+                                   / CAST(nt AS DOUBLE))) AS hm_num,
+                    any_value(nt) AS nt3
+             FROM na, nt)
+      SELECT CAST(nt2 AS BIGINT) AS n_transitions,
+             round(hm_num / nt3, 6) AS h_marginal,
+             round(hr_num / nt2, 6) AS h_rate,
+             round(CASE WHEN hm_num / nt3 > 0
+                        THEN 1.0 - (hr_num / nt2) / (hm_num / nt3)
+                   END, 6) AS predictability
+      FROM hr, mg
+    """
+    _ccf_ks = list(range(-6, 7))
+    _shifts = ", ".join(
+        (f"lag(db, {k}) OVER win AS s{i}" if k >= 0
+         else f"lead(db, {-k}) OVER win AS s{i}")
+        for i, k in enumerate(_ccf_ks))
+    _csums = ", ".join(f"sum(da * s{i}) AS c{i}, count(da * s{i}) AS n{i}"
+                       for i in range(len(_ccf_ks)))
+    _sel = " UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST(n{i} AS BIGINT) AS n_pairs, "
+        f"round(c{i} / sqrt(va * vb), 6) AS r FROM agg"
+        for i, k in enumerate(_ccf_ks))
+    d["ccf"] = f"""
+      WITH h AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                          AS hour,
+                        sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DOUBLE)
+                                 ELSE 0.0 END) AS a,
+                        sum(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS b
+                 FROM events GROUP BY 1),
+      mu AS (SELECT round(avg(a), 6) AS ma,
+                    round(avg(CAST(b AS DOUBLE)), 6) AS mb
+             FROM h),
+      base AS (SELECT hour, a - ma AS da,
+                      CAST(b AS DOUBLE) - mb AS db
+               FROM h, mu),
+      sh AS (SELECT da, db, {_shifts}
+             FROM base WINDOW win AS (ORDER BY hour)),
+      agg AS (SELECT sum(da * da) AS va, sum(db * db) AS vb,
+                     {_csums}
+              FROM sh)
+      {_sel}
     """
     return d
 

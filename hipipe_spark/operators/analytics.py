@@ -307,3 +307,97 @@ def attribution(events: DataFrame, touch_types: Sequence[str],
             .groupBy(F.col(type_col).alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_touches"),
                  F.round(F.sum("credit"), 6).alias("credit")))
+
+
+def rfm_segments(df: DataFrame, key: str, ts_col: str, value: str,
+                 n_tiles: int = 5,
+                 ref_ts: str | None = None) -> DataFrame:
+    """RFM segmentation (the classic CRM triad): per key, Recency =
+    seconds from last activity to the corpus reference instant,
+    Frequency = event count, Monetary = value sum — each scored into
+    ``n_tiles`` quantile tiles (ntile over the KEY-dimension frame,
+    never raw rows; recency tile 1 = most recent). One raw-data
+    aggregate; three ntile windows on the per-key result.
+
+    ``ref_ts``: ISO timestamp string for the "now" anchor; defaults
+    to the corpus max(ts) (computed in the same aggregate pass, no
+    extra scan). Ties inside ntile break by key (deterministic).
+
+    Output: ``key, recency_s, frequency (bigint), monetary, r, f, m
+    (ints), rfm (string like '125')``, ordered by key.
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    per = df.groupBy(key).agg(
+        F.max(sec).alias("__last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum(F.col(value).cast("double")), 4)
+         .alias("monetary"))
+    if ref_ts is None:
+        anchor = per.agg(F.max("__last").alias("__now"))
+        per = per.crossJoin(F.broadcast(anchor))
+    else:
+        per = per.withColumn(
+            "__now", F.lit(ref_ts).cast("timestamp").cast("double"))
+    per = per.withColumn(
+        "recency_s", F.round(F.col("__now") - F.col("__last"), 6))
+    w_r = Window.orderBy(F.col("recency_s").asc(), F.col(key))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col(key))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col(key))
+    out = (per.withColumn("r", F.ntile(n_tiles).over(w_r))
+           .withColumn("f", F.ntile(n_tiles).over(w_f))
+           .withColumn("m", F.ntile(n_tiles).over(w_m)))
+    return (out.select(
+        key, "recency_s",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary", "r", "f", "m",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("rfm"))
+        .orderBy(key))
+
+
+def entropy_rate(df: DataFrame, key: str, token: str,
+                 order: Sequence[str]) -> DataFrame:
+    """Entropy rate of the token process (first-order Markov):
+    ``H = −Σ_i π(i) Σ_j p(j|i) log2 p(j|i)`` over the observed
+    transition matrix, with π the empirical source distribution of
+    transition origins — how predictable is the next event given the
+    current one, in bits. Complements the marginal event entropy:
+    a process can have high marginal entropy yet near-zero rate
+    (strict cycles).
+
+    One lag window per key (bigram extraction) + two
+    state²-dimension aggregates. Output: one row — ``n_transitions
+    (bigint), h_marginal, h_rate, predictability`` (doubles rounded
+    6; predictability = 1 − h_rate/h_marginal, null when marginal
+    entropy is 0).
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    big = (df.select(F.col(key).alias("__k"),
+                     F.lag(F.col(token)).over(w).alias("__a"),
+                     F.col(token).alias("__b"))
+           .where(F.col("__a").isNotNull()))
+    cells = big.groupBy("__a", "__b").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("nt"))
+    # conditional entropy: Σ_ij (n_ij/N) log2(n_i./n_ij)
+    w_a = Window.partitionBy("__a")
+    rate_terms = cells.select(
+        F.col("n"),
+        (F.col("n") / F.sum("n").over(w_a)).alias("p_cond"))
+    h_rate = rate_terms.agg(
+        F.sum("n").alias("nt2"),
+        F.sum(F.col("n") * -F.log2("p_cond")).alias("hr_num"))
+    # marginal entropy of transition origins
+    marg = (cells.groupBy("__a").agg(F.sum("n").alias("na"))
+            .crossJoin(F.broadcast(tot))
+            .agg(F.sum(F.col("na") * -F.log2(F.col("na") / F.col("nt")))
+                 .alias("hm_num"),
+                 F.first("nt").alias("nt3")))
+    j = h_rate.crossJoin(F.broadcast(marg))
+    hr = F.col("hr_num") / F.col("nt2")
+    hm = F.col("hm_num") / F.col("nt3")
+    return j.select(
+        F.col("nt2").cast("bigint").alias("n_transitions"),
+        F.round(hm, 6).alias("h_marginal"),
+        F.round(hr, 6).alias("h_rate"),
+        F.round(F.when(hm > 0, 1.0 - hr / hm), 6)
+         .alias("predictability"))

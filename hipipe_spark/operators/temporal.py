@@ -1025,3 +1025,58 @@ def seq_patterns(df: DataFrame, key: str, token: str,
                      F.col("occurrences").desc(),
                      *[F.col(f"t{i + 1}").asc() for i in range(n)])
             .limit(top_k))
+
+
+def ccf(df: DataFrame, t_col: str, a_col: str, b_col: str,
+        max_lag: int = 12) -> DataFrame:
+    """Cross-correlation function between two aligned series — the
+    lead–lag discovery tool: ``r(k) = Σ(a_t−ā)(b_{t−k}−b̄) /
+    √(Σ(a−ā)²·Σ(b−b̄)²)`` for k ∈ [−max_lag, max_lag]. A peak at
+    k>0 means **b leads a** by k steps (views at t−k correlate with
+    purchases at t); k<0 means a leads b.
+
+    Means are ROUNDED before differencing (rounded handoff); all
+    2·max_lag+1 shift columns share ONE sort window; the correlations
+    fold in one aggregate. Dimension-sized-series contract as
+    :func:`acf_ljung_box`.
+
+    Output: ``lag (int), n_pairs (bigint), r (double rounded 6)``,
+    ordered by lag.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    mus = df.agg(
+        F.round(F.avg(F.col(a_col).cast("double")), 6).alias("__ma"),
+        F.round(F.avg(F.col(b_col).cast("double")), 6).alias("__mb"))
+    w = Window.orderBy(t_col)
+    base = (df.crossJoin(F.broadcast(mus))
+            .select(F.col(t_col),
+                    (F.col(a_col).cast("double") - F.col("__ma"))
+                    .alias("__da"),
+                    (F.col(b_col).cast("double") - F.col("__mb"))
+                    .alias("__db")))
+    ks = list(range(-max_lag, max_lag + 1))
+    shifted = base.select(
+        "__da", "__db",
+        *[(F.lag("__db", k).over(w) if k >= 0
+           else F.lead("__db", -k).over(w)).alias(f"__s{i}")
+          for i, k in enumerate(ks)])
+    agg = shifted.agg(
+        F.sum(F.col("__da") * F.col("__da")).alias("va"),
+        F.sum(F.col("__db") * F.col("__db")).alias("vb"),
+        *[F.sum(F.col("__da") * F.col(f"__s{i}")).alias(f"c{i}")
+          for i in range(len(ks))],
+        *[F.count(F.col("__da") * F.col(f"__s{i}")).alias(f"n{i}")
+          for i in range(len(ks))])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.col(f"n{i}").cast("bigint").alias("n_pairs"),
+                 F.round(F.col(f"c{i}")
+                         / F.sqrt(F.col("va") * F.col("vb")), 6)
+                  .alias("r"))
+        for i, k in enumerate(ks)])).alias("x")
+    return (agg.select(rows)
+            .select(F.col("x.lag").alias("lag"),
+                    F.col("x.n_pairs").alias("n_pairs"),
+                    F.col("x.r").alias("r"))
+            .orderBy("lag"))

@@ -121,3 +121,61 @@ def test_sliding_distinct_approx_close(spark):
     assert len(j) == len(ex) == len(ap)
     rel = abs(j["n_active_a"] - j["n_active_e"]) / j["n_active_e"]
     assert (rel < 0.1).all()
+
+
+def test_rfm_segments_tiles_and_anchor(spark):
+    import datetime as dt
+    from hipipe_spark.operators.analytics import rfm_segments
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(10):
+        # user u: u+1 events, last activity u days before the anchor,
+        # spend 100*(u+1) — perfectly anti-correlated R vs F/M
+        for i in range(u + 1):
+            rows.append((u, base - dt.timedelta(days=u, hours=i),
+                         100.0))
+    df = spark.createDataFrame(rows, "u: long, ts: timestamp, v: double")
+    out = {r.u: r for r in
+           rfm_segments(df, "u", "ts", "v", n_tiles=5).collect()}
+    assert out[0].r == 1 and out[9].r == 5     # most/least recent
+    assert out[9].f == 1 and out[0].f == 5     # most/least frequent
+    assert out[9].m == 1 and out[0].m == 5
+    assert out[0].rfm == "155" and out[9].rfm == "511"
+    assert out[0].recency_s == 0.0             # anchor = corpus max
+
+
+def test_entropy_rate_cycle_vs_random(spark):
+    import datetime as dt
+    import numpy as np
+    from hipipe_spark.operators.analytics import entropy_rate
+    base = dt.datetime(2026, 1, 1)
+    rng = np.random.RandomState(13)
+    # strict a->b->c cycle: marginal entropy log2(3), rate 0
+    cyc = [(1, base + dt.timedelta(seconds=i), i, "abc"[i % 3])
+           for i in range(300)]
+    df = spark.createDataFrame(cyc, "k: long, ts: timestamp, i: long, "
+                                    "tok: string")
+    r = entropy_rate(df, "k", "tok", ["ts", "i"]).collect()[0]
+    assert abs(r.h_marginal - 1.584963) < 1e-3
+    assert r.h_rate == 0.0
+    assert r.predictability == 1.0
+    # iid uniform tokens: rate ≈ marginal, predictability ≈ 0
+    rnd = [(1, base + dt.timedelta(seconds=i), i,
+            "abc"[rng.randint(3)]) for i in range(3000)]
+    df2 = spark.createDataFrame(rnd, "k: long, ts: timestamp, i: long, "
+                                     "tok: string")
+    r2 = entropy_rate(df2, "k", "tok", ["ts", "i"]).collect()[0]
+    assert r2.predictability < 0.02
+
+
+def test_ccf_finds_planted_lead(spark):
+    import math
+    from hipipe_spark.operators.temporal import ccf
+    # a_t = b_{t-3}: b leads a by 3 → peak at lag +3
+    n = 400
+    b = [math.sin(t / 7.0) + 0.1 * ((t * 37) % 11) for t in range(n + 3)]
+    rows = [(t, b[t], b[t + 3]) for t in range(n)]
+    df = spark.createDataFrame(rows, "t: bigint, a: double, b: double")
+    out = {r.lag: r.r for r in ccf(df, "t", "a", "b", max_lag=6).collect()}
+    assert out[3] > 0.99                        # the planted lead
+    assert all(out[k] < 0.9 for k in out if k != 3)
