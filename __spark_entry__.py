@@ -3206,6 +3206,35 @@ def q_ccf(spark, sf_dir):
     return ccf(hours, "hour", "a", "b", max_lag=6)
 
 
+def q_copurchase(spark, sf_dir):
+    """Weighted left-projection of the bipartite (part, order)
+    relation (graph.py bipartite_project): part pairs sharing ≥ 2
+    orders, hub orders (> 8 parts) dropped BEFORE the self-join —
+    the quadratic-in-hub-degree guard that keeps a 100-TB projection
+    linear-ish."""
+    from hipipe_spark.operators.graph import bipartite_project
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (bipartite_project(li, "l_partkey", "l_orderkey",
+                              min_weight=2, max_right_degree=8)
+            .orderBy("src", "dst"))
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard over the same censored user
+    lifetimes as kaplan_meier (stats.py nelson_aalen): H(t) = Σ d/n
+    on the duration-dimension grid; exp(−H) rides along as the
+    Breslow survival cross-check against the KM curve."""
+    from hipipe_spark.operators.stats import nelson_aalen
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    life = e.groupBy("user_id").agg(
+        F.floor((F.max(sec) - F.min(sec)) / 3600)
+         .cast("bigint").alias("dur_h"),
+        F.max(F.when(F.col("user_id") % 4 != 0, 1).otherwise(0))
+         .cast("int").alias("ev"))
+    return nelson_aalen(life, "dur_h", "ev")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3518,6 +3547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm": q_rfm,
         "entropy_rate": q_entropy_rate,
         "ccf": q_ccf,
+        "copurchase": q_copurchase,
+        "nelson_aalen": q_nelson_aalen,
     }
 
 
@@ -6754,6 +6785,48 @@ def oracle_sql() -> dict[str, str]:
                      {_csums}
               FROM sh)
       {_sel}
+    """
+    d["copurchase"] = """
+      WITH pr AS (SELECT DISTINCT l_partkey AS l, l_orderkey AS r
+                  FROM lineitem),
+      keep AS (SELECT r FROM pr GROUP BY r HAVING count(*) <= 8),
+      pin AS (SELECT pr.l, pr.r FROM pr JOIN keep USING (r)),
+      e AS (SELECT a.l AS src, b.l AS dst, count(*) AS weight
+            FROM pin a JOIN pin b ON a.r = b.r AND a.l < b.l
+            GROUP BY 1, 2)
+      SELECT src, dst, CAST(weight AS BIGINT) AS weight
+      FROM e WHERE weight >= 2
+    """
+    d["nelson_aalen"] = """
+      WITH life AS (SELECT user_id,
+                      CAST(floor((epoch(max(ts)) - epoch(min(ts)))
+                                 / 3600) AS BIGINT) AS dur_h,
+                      max(CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END)
+                        AS ev
+                    FROM events GROUP BY user_id),
+      agg AS (SELECT dur_h, sum(ev) AS n_event,
+                     sum(1 - ev) AS n_censored
+              FROM life GROUP BY dur_h),
+      st AS (SELECT *, sum(n_event + n_censored) OVER () AS total,
+                    sum(n_event + n_censored) OVER (ORDER BY dur_h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS thru
+             FROM agg),
+      rk AS (SELECT dur_h, n_event, n_censored,
+                    total - thru + n_event + n_censored AS n_risk
+             FROM st),
+      hz AS (SELECT *, sum(CAST(n_event AS DOUBLE)
+                           / CAST(n_risk AS DOUBLE)) OVER (
+                         ORDER BY dur_h
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS haz
+             FROM rk)
+      SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk,
+             CAST(n_event AS BIGINT) AS n_event,
+             CAST(n_censored AS BIGINT) AS n_censored,
+             round(haz, 6) AS cum_hazard,
+             round(exp(-haz), 6) AS surv_breslow
+      FROM hz
     """
     return d
 

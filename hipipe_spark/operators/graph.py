@@ -374,3 +374,44 @@ def node_clustering(edges: DataFrame, src: str = "src",
     return (j.withColumn("local_cc", cc)
             .orderBy(F.col("triangles").desc(), F.col("node").asc())
             .limit(top_k))
+
+
+def bipartite_project(df: DataFrame, left: str, right: str,
+                      min_weight: int = 1,
+                      max_right_degree: int | None = None) -> DataFrame:
+    """Project a bipartite relation onto its LEFT side: an edge
+    between two left-nodes per shared right-node, weight = number of
+    shared rights. The universal co-occurrence graph builder (parts
+    sharing orders, users sharing tools, docs sharing shingles) that
+    `triangles` / `node_clustering` / `pagerank` consume.
+
+    The scale hazard is the hub right-node: a right shared by d
+    lefts emits C(d,2) pairs — quadratic in d. ``max_right_degree``
+    drops hub rights BEFORE the self-join (the same guard as
+    ngram_jaccard's max_df): at 100 TB this bound is what keeps the
+    projection linear-ish; the dropped hubs are exactly the
+    uninformative ones (a right shared by everyone distinguishes
+    nothing).
+
+    Output: ``src, dst (src < dst), weight (bigint)`` with
+    ``weight >= min_weight``.
+    """
+    pairs_in = (df.select(F.col(left).alias("l"),
+                          F.col(right).alias("r"))
+                .where(F.col("l").isNotNull() & F.col("r").isNotNull())
+                .distinct())
+    if max_right_degree is not None:
+        deg = (pairs_in.groupBy("r")
+               .agg(F.count("*").alias("__d"))
+               .where(F.col("__d") <= max_right_degree)
+               .select("r"))
+        pairs_in = pairs_in.join(deg, "r")
+    a, b = pairs_in.alias("a"), pairs_in.alias("b")
+    edges = (a.join(b, (F.col("a.r") == F.col("b.r"))
+                    & (F.col("a.l") < F.col("b.l")))
+             .groupBy(F.col("a.l").alias("src"),
+                      F.col("b.l").alias("dst"))
+             .agg(F.count("*").alias("weight")))
+    return (edges.where(F.col("weight") >= min_weight)
+            .select("src", "dst",
+                    F.col("weight").cast("bigint").alias("weight")))

@@ -642,3 +642,50 @@ def burstiness(df: DataFrame, key: str, ts_col: str,
         F.round(F.when(ok, sd / mu), 6).alias("cv"),
         F.round(F.when(ok, (sd - mu) / (sd + mu)), 6).alias("b"))
         .orderBy(key))
+
+
+def nelson_aalen(df: DataFrame, duration: str, event: str,
+                 ndigits: int = 6) -> DataFrame:
+    """Nelson–Aalen cumulative hazard over entity lifetimes —
+    Kaplan–Meier's estimating twin: ``H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ`` with
+    the same right-censoring convention (``event`` = 1 observed, 0
+    censored; censored subjects leave the risk set without a hazard
+    increment). ``exp(−H)`` (Breslow) rides along as the survival
+    cross-check against the KM product-limit curve.
+
+    Same plan shape as :func:`kaplan_meier`: one aggregate to the
+    duration grid, at-risk counts by back-subtraction (a cumulative
+    window on the duration-DIMENSION frame), zero raw-row windows.
+
+    Output: ``duration, n_risk, n_event, n_censored (bigints),
+    cum_hazard, surv_breslow (doubles rounded ``ndigits``)``,
+    ordered by duration.
+    """
+    d = F.col(duration)
+    ev = F.col(event).cast("int")
+    agg = (df.groupBy(d.alias("dur"))
+           .agg(F.sum(ev).alias("n_event"),
+                F.sum(1 - ev).alias("n_censored")))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    w_cum = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    staged = (agg
+              .withColumn("__total",
+                          F.sum(F.col("n_event") + F.col("n_censored"))
+                          .over(w_all))
+              .withColumn("__thru",
+                          F.sum(F.col("n_event") + F.col("n_censored"))
+                          .over(w_cum)))
+    n_risk = (F.col("__total") - F.col("__thru")
+              + F.col("n_event") + F.col("n_censored"))
+    staged = staged.withColumn("__risk", n_risk)
+    haz = F.sum(F.col("n_event") / F.col("__risk")).over(w_cum)
+    return (staged.select(
+        F.col("dur").alias(duration),
+        F.col("__risk").cast("bigint").alias("n_risk"),
+        F.col("n_event").cast("bigint").alias("n_event"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        F.round(haz, ndigits).alias("cum_hazard"),
+        F.round(F.exp(-haz), ndigits).alias("surv_breslow"))
+        .orderBy(duration))

@@ -88,3 +88,23 @@ def test_node_clustering_known_graph(spark):
     assert out[0].local_cc == 0.5
     # the pendant has deg 1: cc undefined
     assert out[4].triangles == 0 and out[4].local_cc is None
+
+
+def test_bipartite_project_weights_and_hub_guard(spark):
+    from hipipe_spark.operators.graph import bipartite_project
+    rows = ([(1, "o1"), (2, "o1"),           # pair (1,2) via o1
+             (1, "o2"), (2, "o2"),           # and again via o2
+             (3, "o3"), (4, "o3")]           # pair (3,4) once
+            + [(i, "hub") for i in range(10, 20)])  # 10-way hub
+    df = spark.createDataFrame(rows, "l: long, r: string")
+    out = {(r.src, r.dst): r.weight for r in
+           bipartite_project(df, "l", "r", min_weight=1,
+                             max_right_degree=5).collect()}
+    assert out[(1, 2)] == 2
+    assert out[(3, 4)] == 1
+    # the hub's C(10,2)=45 pairs are dropped before the join
+    assert all(not (10 <= s < 20) for s, _ in out)
+    # min_weight filter
+    heavy = bipartite_project(df, "l", "r", min_weight=2,
+                              max_right_degree=5).collect()
+    assert [(r.src, r.dst) for r in heavy] == [(1, 2)]

@@ -214,3 +214,19 @@ def test_edit_distance_pairs_complete(spark):
                 want[(i, j)] = dist
     assert got == want
     assert len(want) >= 5  # the fixture actually exercises pairs
+
+
+def test_nelson_aalen_textbook_and_km_consistency(spark):
+    from hipipe_spark.operators.stats import kaplan_meier, nelson_aalen
+    # classic 5-subject example: events at 1, 3; censored at 2, 4, 5
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 0)]
+    df = spark.createDataFrame(rows, "dur: bigint, ev: int")
+    na = {r.dur: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert na[1].n_risk == 5 and na[1].n_event == 1
+    assert na[1].cum_hazard == 0.2                  # 1/5
+    assert na[3].cum_hazard == round(0.2 + 1 / 3, 6)  # +1/3 at risk 3
+    assert na[5].cum_hazard == na[3].cum_hazard     # censoring adds 0
+    # Breslow survival upper-bounds (>=) Kaplan-Meier everywhere
+    km = {r[0]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    for t in na:
+        assert na[t].surv_breslow >= km[t]["survival"] - 1e-9
