@@ -3235,6 +3235,33 @@ def q_nelson_aalen(spark, sf_dir):
     return nelson_aalen(life, "dur_h", "ev")
 
 
+def q_wasserstein(spark, sf_dir):
+    """Exact 1-Wasserstein distance between view and purchase value
+    distributions (drift.py wasserstein_table): the drift metric
+    with UNITS — Σ|F_a−F_b|·Δv on the merged support, one exchange
+    on the value key, windows on the dimension-sized support table.
+    Completes the drift family (PSI, KS, JSD, Cramér's V, MI)."""
+    from hipipe_spark.operators.drift import wasserstein_table
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.where("event_type = 'view'").select("value")
+    b = e.where("event_type = 'purchase'").select("value")
+    return wasserstein_table(a, b, "value")
+
+
+def q_sprt(spark, sf_dir):
+    """Wald SPRT per user on the high-value indicator (stats.py
+    sprt_bernoulli, H0 p=0.3 vs H1 p=0.5, α=β=0.05): INTEGER-exact
+    micro-LLR accumulation — a float running sum's engine-specific
+    addition order could flip a threshold crossing; BIGINTs cannot.
+    The sequential test that halves sample size vs fixed-n."""
+    from hipipe_spark.operators.stats import sprt_bernoulli
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        (F.col("value") > 60).cast("int").alias("hi"))
+    return sprt_bernoulli(e, "user_id", ["ts", "event_id"], "hi",
+                          p0=0.3, p1=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3549,6 +3576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf": q_ccf,
         "copurchase": q_copurchase,
         "nelson_aalen": q_nelson_aalen,
+        "wasserstein": q_wasserstein,
+        "sprt": q_sprt,
     }
 
 
@@ -6827,6 +6856,66 @@ def oracle_sql() -> dict[str, str]:
              round(haz, 6) AS cum_hazard,
              round(exp(-haz), 6) AS surv_breslow
       FROM hz
+    """
+    d["wasserstein"] = """
+      WITH t AS (SELECT CAST(value AS DOUBLE) AS value,
+                        1 AS ia, 0 AS ib
+                 FROM events WHERE event_type = 'view'
+                 UNION ALL
+                 SELECT CAST(value AS DOUBLE), 0, 1
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT value, sum(ia) AS n_a, sum(ib) AS n_b
+            FROM t GROUP BY 1),
+      s AS (SELECT *,
+                   sum(n_a) OVER (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(sum(n_a) OVER () AS DOUBLE) AS cdf_a,
+                   sum(n_b) OVER (ORDER BY value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(sum(n_b) OVER () AS DOUBLE) AS cdf_b,
+                   lead(value) OVER (ORDER BY value) - value AS gap
+            FROM c)
+      SELECT CAST(sum(n_a) AS BIGINT) AS n_a,
+             CAST(sum(n_b) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_support,
+             round(sum(abs(cdf_a - cdf_b) * gap), 6) AS w1
+      FROM s
+    """
+    import math as _m
+    _sc = 1_000_000
+    _i1 = round(_m.log(0.5 / 0.3) * _sc)
+    _i0 = round(_m.log(0.5 / 0.7) * _sc)
+    _upt = round(_m.log(0.95 / 0.05) * _sc)
+    _dnt = round(_m.log(0.05 / 0.95) * _sc)
+    _big = 2 ** 62
+    d["sprt"] = f"""
+      WITH b AS (SELECT user_id,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                          AS step,
+                        sum(CASE WHEN CAST(value AS DOUBLE) > 60
+                                 THEN {_i1} ELSE {_i0} END)
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS llr
+                 FROM events),
+      a AS (SELECT user_id, count(*) AS n,
+                   min(CASE WHEN llr >= {_upt} THEN step END) AS u,
+                   min(CASE WHEN llr <= {_dnt} THEN step END) AS dd,
+                   max_by(llr, step) AS fin
+            FROM b GROUP BY 1),
+      s AS (SELECT *, least(coalesce(u, {_big}),
+                            coalesce(dd, {_big})) AS stp
+            FROM a)
+      SELECT user_id, CAST(n AS BIGINT) AS n,
+             CAST(CASE WHEN stp < {_big} THEN stp END AS BIGINT)
+               AS stop_step,
+             CASE WHEN stp = {_big} THEN 'continue'
+                  WHEN coalesce(u, {_big}) <= stp THEN 'accept_h1'
+                  ELSE 'accept_h0' END AS decision,
+             round(fin / {float(_sc)!r}, 6) AS llr_final
+      FROM s
     """
     return d
 

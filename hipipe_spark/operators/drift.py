@@ -301,3 +301,45 @@ def jsd_table(df_a: DataFrame, df_b: DataFrame, col: Column | str,
     total = F.sum("jsd_term").over(Window.partitionBy())
     return withterm.select("bucket", "n_a", "n_b", "jsd_term",
                            total.alias("jsd"))
+
+
+def wasserstein_table(df_a: DataFrame, df_b: DataFrame,
+                      col: Column | str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two
+    empirical distributions: ``W₁ = ∫ |F_a − F_b| dx`` — the drift
+    metric with UNITS (it answers "the score moved by ~0.07", where
+    PSI/KS/JSD only answer "it moved"). Exact on the merged discrete
+    support: ``Σ |F_a(vᵢ) − F_b(vᵢ)| · (vᵢ₊₁ − vᵢ)``.
+
+    Same plan contract as :func:`ks_table`: both sides partial-
+    aggregate to distinct values, ONE exchange on the value key,
+    eCDF gaps + support gaps via windows on the dimension-sized
+    merged-support table, then one fold. Output: one row —
+    ``n_a, n_b (bigints), n_support (bigint), w1 (double rounded
+    6)``.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    tagged = (
+        df_a.select(c.alias("value"), F.lit(1).alias("is_a"),
+                    F.lit(0).alias("is_b"))
+        .unionByName(df_b.select(c.alias("value"), F.lit(0).alias("is_a"),
+                                 F.lit(1).alias("is_b"))))
+    counts = tagged.groupBy("value").agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("value")
+    staged = (counts
+              .withColumn("cdf_a", F.sum("n_a").over(wcum)
+                          / F.sum("n_a").over(wall))
+              .withColumn("cdf_b", F.sum("n_b").over(wcum)
+                          / F.sum("n_b").over(wall))
+              .withColumn("gap", F.lead("value").over(wlead)
+                          - F.col("value")))
+    return staged.agg(
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_support"),
+        F.round(F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b"))
+                      * F.col("gap")), 6).alias("w1"))

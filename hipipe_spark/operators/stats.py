@@ -689,3 +689,63 @@ def nelson_aalen(df: DataFrame, duration: str, event: str,
         F.round(haz, ndigits).alias("cum_hazard"),
         F.round(F.exp(-haz), ndigits).alias("surv_breslow"))
         .orderBy(duration))
+
+
+def sprt_bernoulli(df: DataFrame, key: str, order: Sequence[str],
+                   x_col: str, p0: float, p1: float,
+                   alpha: float = 0.05, beta: float = 0.05) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key over a 0/1
+    observation stream: cumulative log-likelihood ratio for H1: p=p1
+    vs H0: p=p0, stopping at the first crossing of ``ln((1−β)/α)``
+    (accept H1) or ``ln(β/(1−α))`` (accept H0) — the test that needs
+    ~half the samples of a fixed-n design at the same error rates.
+
+    INTEGER-EXACT cross-engine: the per-observation LLR increments
+    and both thresholds are scaled to micro-units (×10⁶, rounded
+    once, driver-side) and accumulated as BIGINTs — a float running
+    sum's engine-specific addition order can flip a threshold
+    crossing; integers cannot. One cumulative window per key + one
+    aggregate.
+
+    Output: ``key, n (bigint), stop_step (bigint, null if never
+    crossed), decision ('accept_h1'|'accept_h0'|'continue'),
+    llr_final (double, micro-units /1e6)``, ordered by key.
+    """
+    import math
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("need 0 < p0 != p1 < 1")
+    scale = 1_000_000
+    inc1 = round(math.log(p1 / p0) * scale)          # x = 1
+    inc0 = round(math.log((1 - p1) / (1 - p0)) * scale)  # x = 0
+    up = round(math.log((1 - beta) / alpha) * scale)
+    dn = round(math.log(beta / (1 - alpha)) * scale)
+    w = Window.partitionBy(key).orderBy(*order)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(x_col).cast("int")
+    base = df.select(
+        F.col(key),
+        F.row_number().over(w).alias("__step"),
+        F.sum(F.when(x == 1, F.lit(inc1)).otherwise(F.lit(inc0))
+              .cast("long")).over(wc).alias("__llr"))
+    agg = base.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.min(F.when(F.col("__llr") >= up, F.col("__step")))
+         .alias("__up"),
+        F.min(F.when(F.col("__llr") <= dn, F.col("__step")))
+         .alias("__dn"),
+        F.max_by("__llr", "__step").alias("__final"))
+    stop = F.least(F.coalesce(F.col("__up"), F.lit(2 ** 62)),
+                   F.coalesce(F.col("__dn"), F.lit(2 ** 62)))
+    decision = (F.when(stop == F.lit(2 ** 62), "continue")
+                .when(F.coalesce(F.col("__up"), F.lit(2 ** 62)) <= stop,
+                      "accept_h1")
+                .otherwise("accept_h0"))
+    return (agg.select(
+        F.col(key),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(stop < F.lit(2 ** 62), stop).cast("bigint")
+         .alias("stop_step"),
+        decision.alias("decision"),
+        F.round(F.col("__final") / F.lit(float(scale)), 6)
+         .alias("llr_final"))
+        .orderBy(key))

@@ -182,3 +182,18 @@ def test_mutual_info_independent_and_identical(spark):
     release_cached(r2)
     assert abs(row2["mi"] - row2["h_a"]) < 1e-12  # identical cols: MI = H
     assert abs(row2["nmi"] - 1.0) < 1e-12
+
+
+def test_wasserstein_known_shift(spark):
+    from hipipe_spark.operators.drift import wasserstein_table
+    # identical uniform supports shifted by exactly 3.0 → W1 = 3.0
+    a = spark.createDataFrame([(float(i),) for i in range(100)],
+                              "v: double")
+    b = spark.createDataFrame([(float(i) + 3.0,) for i in range(100)],
+                              "v: double")
+    r = wasserstein_table(a, b, "v").collect()[0]
+    assert abs(r.w1 - 3.0) < 1e-6
+    assert r.n_a == 100 and r.n_b == 100
+    # W1 of a distribution against itself is 0
+    z = wasserstein_table(a, a, "v").collect()[0]
+    assert z.w1 == 0.0

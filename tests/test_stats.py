@@ -230,3 +230,29 @@ def test_nelson_aalen_textbook_and_km_consistency(spark):
     km = {r[0]: r for r in kaplan_meier(df, "dur", "ev").collect()}
     for t in na:
         assert na[t].surv_breslow >= km[t]["survival"] - 1e-9
+
+
+def test_sprt_decides_correctly_and_stops_early(spark):
+    from hipipe_spark.operators.stats import sprt_bernoulli
+    # key 'hi': rate 0.8 → accept H1 fast; 'lo': rate 0.1 → accept H0;
+    # 'mid': alternating pattern near the indifference zone
+    rows = []
+    for i in range(200):
+        rows.append(("hi", i, 1 if i % 5 != 0 else 0))        # 80%
+        rows.append(("lo", i, 1 if i % 10 == 0 else 0))       # 10%
+    for i in range(4):
+        rows.append(("mid", i, i % 2))                        # 50/50 tiny n
+    df = spark.createDataFrame(rows, "k: string, i: long, x: int")
+    out = {r.k: r for r in
+           sprt_bernoulli(df, "k", ["i"], "x", p0=0.3, p1=0.5).collect()}
+    assert out["hi"].decision == "accept_h1"
+    assert out["lo"].decision == "accept_h0"
+    assert out["hi"].stop_step < 200       # sequential: stops early
+    assert out["lo"].stop_step < 200
+    assert out["mid"].decision in ("continue", "accept_h1")
+    # llr is exact micro-unit arithmetic
+    import math
+    i1 = round(math.log(0.5 / 0.3) * 1_000_000)
+    i0 = round(math.log(0.5 / 0.7) * 1_000_000)
+    want = (2 * i1 + 2 * i0) / 1e6        # mid: 2 ones, 2 zeros
+    assert abs(out["mid"].llr_final - round(want, 6)) < 1e-9
