@@ -3262,6 +3262,34 @@ def q_sprt(spark, sf_dir):
                           p0=0.3, p1=0.5)
 
 
+def _part_pairs(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .select(F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst")))
+
+
+def q_powerlaw(spark, sf_dir):
+    """Clauset–Shalizi–Newman power-law exponent MLE of the
+    co-purchase degree distribution (graph.py degree_powerlaw):
+    α = 1 + n/Σln(k/(k_min−½)) over the tail — the skew number that
+    sizes salting factors before a shuffle is committed."""
+    from hipipe_spark.operators.graph import degree_powerlaw
+    return degree_powerlaw(_part_pairs(spark, sf_dir), k_min=2)
+
+
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the co-purchase graph (graph.py
+    assortativity): Pearson r of endpoint degrees over symmetrized
+    edges — positive means hubs link hubs (salt the hubs), negative
+    means hubs link leaves (broadcast the leaf side)."""
+    from hipipe_spark.operators.graph import assortativity
+    return assortativity(_part_pairs(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3578,6 +3606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "wasserstein": q_wasserstein,
         "sprt": q_sprt,
+        "powerlaw": q_powerlaw,
+        "assortativity": q_assortativity,
     }
 
 
@@ -6916,6 +6946,59 @@ def oracle_sql() -> dict[str, str]:
                   ELSE 'accept_h0' END AS decision,
              round(fin / {float(_sc)!r}, 6) AS llr_final
       FROM s
+    """
+    _pp_edges = """SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                   FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey"""
+    d["powerlaw"] = f"""
+      WITH e0 AS ({_pp_edges}),
+      deg AS (SELECT node, count(*) AS deg
+              FROM (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+              GROUP BY 1),
+      agg AS (SELECT count(*) AS n_nodes,
+                     sum(CASE WHEN deg >= 2 THEN 1 ELSE 0 END)
+                       AS n_tail,
+                     avg(deg) AS mean_deg,
+                     max(deg) AS max_deg,
+                     sum(CASE WHEN deg >= 2
+                              THEN ln(deg / 1.5) END) AS lsum
+              FROM deg)
+      SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_tail AS BIGINT) AS n_tail,
+             round(mean_deg, 6) AS mean_deg,
+             CAST(max_deg AS DOUBLE) AS max_deg,
+             round(CASE WHEN n_tail > 0 AND lsum > 0
+                        THEN 1.0 + n_tail / lsum END, 6) AS alpha
+      FROM agg
+    """
+    d["assortativity"] = f"""
+      WITH e0 AS ({_pp_edges}),
+      deg AS (SELECT node, count(*) AS deg
+              FROM (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+              GROUP BY 1),
+      bo AS (SELECT CAST(da.deg AS DOUBLE) AS dx,
+                    CAST(db.deg AS DOUBLE) AS dy
+             FROM e0 JOIN deg da ON da.node = e0.a
+                     JOIN deg db ON db.node = e0.b),
+      sym AS (SELECT dx, dy FROM bo
+              UNION ALL SELECT dy AS dx, dx AS dy FROM bo),
+      a AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM sym)
+      SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+             round(CASE WHEN (sxx - sx * sx / CAST(m AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(m AS DOUBLE)) > 0
+                        THEN (sxy - sx * sy / CAST(m AS DOUBLE))
+                             / sqrt((sxx - sx * sx
+                                     / CAST(m AS DOUBLE))
+                                    * (syy - sy * sy
+                                       / CAST(m AS DOUBLE)))
+                   END, 6) AS r
+      FROM a
     """
     return d
 

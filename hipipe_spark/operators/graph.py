@@ -415,3 +415,85 @@ def bipartite_project(df: DataFrame, left: str, right: str,
     return (edges.where(F.col("weight") >= min_weight)
             .select("src", "dst",
                     F.col("weight").cast("bigint").alias("weight")))
+
+
+def degree_powerlaw(edges: DataFrame, src: str = "src",
+                    dst: str = "dst", k_min: int = 2) -> DataFrame:
+    """Degree-distribution diagnosis: the continuous-MLE power-law
+    exponent ``α = 1 + n / Σ ln(k / (k_min − ½))`` (Clauset–Shalizi–
+    Newman 2009, discrete approximation) over nodes with degree ≥
+    ``k_min``, plus max/mean degree — the number that decides HOW
+    skewed a graph is before you pick salting factors or the
+    degree-ordered triangle orientation.
+
+    One degree aggregate + one fold over the node-dimension frame.
+    Output: one row — ``n_nodes, n_tail (bigints, tail = deg ≥
+    k_min), mean_deg, max_deg, alpha (doubles rounded 6; alpha null
+    when the tail is empty)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.where(a != b)
+         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .distinct())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    km = float(k_min) - 0.5
+    tail = F.when(F.col("deg") >= k_min,
+                  F.log(F.col("deg") / F.lit(km)))
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("deg") >= k_min, 1).otherwise(0))
+         .alias("n_tail"),
+        F.avg("deg").alias("mean_deg"),
+        F.max("deg").alias("max_deg"),
+        F.sum(tail).alias("lsum"))
+    alpha = F.when((F.col("n_tail") > 0) & (F.col("lsum") > 0),
+                   1.0 + F.col("n_tail") / F.col("lsum"))
+    return agg.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        F.round(F.col("mean_deg"), 6).alias("mean_deg"),
+        F.col("max_deg").cast("double").alias("max_deg"),
+        F.round(alpha, 6).alias("alpha"))
+
+
+def assortativity(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over UNDIRECTED edges (each edge contributes both
+    orientations, the standard symmetrization) — positive = hubs link
+    hubs (social), negative = hubs link leaves (infrastructure). The
+    sign decides whether hub-salting or leaf-side broadcast wins.
+
+    One degree aggregate, two broadcast joins of the node-dimension
+    degree table onto the edges, one sufficient-statistics fold.
+    Output: one row — ``n_edges (bigint), r (double rounded 6; null
+    for degenerate variance)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (edges.where(a != b)
+         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .distinct())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
+    both = (e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+            .select(F.col("dx").cast("double"),
+                    F.col("dy").cast("double")))
+    # symmetrize: every edge in both orientations
+    sym = both.unionAll(both.select(F.col("dy").alias("dx"),
+                                    F.col("dx").alias("dy")))
+    agg = sym.agg(F.count("*").alias("m"),
+                  F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+                  F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+                  F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+                  F.sum(F.col("dy") * F.col("dy")).alias("syy"))
+    m = F.col("m").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / m
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / m
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / m
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.round(r, 6).alias("r"))

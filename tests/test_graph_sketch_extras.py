@@ -108,3 +108,39 @@ def test_bipartite_project_weights_and_hub_guard(spark):
     heavy = bipartite_project(df, "l", "r", min_weight=2,
                               max_right_degree=5).collect()
     assert [(r.src, r.dst) for r in heavy] == [(1, 2)]
+
+
+def test_powerlaw_alpha_on_planted_distribution(spark):
+    import numpy as np
+    from hipipe_spark.operators.graph import degree_powerlaw
+    # build a star-forest whose degree sequence follows k^-2.5:
+    # hubs h with planned degree d_h each connect to fresh leaves
+    rng = np.random.RandomState(17)
+    edges, nxt = [], 10_000
+    for h in range(300):
+        d = int(np.floor((1 - rng.rand()) ** (-1 / 1.5)) + 1)  # α≈2.5
+        d = min(d, 200)
+        for _ in range(d):
+            edges.append((h, nxt))
+            nxt += 1
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    r = degree_powerlaw(df, k_min=2).collect()[0]
+    assert r.alpha is not None
+    assert 1.8 < r.alpha < 3.5          # recovers the heavy tail
+    assert r.max_deg >= 10
+
+
+def test_assortativity_signs(spark):
+    from hipipe_spark.operators.graph import assortativity
+    # star: hub links leaves only → strongly disassortative (r < 0)
+    star = [(0, i) for i in range(1, 20)]
+    # two cliques: within each, all degrees equal... add a path with
+    # matched degrees instead: cycle → all degrees 2 → r undefined
+    cyc = [(i, (i + 1) % 10) for i in range(10)]
+    r_star = assortativity(
+        spark.createDataFrame(star, "src: long, dst: long")).collect()[0]
+    assert r_star.r is not None and r_star.r < -0.9
+    r_cyc = assortativity(
+        spark.createDataFrame(cyc, "src: long, dst: long")).collect()[0]
+    assert r_cyc.r is None               # zero degree variance
+    assert r_cyc.n_edges == 10
