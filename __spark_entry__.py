@@ -3337,11 +3337,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     minhash_incremental, bootstrap_ci, label_prop, topic_segments,
     dup_weights, k_anonymity, json_features, json_profile,
     table_diff, bt_ratings, fleiss, kripp, spearman, mad_outliers,
-    rrf, isotonic, and the hypothesis-testing batch: ab_tests,
-    mann_whitney, kaplan_meier, cuped, cusum, edit_pairs). 50 window
-    slots < 80+ unverified queries this round — the tail waits (every
-    tail query IS replica-verified each round by
-    tools/check_oracles.py)."""
+    rrf, isotonic, the hypothesis-testing batch (ab_tests,
+    mann_whitney, kaplan_meier, cuped, cusum, edit_pairs), the sketch
+    family (kmv_distinct, cms_heavy, bloom_semi, histq, hll,
+    kmv_join), the series/stat batch (kendall, class_report,
+    clf_summary, seasonal, seasonal_anom, dp_counts, lttb, theil_sen,
+    did, forecast_eval, acf, ccf, mde, burstiness, seq_patterns,
+    gini, benford, qnorm, wasserstein, sprt, nelson_aalen, rfm,
+    entropy_rate), and the graph batch (triangles, node_cc, textrank,
+    copurchase, powerlaw, assortativity, fs_link)). 50 window slots <
+    150+ unverified queries this round — the tail waits (every tail
+    query IS replica-verified each round by tools/check_oracles.py;
+    the full sweep this session: 237/237 before the final batches,
+    every later batch checked at add time)."""
     return {
         # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
         "flagship": q_flagship,
