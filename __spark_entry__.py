@@ -3290,6 +3290,27 @@ def q_assortativity(spark, sf_dir):
     return assortativity(_part_pairs(spark, sf_dir))
 
 
+def q_knee(spark, sf_dir):
+    """Kneedle knee detection (temporal.py knee_point) on the
+    vocabulary-coverage curve: cumulative share of token mass covered
+    by the top-k terms vs k — the operating point where growing the
+    vocab stops paying. One argmax window on the curve frame."""
+    from hipipe_spark.operators.temporal import knee_point
+    d = _docs(spark, sf_dir)
+    from hipipe_spark.functions.text import tokens as _tok
+    tf = (d.select(F.explode(_tok(F.lower(F.col("text"))))
+                   .alias("term"))
+          .groupBy("term").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    curve = (tf.select(
+        F.row_number().over(w).cast("double").alias("k"),
+        (F.sum("n").over(wc) / F.sum("n").over(wall)).alias("cov"))
+        .where(F.col("k") <= 2000))
+    return knee_point(curve, "k", "cov")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3616,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt": q_sprt,
         "powerlaw": q_powerlaw,
         "assortativity": q_assortativity,
+        "knee": q_knee,
     }
 
 
@@ -7007,6 +7029,28 @@ def oracle_sql() -> dict[str, str]:
                                        / CAST(m AS DOUBLE)))
                    END, 6) AS r
       FROM a
+    """
+    d["knee"] = f"""
+      WITH tf AS (SELECT term, count(*) AS n
+                  FROM (SELECT unnest({_det_tokens_sql('text')})
+                          AS term
+                        FROM documents)
+                  GROUP BY 1),
+      c AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term)
+                        AS DOUBLE) AS k,
+                   sum(n) OVER (ORDER BY n DESC, term
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(sum(n) OVER () AS DOUBLE) AS cov
+            FROM tf),
+      cur AS (SELECT k, cov FROM c WHERE k <= 2000),
+      rng AS (SELECT round(min(k), 6) AS x0, round(max(k), 6) AS x1,
+                     round(min(cov), 6) AS y0, round(max(cov), 6) AS y1
+              FROM cur),
+      st AS (SELECT k AS x, cov AS y,
+                    round((cov - y0) / (y1 - y0)
+                          - (k - x0) / (x1 - x0), 6) AS score
+             FROM cur, rng WHERE x1 > x0 AND y1 > y0)
+      SELECT x, y, score FROM st ORDER BY score DESC, x ASC LIMIT 1
     """
     return d
 

@@ -1080,3 +1080,37 @@ def ccf(df: DataFrame, t_col: str, a_col: str, b_col: str,
                     F.col("x.n_pairs").alias("n_pairs"),
                     F.col("x.r").alias("r"))
             .orderBy("lag"))
+
+
+def knee_point(df: DataFrame, x_col: str, y_col: str,
+               decreasing: bool = False) -> DataFrame:
+    """Kneedle-lite knee/elbow detection (Satopää et al. 2011 reduced
+    to its normalized-difference core): min-max normalize the curve,
+    knee = the point maximizing ``y_norm − x_norm`` for the
+    increasing-concave case (diminishing returns), or ``1 − x_norm −
+    y_norm`` for the convex-decreasing elbow (``decreasing=True`` —
+    loss/inertia curves). The tuning primitive behind "how many IVF
+    probes / clusters / bins are enough" — run it ON the evaluation
+    curve the other operators emit.
+
+    One range aggregate + one argmax window on the CURVE — a
+    dimension-sized frame by contract. Output: one row — ``x, y
+    (doubles), score (double rounded 6)``; ties break on smaller x.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    rng = df.agg(F.round(F.min(x), 6).alias("__x0"),
+                 F.round(F.max(x), 6).alias("__x1"),
+                 F.round(F.min(y), 6).alias("__y0"),
+                 F.round(F.max(y), 6).alias("__y1"))
+    base = (df.crossJoin(F.broadcast(rng))
+            .where((F.col("__x1") > F.col("__x0"))
+                   & (F.col("__y1") > F.col("__y0"))))
+    xn = (x - F.col("__x0")) / (F.col("__x1") - F.col("__x0"))
+    yn = (y - F.col("__y0")) / (F.col("__y1") - F.col("__y0"))
+    score = (1.0 - xn - yn) if decreasing else (yn - xn)
+    staged = base.select(x.alias("x"), y.alias("y"),
+                         F.round(score, 6).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("x").asc())
+    return (staged.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1).drop("__rk"))

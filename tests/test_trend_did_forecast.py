@@ -141,3 +141,19 @@ def test_seasonal_anomalies_flags_planted_spike_only(spark):
     assert len(flagged) <= 3             # spike + at most noise tail
     # edges (undefined trend) are excluded entirely
     assert 0 not in out and n - 1 not in out
+
+
+def test_knee_point_on_planted_elbow(spark):
+    from hipipe_spark.operators.temporal import knee_point
+    # sharp saturating curve: knee of y = x/(x+5) on [0, 100]
+    rows = [(float(x), x / (x + 5.0)) for x in range(101)]
+    df = spark.createDataFrame(rows, "x: double, y: double")
+    r = knee_point(df, "x", "y").collect()[0]
+    # analytic Kneedle argmax of y_norm - x_norm lands near x ≈ 18
+    assert 10 <= r.x <= 30
+    assert r.score > 0.5
+    # decreasing mirror: elbow of a decaying curve
+    rows2 = [(float(x), 100.0 / (x + 1.0)) for x in range(101)]
+    df2 = spark.createDataFrame(rows2, "x: double, y: double")
+    r2 = knee_point(df2, "x", "y", decreasing=True).collect()[0]
+    assert 2 <= r2.x <= 20
