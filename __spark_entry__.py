@@ -3311,6 +3311,46 @@ def q_knee(spark, sf_dir):
     return knee_point(curve, "k", "cov")
 
 
+def q_prop_ztest(spark, sf_dir):
+    """Two-sample pooled proportion z-test per event_type (stats.py
+    prop_ztest): conversion-rate inference for the high-value flag
+    between user-parity arms — the binary-metric twin of ab_tests,
+    ONE conditional-sum aggregate."""
+    from hipipe_spark.operators.stats import prop_ztest
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("value") > 60).cast("int").alias("hi"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+         .alias("arm"))
+    return prop_ztest(e, "event_type", "hi", "arm", "a", "b")
+
+
+def q_chi2(spark, sf_dir):
+    """Pearson χ² independence test between event_type and user
+    parity (drift.py chi2_test): contingency cells + full category
+    cross (zero cells contribute expected mass), Wilson–Hilferty p —
+    the inferential companion to cramers_v."""
+    from hipipe_spark.operators.drift import chi2_test
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).cast("int").alias("parity"))
+    return chi2_test(e, "event_type", "parity")
+
+
+def q_log_odds(spark, sf_dir):
+    """Monroe et al. "Fightin' Words" log-odds with informative
+    Dirichlet prior (retrieval.py log_odds_terms): which terms
+    distinguish even-id documents from odd-id ones — the principled
+    distinctive-vocabulary statistic (the pooled prior shrinks rare
+    terms raw log-odds overweights)."""
+    from hipipe_spark.operators.retrieval import log_odds_terms
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return log_odds_terms(a, b, "text", alpha0=100.0,
+                          min_count=10, top_k=30)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3638,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw": q_powerlaw,
         "assortativity": q_assortativity,
         "knee": q_knee,
+        "prop_ztest": q_prop_ztest,
+        "chi2": q_chi2,
+        "log_odds": q_log_odds,
     }
 
 
@@ -7051,6 +7094,106 @@ def oracle_sql() -> dict[str, str]:
                           - (k - x0) / (x1 - x0), 6) AS score
              FROM cur, rng WHERE x1 > x0 AND y1 > y0)
       SELECT x, y, score FROM st ORDER BY score DESC, x ASC LIMIT 1
+    """
+    d["prop_ztest"] = """
+      WITH e AS (SELECT event_type,
+                        CASE WHEN CAST(value AS DOUBLE) > 60
+                             THEN 1.0 ELSE 0.0 END AS x,
+                        CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                          AS arm
+                 FROM events),
+      a AS (SELECT event_type,
+                   sum(CASE WHEN arm='a' THEN 1 ELSE 0 END) AS n_a,
+                   sum(CASE WHEN arm='a' THEN x ELSE 0.0 END) AS s_a,
+                   sum(CASE WHEN arm='b' THEN 1 ELSE 0 END) AS n_b,
+                   sum(CASE WHEN arm='b' THEN x ELSE 0.0 END) AS s_b
+            FROM e GROUP BY 1),
+      b AS (SELECT event_type, n_a, n_b,
+                   s_a / CAST(n_a AS DOUBLE) AS pa,
+                   s_b / CAST(n_b AS DOUBLE) AS pb,
+                   (s_a + s_b) / (CAST(n_a AS DOUBLE)
+                                  + CAST(n_b AS DOUBLE)) AS pool
+            FROM a),
+      c AS (SELECT *, pool * (1.0 - pool)
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE)) AS v
+            FROM b),
+      zt AS (SELECT *, CASE WHEN n_a >= 1 AND n_b >= 1 AND v > 0
+                            THEN (pa - pb) / sqrt(v) END AS z
+             FROM c)
+      SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+             CAST(n_b AS BIGINT) AS n_b,
+             round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+             round(pa - pb, 6) AS diff,
+             round(z, 6) AS z_stat,
+             round(2.0 / (1.0 + exp(0.07056 * abs(z) * abs(z) * abs(z)
+                                    + 1.5976 * abs(z))), 6) AS p_value
+      FROM zt
+    """
+    d["chi2"] = """
+      WITH e AS (SELECT event_type AS a,
+                        CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+                          AS b
+                 FROM events),
+      cells AS (SELECT a, b, count(*) AS n FROM e GROUP BY 1, 2),
+      ma AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+      mb AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+      tt AS (SELECT sum(n) AS nt, count(DISTINCT a) AS ka,
+                    count(DISTINCT b) AS kb
+             FROM cells),
+      grid AS (SELECT ma.a, mb.b, na, nb,
+                      coalesce(cells.n, 0) AS n, nt, ka, kb
+               FROM ma CROSS JOIN mb CROSS JOIN tt
+               LEFT JOIN cells ON cells.a = ma.a AND cells.b = mb.b),
+      t2 AS (SELECT sum((n - na * nb / CAST(nt AS DOUBLE))
+                        * (n - na * nb / CAST(nt AS DOUBLE))
+                        / (na * nb / CAST(nt AS DOUBLE))) AS chi2,
+                    any_value(nt) AS nt, any_value(ka) AS ka,
+                    any_value(kb) AS kb
+             FROM t2src),
+      zt AS (SELECT nt, chi2, (ka - 1) * (kb - 1) AS dof,
+                    (pow(chi2 / CAST((ka - 1) * (kb - 1) AS DOUBLE),
+                         0.3333333333333333)
+                     - (1.0 - 2.0 / (9.0 * CAST((ka - 1) * (kb - 1)
+                                                AS DOUBLE))))
+                    / sqrt(2.0 / (9.0 * CAST((ka - 1) * (kb - 1)
+                                             AS DOUBLE))) AS z
+             FROM t2)
+      SELECT CAST(nt AS BIGINT) AS n, round(chi2, 6) AS chi2,
+             CAST(dof AS BIGINT) AS dof,
+             round(CASE WHEN dof >= 1
+                        THEN 1.0 / (1.0 + exp(0.07056 * z * z * z
+                                              + 1.5976 * z)) END, 6)
+               AS p_value
+      FROM zt
+    """.replace("t2src", "grid")
+    d["log_odds"] = f"""
+      WITH ta AS (SELECT unnest({_det_tokens_sql('text')}) AS term,
+                         1 AS ia, 0 AS ib
+                  FROM documents WHERE doc_id % 2 = 0
+                  UNION ALL
+                  SELECT unnest({_det_tokens_sql('text')}), 0, 1
+                  FROM documents WHERE doc_id % 2 = 1),
+      c AS (SELECT term, sum(ia) AS ya, sum(ib) AS yb
+            FROM ta GROUP BY 1),
+      s AS (SELECT *, sum(ya) OVER () AS na, sum(yb) OVER () AS nb
+            FROM c),
+      f AS (SELECT *, 100.0 * (ya + yb) / (na + nb) AS aw
+            FROM s WHERE ya + yb >= 10),
+      sc AS (SELECT term, CAST(ya AS BIGINT) AS y_a,
+                    CAST(yb AS BIGINT) AS y_b,
+                    round((ln((ya + aw) / (na + 100.0 - ya - aw))
+                           - ln((yb + aw) / (nb + 100.0 - yb - aw)))
+                          / sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw)),
+                          6) AS z
+             FROM f),
+      ra AS (SELECT *, row_number() OVER (ORDER BY z DESC, term) AS r
+             FROM sc),
+      rb AS (SELECT *, row_number() OVER (ORDER BY z ASC, term) AS r
+             FROM sc)
+      SELECT term, y_a, y_b, z, 'a' AS side FROM ra WHERE r <= 30
+      UNION ALL
+      SELECT term, y_a, y_b, z, 'b' FROM rb WHERE r <= 30
     """
     return d
 

@@ -343,3 +343,47 @@ def wasserstein_table(df_a: DataFrame, df_b: DataFrame,
         F.count("*").cast("bigint").alias("n_support"),
         F.round(F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b"))
                       * F.col("gap")), 6).alias("w1"))
+
+
+def chi2_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns, with dof and the Wilson–Hilferty-approximated p (Bowling
+    Φ — the same closed form the oracle writes; no χ² CDF in either
+    engine). The inferential companion to :func:`cramers_v_table`
+    (which reports effect size only).
+
+    ONE hash aggregate to the contingency cells (class²-sized), then
+    marginal joins on the category-dimension frames. Output: one row
+    — ``n (bigint), chi2, dof (bigint), p_value`` (doubles rounded
+    6; p null when dof < 1).
+    """
+    cells = (df.groupBy(F.col(col_a).alias("a"),
+                        F.col(col_b).alias("b"))
+             .agg(F.count("*").alias("n")))
+    ma = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = cells.agg(F.sum("n").alias("nt"),
+                    F.countDistinct("a").alias("ka"),
+                    F.countDistinct("b").alias("kb"))
+    # full category cross so zero cells contribute their expected mass
+    grid = (ma.crossJoin(mb).join(cells, ["a", "b"], "left")
+            .select("a", "b", "na", "nb",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+            .crossJoin(F.broadcast(tot)))
+    exp = F.col("na") * F.col("nb") / F.col("nt").cast("double")
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    agg = grid.agg(F.sum(term).alias("chi2"),
+                   F.first("nt").alias("nt"),
+                   F.first("ka").alias("ka"),
+                   F.first("kb").alias("kb"))
+    dof = (F.col("ka") - 1) * (F.col("kb") - 1)
+    k = dof.cast("double")
+    z = ((F.pow(F.col("chi2") / k, 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * k)))
+         / F.sqrt(2.0 / (9.0 * k)))
+    p = 1.0 / (1.0 + F.exp(0.07056 * z * z * z + 1.5976 * z))
+    return agg.select(
+        F.col("nt").cast("bigint").alias("n"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+        F.round(F.when(dof >= 1, p), 6).alias("p_value"))

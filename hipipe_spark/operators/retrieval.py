@@ -468,3 +468,62 @@ def rrf_fuse(runs: DataFrame, k: int = 60, query: str = "query_id",
     return out.select("query_id", "doc_id",
                       F.round("__s", ndigits).alias("rrf_score"),
                       "n_sources", "fused_rank")
+
+
+def log_odds_terms(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                   alpha0: float = 100.0, min_count: int = 10,
+                   top_k: int = 30) -> DataFrame:
+    """"Fightin' Words" (Monroe, Colaresi & Quinn 2008): per-term
+    log-odds difference between two corpora with an informative
+    Dirichlet prior — THE principled "what words distinguish corpus A
+    from corpus B" statistic (raw log-odds overweights rare terms;
+    the pooled prior shrinks them):
+
+    ``δ_w = ln((y_aw+α_w)/(n_a+α₀−y_aw−α_w))
+          − ln((y_bw+α_w)/(n_b+α₀−y_bw−α_w))``,
+    ``z_w = δ_w / √(1/(y_aw+α_w) + 1/(y_bw+α_w))``,
+    with ``α_w = α₀ · y_w / y_total`` from the POOLED counts.
+
+    One union + one conditional-sum aggregate to the term-dimension
+    frame; totals ride along as window sums (no second scan — the
+    ks_table contract). Output: the ``top_k`` most A-distinctive and
+    ``top_k`` most B-distinctive terms — ``term, y_a, y_b (bigints),
+    z (double rounded 6), side ('a'|'b')``, z desc within side.
+    """
+    from hipipe_spark.functions.text import tokens as _tokens
+    tagged = (df_a.select(F.explode(_tokens(F.lower(F.col(text_col))))
+                          .alias("term"),
+                          F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+              .unionByName(
+                  df_b.select(F.explode(
+                      _tokens(F.lower(F.col(text_col)))).alias("term"),
+                      F.lit(0).alias("ia"), F.lit(1).alias("ib"))))
+    counts = tagged.groupBy("term").agg(
+        F.sum("ia").alias("ya"), F.sum("ib").alias("yb"))
+    wall = Window.partitionBy()
+    staged = (counts
+              .withColumn("na", F.sum("ya").over(wall))
+              .withColumn("nb", F.sum("yb").over(wall))
+              .where(F.col("ya") + F.col("yb") >= min_count))
+    yw = F.col("ya") + F.col("yb")
+    aw = F.lit(float(alpha0)) * yw / (F.col("na") + F.col("nb"))
+    da = F.log((F.col("ya") + aw)
+               / (F.col("na") + F.lit(float(alpha0))
+                  - F.col("ya") - aw))
+    db = F.log((F.col("yb") + aw)
+               / (F.col("nb") + F.lit(float(alpha0))
+                  - F.col("yb") - aw))
+    var = 1.0 / (F.col("ya") + aw) + 1.0 / (F.col("yb") + aw)
+    scored = staged.select(
+        "term", F.col("ya").cast("bigint").alias("y_a"),
+        F.col("yb").cast("bigint").alias("y_b"),
+        F.round((da - db) / F.sqrt(var), 6).alias("z"))
+    wa = Window.orderBy(F.col("z").desc(), F.col("term"))
+    wb = Window.orderBy(F.col("z").asc(), F.col("term"))
+    top_a = (scored.withColumn("__r", F.row_number().over(wa))
+             .where(F.col("__r") <= top_k).drop("__r")
+             .withColumn("side", F.lit("a")))
+    top_b = (scored.withColumn("__r", F.row_number().over(wb))
+             .where(F.col("__r") <= top_k).drop("__r")
+             .withColumn("side", F.lit("b")))
+    return top_a.unionByName(top_b)

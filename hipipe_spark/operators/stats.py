@@ -749,3 +749,41 @@ def sprt_bernoulli(df: DataFrame, key: str, order: Sequence[str],
         F.round(F.col("__final") / F.lit(float(scale)), 6)
          .alias("llr_final"))
         .orderBy(key))
+
+
+def prop_ztest(df: DataFrame, segment: str, flag: str, arm: str,
+               arm_a: str, arm_b: str) -> DataFrame:
+    """Two-sample pooled proportion z-test per segment — the binary-
+    metric twin of :func:`welch_ttest` (conversion / click-through
+    rates): ``z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`` with
+    the pooled p̂, Bowling two-sided p. ONE conditional-sum
+    aggregate; inference nulls when either arm is empty or the
+    pooled rate is degenerate (0 or 1).
+
+    Output: ``segment, n_a, n_b (bigints), rate_a, rate_b, diff,
+    z_stat, p_value (doubles rounded 6)``, ordered by segment.
+    """
+    x = F.col(flag).cast("int").cast("double")
+    in_a = F.col(arm) == arm_a
+    in_b = F.col(arm) == arm_b
+    agg = (df.filter(in_a | in_b).groupBy(segment).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_a, x).otherwise(0.0)).alias("s_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(in_b, x).otherwise(0.0)).alias("s_b")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa, pb = F.col("s_a") / na, F.col("s_b") / nb
+    pool = (F.col("s_a") + F.col("s_b")) / (na + nb)
+    var = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+    ok = (F.col("n_a") >= 1) & (F.col("n_b") >= 1) & (var > 0)
+    z = (pa - pb) / F.sqrt(var)
+    return (agg.select(
+        segment,
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa - pb, 6).alias("diff"),
+        F.round(F.when(ok, z), 6).alias("z_stat"),
+        F.round(F.when(ok, norm_sf2(z)), 6).alias("p_value"))
+        .orderBy(segment))

@@ -224,3 +224,54 @@ def test_seq_patterns_planted_motif(spark):
     top = out[0]
     assert (top.t1, top.t2, top.t3) == ("a", "b", "c")
     assert top.support == 10 and top.occurrences == 40
+
+
+def test_prop_ztest_detects_planted_lift(spark):
+    from hipipe_spark.operators.stats import prop_ztest
+    rows = ([("s", 1, "a")] * 300 + [("s", 0, "a")] * 700    # 30%
+            + [("s", 1, "b")] * 200 + [("s", 0, "b")] * 800)  # 20%
+    df = spark.createDataFrame(rows, "seg: string, hi: int, arm: string")
+    r = prop_ztest(df, "seg", "hi", "arm", "a", "b").collect()[0]
+    assert r.rate_a == 0.3 and r.rate_b == 0.2 and r.diff == 0.1
+    assert r.p_value < 1e-5                      # ~5 sigma
+    # null: identical arms
+    rows2 = [("s", i % 2, "a") for i in range(400)] + \
+            [("s", i % 2, "b") for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "seg: string, hi: int, arm: string")
+    r2 = prop_ztest(df2, "seg", "hi", "arm", "a", "b").collect()[0]
+    assert r2.p_value > 0.9
+
+
+def test_chi2_independent_vs_dependent(spark):
+    from hipipe_spark.operators.drift import chi2_test
+    # independent: b uniform within each a
+    ind = [(c, i % 2) for c in "xyz" for i in range(200)]
+    dfi = spark.createDataFrame(ind, "a: string, b: int")
+    ri = chi2_test(dfi, "a", "b").collect()[0]
+    assert ri.chi2 == 0.0 and ri.dof == 2
+    assert ri.p_value > 0.99
+    # dependent: b == (a == 'x')
+    dep = [("x", 1)] * 200 + [("y", 0)] * 200 + [("z", 0)] * 200
+    dfd = spark.createDataFrame(dep, "a: string, b: int")
+    rd = chi2_test(dfd, "a", "b").collect()[0]
+    assert rd.chi2 > 300 and rd.p_value < 1e-6
+
+
+def test_log_odds_finds_planted_vocabulary(spark):
+    from hipipe_spark.operators.retrieval import log_odds_terms
+    common = "the quick brown fox jumps over lazy dogs daily "
+    a = spark.createDataFrame(
+        [(i, common + "alpha alpha special") for i in range(50)],
+        "doc_id: long, text: string")
+    b = spark.createDataFrame(
+        [(i, common + "omega omega different") for i in range(50)],
+        "doc_id: long, text: string")
+    out = log_odds_terms(a, b, "text", min_count=10,
+                         top_k=3).collect()
+    top_a = [r.term for r in out if r.side == "a"]
+    top_b = [r.term for r in out if r.side == "b"]
+    assert top_a[0] == "alpha" and "special" in top_a
+    assert top_b[0] == "omega" and "different" in top_b
+    # shared vocabulary stays near zero
+    za = {r.term: r.z for r in out}
+    assert "the" not in (top_a[:1] + top_b[:1])
