@@ -3351,6 +3351,16 @@ def q_log_odds(spark, sf_dir):
                           min_count=10, top_k=30)
 
 
+def q_lorenz(spark, sf_dir):
+    """Lorenz concentration curve of event value per event_type
+    (stats.py lorenz_curve, ≤50 points/group): the picture the gini
+    number summarizes; tie-invariant cumulative shares, deterministic
+    rank decimation — dimension-sized output whatever the input."""
+    from hipipe_spark.operators.stats import lorenz_curve
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return lorenz_curve(e, "event_type", "value", max_points=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3681,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest": q_prop_ztest,
         "chi2": q_chi2,
         "log_odds": q_log_odds,
+        "lorenz": q_lorenz,
     }
 
 
@@ -7194,6 +7205,25 @@ def oracle_sql() -> dict[str, str]:
       SELECT term, y_a, y_b, z, 'a' AS side FROM ra WHERE r <= 30
       UNION ALL
       SELECT term, y_a, y_b, z, 'b' FROM rb WHERE r <= 30
+    """
+    d["lorenz"] = """
+      WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                 FROM events),
+      b AS (SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS i,
+                   sum(v) OVER (PARTITION BY g ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   count(*) OVER (PARTITION BY g) AS n,
+                   sum(v) OVER (PARTITION BY g) AS tot
+            FROM e),
+      k AS (SELECT *, greatest(1, CAST(floor(n / 50) AS INT)) AS step
+            FROM b)
+      SELECT g AS event_type,
+             round(CAST(i AS DOUBLE) / n, 6) AS pop_share,
+             round(cum / tot, 6) AS mass_share
+      FROM k
+      WHERE (i % step = 0 OR i = n) AND tot > 0
     """
     return d
 

@@ -787,3 +787,41 @@ def prop_ztest(df: DataFrame, segment: str, flag: str, arm: str,
         F.round(F.when(ok, z), 6).alias("z_stat"),
         F.round(F.when(ok, norm_sf2(z)), 6).alias("p_value"))
         .orderBy(segment))
+
+
+def lorenz_curve(df: DataFrame, group: str, value: str,
+                 max_points: int = 100) -> DataFrame:
+    """The Lorenz curve behind :func:`gini_coefficient`: per group,
+    cumulative population share vs cumulative mass share along the
+    value-ascending order — the picture of "the top 1% of
+    conversations hold 40% of the tokens" that one Gini number
+    summarizes. Decimated deterministically to ≤ ``max_points`` per
+    group (every ⌈n/max_points⌉-th rank, always keeping the last) so
+    the output is dimension-sized whatever the input.
+
+    One sort window per group (shared with the rank), cumulative
+    sums, pure-arithmetic decimation — no second pass. Output:
+    ``group, pop_share, mass_share (doubles rounded 6)``, ordered by
+    group, pop_share.
+    """
+    v = F.col(value).cast("double")
+    w = Window.partitionBy(group).orderBy(F.col("__v").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(group)
+    base = (df.select(F.col(group), v.alias("__v"))
+            .withColumn("__i", F.row_number().over(w))
+            .withColumn("__cum", F.sum("__v").over(wc))
+            .withColumn("__n", F.count("*").over(wall))
+            .withColumn("__tot", F.sum("__v").over(wall)))
+    step = F.greatest(F.lit(1),
+                      F.floor(F.col("__n") / F.lit(max_points))
+                      .cast("int"))
+    keep = (F.pmod(F.col("__i"), step) == 0) | (F.col("__i")
+                                                == F.col("__n"))
+    return (base.where(keep & (F.col("__tot") > 0))
+            .select(group,
+                    F.round(F.col("__i") / F.col("__n"), 6)
+                     .alias("pop_share"),
+                    F.round(F.col("__cum") / F.col("__tot"), 6)
+                     .alias("mass_share"))
+            .orderBy(group, "pop_share"))

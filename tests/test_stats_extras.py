@@ -275,3 +275,25 @@ def test_log_odds_finds_planted_vocabulary(spark):
     # shared vocabulary stays near zero
     za = {r.term: r.z for r in out}
     assert "the" not in (top_a[:1] + top_b[:1])
+
+
+def test_lorenz_curve_shapes(spark):
+    from hipipe_spark.operators.stats import lorenz_curve
+    rows = ([("equal", 5.0)] * 100
+            + [("skew", 0.1)] * 99 + [("skew", 1000.0)])
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = {}
+    for r in lorenz_curve(df, "g", "v", max_points=20).collect():
+        out.setdefault(r.g, []).append((r.pop_share, r.mass_share))
+    # perfect equality: curve is the diagonal
+    for p, m in out["equal"]:
+        assert abs(p - m) < 1e-6
+    # extreme concentration: curve hugs the floor then jumps to 1
+    skew = dict(out["skew"])
+    assert skew[1.0] == 1.0                     # endpoint always kept
+    below = [m for p, m in out["skew"] if p < 1.0]
+    assert max(below) < 0.01                    # 99% hold ~nothing
+    # monotone nondecreasing in both coordinates
+    pts = sorted(out["skew"])
+    assert all(pts[i][1] <= pts[i + 1][1] + 1e-9
+               for i in range(len(pts) - 1))
