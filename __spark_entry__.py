@@ -3375,176 +3375,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
-    for the FIRST 50 entries only. Slots 1-15: queries with no driver
-    row through round 2 (flagship first — the north-rule query).
-    Slots 16-27: new round-3 queries. Slots 28-30: anchors whose
-    implementation CHANGED in round 3 (two-phase generate_groups /
-    generate_groups_multi, ndim_ops with the resize columns) — they
-    need a fresh driver row to prove the rewrite. Slots 31-50: the
-    late-round-3 operators, rotated into the window this round (they
-    had no driver row yet). Past 50: queries already recorded green by
-    the driver in rounds 1-2 (operator-family anchors rotated out to
-    make room, plus redundant-by-construction oracle twins and strategy
-    variants), each re-checked every round by
-    ``tools/check_oracles.py`` (the driver-gate replica).
-
-    Round-4 rotation backlog (never driver-verified; verified green by
-    the oracle replica): boilerplate_lines, det_shuffle,
-    temperature_mixture, embedding_topk_int8, unigram_logprob,
-    embedding_pool, hash_features, bigram_pmi, robust_scale,
-    ngram_containment, winsorize, plus everything added after them
-    (interval_join .. transcript_integrity at the dict tail, incl. the
-    late-r3 feature-eng batch: freq_encode, onehot_encode, lift_report,
-    conv_tempo, woe_iv, woe_encode, time_split, bigram_ppl, freshness,
-    group_znorm, turn_similarity, feature_corr, impute, walk_forward,
-    distinctive_terms, future_label, role_streak, funnel,
-    cohort_retention, target encoders, quality gates, pq_adc_topk,
-    sliding_distinct, tool_profile, gap_autocorr, turn_flags,
-    relevance_context, transcript_integrity, incremental_refresh,
-    pit_window, pit_multi, pit_extrema, auc_score, kappa, pref_pairs,
-    trend_slope, tool_cooccur, typo_pairs, sb_ppl, pagerank,
-    vocab_growth, zorder, substring_dedup, jsd_drift, ranking_metrics,
-    attribution, dsir, dsir_select, scd2, sample_per_key, calibration,
+    for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
+    CORRECTNESS rows are exactly the dict head). Round-4 rotation
+    (VERDICT r3 next-round #1): the head 50 are drawn from the set of
+    queries that had NO driver CORRECTNESS row in any of rounds 1-3
+    (151 of 248), in registry order, skipping rows-only queries
+    (embedding_pca has no SQL oracle - an eigendecomposition - so it
+    would burn a full-check slot on a weaker rows-only check; it stays
+    in the tail with its numpy pytest). 93 distinct queries are
+    driver-green across r1-r3; after this round's 50, the
+    never-checked backlog drops to ~101 - the r5 window should rotate
+    the next 50 (everything from cohort_retention's tail onward:
+    target_encode, feature_hash, rolling_quantile, expectations,
+    fk_audit, column_profile, pq_adc_topk, sliding_distinct,
+    tool_profile, gap_autocorr, turn_flags, relevance_context,
+    transcript_integrity, incremental_refresh, pit_window, pit_multi,
+    pit_extrema, auc_score, kappa, pref_pairs, trend_slope,
+    tool_cooccur, typo_pairs, sb_ppl, pagerank, vocab_growth, zorder,
+    substring_dedup, jsd_drift, ranking_metrics, attribution, dsir,
+    dsir_select, scd2, sample_per_key, calibration,
     minhash_incremental, bootstrap_ci, label_prop, topic_segments,
-    dup_weights, k_anonymity, json_features, json_profile,
-    table_diff, bt_ratings, fleiss, kripp, spearman, mad_outliers,
-    rrf, isotonic, the hypothesis-testing batch (ab_tests,
-    mann_whitney, kaplan_meier, cuped, cusum, edit_pairs), the sketch
-    family (kmv_distinct, cms_heavy, bloom_semi, histq, hll,
-    kmv_join), the series/stat batch (kendall, class_report,
-    clf_summary, seasonal, seasonal_anom, dp_counts, lttb, theil_sen,
-    did, forecast_eval, acf, ccf, mde, burstiness, seq_patterns,
-    gini, benford, qnorm, wasserstein, sprt, nelson_aalen, rfm,
-    entropy_rate), and the graph batch (triangles, node_cc, textrank,
-    copurchase, powerlaw, assortativity, fs_link)). 50 window slots <
-    150+ unverified queries this round — the tail waits (every tail
-    query IS replica-verified each round by tools/check_oracles.py;
-    the full sweep this session: 237/237 before the final batches,
-    every later batch checked at add time)."""
+    dup_weights, k_anonymity, json_features, json_profile, table_diff,
+    bt_ratings, fleiss, spearman, mad_outliers, rrf, then isotonic,
+    kripp, the hypothesis-testing batch, the sketch family, the
+    series/stat batch, and the graph batch).
+
+    Every query outside the window is still verified each session by
+    ``tools/check_oracles.py`` (the driver-gate replica: same compare -
+    row count, schema, per-value hash - against DuckDB at sf0.01);
+    the round-4 full sweep ran green before this rotation landed.
+    Queries with green driver rows from earlier rounds (flagship,
+    sessionize, the as-of strategy family, the dedup family, ...) sit
+    immediately after the head so their families re-enter the window
+    first if a regression ever needs re-proving; ``flagship`` itself
+    is additionally pinned by a replica pytest
+    (tests/test_driver_contract.py) so rotating it out does not lose
+    its gate."""
     return {
-        # -- 1-15: driver-unverified through r2 (VERDICT r2 next-round #1)
-        "flagship": q_flagship,
-        "quality_lang": q_quality_lang,
-        "asof_tolerance": q_asof_tolerance,
-        "backfill_bounded": q_backfill_bounded,
-        "rolling_range": q_rolling_range,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "bernoulli_sample": q_bernoulli_sample,
-        "pivot_status": q_pivot_status,
-        "distinct_count": q_distinct_count,
-        "percentiles": q_percentiles,
-        "rollup_counts": q_rollup_counts,
-        "semi_anti": q_semi_anti,
-        "set_ops": q_set_ops,
-        "approx_stats": q_approx_stats,
-        # -- 16-27: new in round 3
-        "flagship_profiles": q_flagship_profiles,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "media_meta": q_media_meta,
-        "repetition_stats": q_repetition_stats,
-        "pack_chunks": q_pack_chunks,
-        "pack_stats": q_pack_stats,
-        "contamination": q_contamination,
-        "pii_scrub": q_pii_scrub,
-        "c4_quality": q_c4_quality,
-        "vocab_topk": q_vocab_topk,
-        "training_pipeline": q_training_pipeline,
-        "bm25": q_bm25,
-        # -- 28-30: r3-rewritten anchors needing driver re-verification
-        "generate_groups": q_generate_groups,
-        "generate_groups_multi": q_generate_groups_multi,
-        "ndim_ops": q_ndim_ops,
-        # -- 31-50: late-round-3 operators, first driver row this round
-        "tfidf": q_tfidf,
-        "decay_features": q_decay_features,
-        "cum_distinct": q_cum_distinct,
-        "rolling_median_past": q_rolling_median_past,
-        "psi_drift": q_psi_drift,
-        "ks_drift": q_ks_drift,
-        "cramers_v": q_cramers_v,
-        "mutual_info": q_mutual_info,
-        "quantile_bin": q_quantile_bin,
-        "target_encode_ordered": q_target_encode_ordered,
-        "standardize": q_standardize,
-        "asof_multi": q_asof_multi,
-        "asof_interp": q_asof_interp,
-        "prior_session": q_prior_session,
-        "transitions": q_transitions,
-        "salted_join": q_salted_join,
-        "time_grid": q_time_grid,
-        "conv_split": q_conv_split,
-        "token_budget": q_token_budget,
-        "bpe_merges": q_bpe_merges,
-        # -- 51+: queries with green driver rows from rounds 1-2 (and
-        #    every check_oracles run since), rotated out of the window
-        #    so never-verified queries get the driver's 50-row budget:
-        #    sessionize / lag_lead / asof_union / filter_dim1 /
-        #    transform_map / index_mapper / pad_mask2 / token_stats /
-        #    fingerprint / exact_dedup / ngram_jaccard / dedup_clusters /
-        #    minhash_lsh / simhash / embedding_topk / embedding_near_dup /
-        #    embedding_ivf_topk / corpus_pipeline / tpch_q3 / join_agg
-        #    join round-2 rotations transform_cond / transform_dim2 /
-        #    filter_dim2 / pad_mask / fixed_groups / session_agg /
-        #    tpch_q1 / rolling / backfill here. Their families stay
-        #    anchored in-window: sessions via flagship + prior_session,
-        #    as-of via flagship/asof_tolerance/asof_multi/asof_interp,
-        #    dedup via ngram_jaccard_capped + contamination, embeddings
-        #    via (r4 rotation), relational via pivot_status..set_ops.
-        "sessionize": q_sessionize,
-        "lag_lead": q_lag_lead,
-        "asof_union": q_asof_union,
-        "filter_dim1": q_filter_dim1,
-        "transform_map": q_transform_map,
-        "index_mapper": q_index_mapper,
-        "pad_mask2": q_pad_mask2,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "corpus_pipeline": q_corpus_pipeline,
-        "tpch_q3": q_tpch_q3,
-        "join_agg": q_join_agg,
-        "transform_cond": q_transform_cond,
-        "transform_dim2": q_transform_dim2,
-        "filter_dim2": q_filter_dim2,
-        "pad_mask": q_pad_mask,
-        "fixed_groups": q_fixed_groups,
-        "session_agg": q_session_agg,
-        "tpch_q1": q_tpch_q1,
-        "rolling": q_rolling,
-        "backfill": q_backfill,
-        "rolling_bucketed": q_rolling_bucketed,
+        # -- 1-50: round-4 driver window - first driver row for each
         "embedding_topk_dot": q_embedding_topk_dot,
         "embedding_topk_l2": q_embedding_topk_l2,
-        "embedding_topk_numpy": q_embedding_topk_numpy,
-        "embedding_ivf_full": q_embedding_ivf_full,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "asof_broadcast": q_asof_broadcast,
-        "asof_cogroup": q_asof_cogroup,
-        "asof_bucketed": q_asof_bucketed,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
-        "media_features": q_media_features,
-        "string_to_bool": q_string_to_bool,
-        "base64": q_base64,
-        "random_fill": q_random_fill,
-        "transform_prob": q_transform_prob,
-        "transform_dim3": q_transform_dim3,
-        "melt": q_melt,
-        "rank_stats": q_rank_stats,
-        "cube_counts": q_cube_counts,
-        "topk_per_group": q_topk_per_group,
-        "latest_per_key": q_latest_per_key,
-        # late-round-3 operators still awaiting their first driver row
-        # (rotate into the 50-row window in round 4; judge-oracle via
-        # check_oracles until then)
         "boilerplate_lines": q_boilerplate_lines,
         "det_shuffle": q_det_shuffle,
         "temperature_mixture": q_temperature_mixture,
@@ -3561,7 +3433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labels_next": q_labels_next,
         "chunk_overlap": q_chunk_overlap,
         "embedding_cov": q_embedding_cov,
-        "embedding_pca": q_embedding_pca,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "hard_negatives": q_hard_negatives,
         "render_convs": q_render_convs,
@@ -3592,6 +3463,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_label": q_future_label,
         "role_streak": q_role_streak,
         "funnel": q_funnel,
+        # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
+        #    re-checked every session by tools/check_oracles.py
+        "flagship": q_flagship,
+        "quality_lang": q_quality_lang,
+        "asof_tolerance": q_asof_tolerance,
+        "backfill_bounded": q_backfill_bounded,
+        "rolling_range": q_rolling_range,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "bernoulli_sample": q_bernoulli_sample,
+        "pivot_status": q_pivot_status,
+        "distinct_count": q_distinct_count,
+        "percentiles": q_percentiles,
+        "rollup_counts": q_rollup_counts,
+        "semi_anti": q_semi_anti,
+        "set_ops": q_set_ops,
+        "approx_stats": q_approx_stats,
+        "flagship_profiles": q_flagship_profiles,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "media_meta": q_media_meta,
+        "repetition_stats": q_repetition_stats,
+        "pack_chunks": q_pack_chunks,
+        "pack_stats": q_pack_stats,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
+        "c4_quality": q_c4_quality,
+        "vocab_topk": q_vocab_topk,
+        "training_pipeline": q_training_pipeline,
+        "bm25": q_bm25,
+        "generate_groups": q_generate_groups,
+        "generate_groups_multi": q_generate_groups_multi,
+        "ndim_ops": q_ndim_ops,
+        "tfidf": q_tfidf,
+        "decay_features": q_decay_features,
+        "cum_distinct": q_cum_distinct,
+        "rolling_median_past": q_rolling_median_past,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "cramers_v": q_cramers_v,
+        "mutual_info": q_mutual_info,
+        "quantile_bin": q_quantile_bin,
+        "target_encode_ordered": q_target_encode_ordered,
+        "standardize": q_standardize,
+        "asof_multi": q_asof_multi,
+        "asof_interp": q_asof_interp,
+        "prior_session": q_prior_session,
+        "transitions": q_transitions,
+        "salted_join": q_salted_join,
+        "time_grid": q_time_grid,
+        "conv_split": q_conv_split,
+        "token_budget": q_token_budget,
+        "bpe_merges": q_bpe_merges,
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "asof_union": q_asof_union,
+        "filter_dim1": q_filter_dim1,
+        "transform_map": q_transform_map,
+        "index_mapper": q_index_mapper,
+        "pad_mask2": q_pad_mask2,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "corpus_pipeline": q_corpus_pipeline,
+        "tpch_q3": q_tpch_q3,
+        "join_agg": q_join_agg,
+        "transform_cond": q_transform_cond,
+        "transform_dim2": q_transform_dim2,
+        "filter_dim2": q_filter_dim2,
+        "pad_mask": q_pad_mask,
+        "fixed_groups": q_fixed_groups,
+        "session_agg": q_session_agg,
+        "tpch_q1": q_tpch_q1,
+        "rolling": q_rolling,
+        "backfill": q_backfill,
+        "rolling_bucketed": q_rolling_bucketed,
+        "embedding_topk_numpy": q_embedding_topk_numpy,
+        "embedding_ivf_full": q_embedding_ivf_full,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "asof_broadcast": q_asof_broadcast,
+        "asof_cogroup": q_asof_cogroup,
+        "asof_bucketed": q_asof_bucketed,
+        "media_features": q_media_features,
+        "string_to_bool": q_string_to_bool,
+        "base64": q_base64,
+        "random_fill": q_random_fill,
+        "transform_prob": q_transform_prob,
+        "transform_dim3": q_transform_dim3,
+        "melt": q_melt,
+        "rank_stats": q_rank_stats,
+        "cube_counts": q_cube_counts,
+        "topk_per_group": q_topk_per_group,
+        "latest_per_key": q_latest_per_key,
+        "embedding_pca": q_embedding_pca,
         "cohort_retention": q_cohort_retention,
         "target_encode": q_target_encode,
         "feature_hash": q_feature_hash,
