@@ -6096,7 +6096,7 @@ def oracle_sql() -> dict[str, str]:
              FROM lineitem GROUP BY 1)
       SELECT ex.g AS l_returnflag,
              CASE WHEN h_k IS NOT NULL THEN round(63 / h_k, 2)
-                  ELSE CAST(coalesce(n_kept, 0) AS DOUBLE) END
+                  ELSE round(coalesce(n_kept, 0) / 0.05, 2) END
                AS kmv_estimate,
              CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
              h_k IS NOT NULL AS saturated,
@@ -6175,7 +6175,7 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n0 - n1 AS DOUBLE)
                               * CAST(n0 - n2 AS DOUBLE)), 6)
              END AS tau_b
-      FROM nn JOIN p ON p.g = nn.g
+      FROM nn LEFT JOIN p ON p.g = nn.g
     """
     _clf_cells = f"""
       f AS (SELECT event_type AS label,
@@ -6798,6 +6798,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["seq_patterns"] = """
       WITH g AS (SELECT user_id AS k,
+                        row_number() OVER win AS rn,
                         lag(event_type, 2) OVER win AS t1,
                         lag(event_type, 1) OVER win AS t2,
                         event_type AS t3
@@ -6806,7 +6807,7 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY ts, event_id)),
       a AS (SELECT t1, t2, t3, count(*) AS occurrences,
                    count(DISTINCT k) AS support
-            FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+            FROM g WHERE rn >= 3 GROUP BY 1, 2, 3
             HAVING count(DISTINCT k) >= 2)
       SELECT t1, t2, t3, CAST(occurrences AS BIGINT) AS occurrences,
              CAST(support AS BIGINT) AS support

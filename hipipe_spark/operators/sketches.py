@@ -51,10 +51,12 @@ def kmv_distinct(df: DataFrame, group: str, key: str, k: int = 64,
     the scan; at 100 TB this is the step that removes ~``1-tau`` of
     the data before any shuffle) → distinct surviving hashes per group
     → the k smallest → estimate ``(k-1) / h_(k)``. Groups with fewer
-    than ``k`` surviving hashes fall back to their exact survivor
-    count un-scaled — flagged in ``saturated`` (false = the sketch had
-    enough mass; callers should raise ``tau`` if many groups are
-    unsaturated).
+    than ``k`` surviving hashes use the fixed-threshold theta estimator
+    ``n_kept / tau`` (each distinct key survives with probability tau,
+    so survivors/tau is unbiased — the same scaling
+    :func:`kmv_join_estimate` applies) — flagged in ``saturated``
+    (false = the threshold filter, not the k-th order statistic,
+    bounded the sketch; the tau-scaled estimate is still valid).
 
     Output: ``group, kmv_estimate (double), n_kept (bigint),
     saturated (boolean)`` — plus ``exact_distinct`` for the error
@@ -73,10 +75,16 @@ def kmv_distinct(df: DataFrame, group: str, key: str, k: int = 64,
                  .alias("h_k")))
     exact = df.groupBy(group).agg(
         F.countDistinct(key).alias("exact_distinct"))
+    # Unsaturated groups (< k survivors below tau) use the fixed-threshold
+    # theta estimator n_kept / tau — the same scaling kmv_join_estimate
+    # applies — instead of the raw survivor count, which would be a ~1/tau
+    # underestimate of the true distinct count (ADVICE r3).
     est = F.when(
         F.col("h_k").isNotNull(),
         F.round((F.lit(k) - 1) / F.col("h_k"), 2)
-    ).otherwise(F.coalesce(F.col("n_kept"), F.lit(0)).cast("double"))
+    ).otherwise(F.round(
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("double")
+        / F.lit(float(tau)), 2))
     # left join FROM exact: a group none of whose hashes survived tau
     # must still report (estimate = its 0 survivors, unsaturated)
     return (exact.join(agg, group, "left")

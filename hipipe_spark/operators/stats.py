@@ -30,6 +30,8 @@ Design rules shared by every operator here:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -360,7 +362,8 @@ def edit_distance_pairs(df: DataFrame, id_col: str, text: str,
                 .select("id_a", "id_b", "dist"))
 
 
-def kendall_tau(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
+def kendall_tau(df: DataFrame, group: str, x: str, y: str,
+                max_group_rows: int = 50_000_000) -> DataFrame:
     """Per-``group`` Kendall tau-b between ``x`` and ``y`` via
     Knight's O(n log n) algorithm (Knight 1966, the scipy/ties
     formulation) inside ONE Arrow-batched ``applyInPandas`` per group
@@ -382,7 +385,18 @@ def kendall_tau(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     Output: ``group, n, nc, nd (bigints), tau_b (double, rounded
     6)``; groups with a zero denominator (constant x or y) report
     null tau_b.
+
+    ``applyInPandas`` materializes ONE GROUP in ONE worker's memory —
+    the operator's inherent constraint (Knight's algorithm needs the
+    group's full y sequence). ``max_group_rows`` makes that contract
+    loud: a group exceeding it raises with the group name and size
+    instead of OOM-killing an executor mid-shuffle (the
+    ``salted_join`` refuse-fast policy). At ~16 bytes/row the default
+    50M cap is ~800 MB of arrays — raise it only with matching
+    executor memory.
     """
+    if max_group_rows < 2:
+        raise ValueError("max_group_rows must be >= 2")
     import numpy as np
     import pandas as pd
 
@@ -402,6 +416,13 @@ def kendall_tau(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
 
     def _tau(pdf: "pd.DataFrame") -> "pd.DataFrame":
         g = pdf["__g"].iloc[0]
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"kendall_tau group {g!r} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}; one group must fit "
+                "one worker (Knight's algorithm is group-local) — "
+                "pre-aggregate, sample the group, or raise the cap "
+                "with matching executor memory")
         sub = pdf.sort_values(["__x", "__y"], kind="mergesort")
         xv = sub["__x"].to_numpy()
         yv = sub["__y"].to_numpy()

@@ -1000,19 +1000,26 @@ def seq_patterns(df: DataFrame, key: str, token: str,
     signal at a lag-window price). Support = DISTINCT keys containing
     the pattern; ``occurrences`` counts every instance.
 
-    One lag window per key (all n−1 lags share the sort), one
-    (pattern)-keyed aggregate. Output: token columns ``t1..tn``,
-    ``occurrences (bigint)``, ``support (bigint)``, filtered to
-    ``support ≥ min_support``, top_k by (support desc, occurrences
-    desc, t1..tn asc).
+    One lag window per key (all n−1 lags share the sort; row_number
+    rides the same window), one (pattern)-keyed aggregate. Output:
+    token columns ``t1..tn``, ``occurrences (bigint)``, ``support
+    (bigint)``, filtered to ``support ≥ min_support``, top_k by
+    (support desc, occurrences desc, t1..tn asc).
+
+    The window-full test is positional (``row_number() >= n``), NOT
+    ``t1 IS NOT NULL``: a null token in the leading lag position must
+    not silently drop the gram while interior nulls keep it (ADVICE
+    r3). Null tokens inside a full window are legitimate pattern
+    members (they group as SQL GROUP BY nulls).
     """
     if n < 2:
         raise ValueError("n must be >= 2")
     w = Window.partitionBy(key).orderBy(*order)
     cols = [F.lag(F.col(token), n - 1 - i).over(w).alias(f"t{i + 1}")
             for i in range(n - 1)] + [F.col(token).alias(f"t{n}")]
-    grams = (df.select(F.col(key).alias("__k"), *cols)
-             .where(F.col("t1").isNotNull()))
+    grams = (df.select(F.col(key).alias("__k"),
+                       F.row_number().over(w).alias("__rn"), *cols)
+             .where(F.col("__rn") >= n))
     agg = (grams.groupBy(*[f"t{i + 1}" for i in range(n)])
            .agg(F.count("*").alias("occurrences"),
                 F.countDistinct("__k").alias("support"))

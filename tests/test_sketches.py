@@ -51,12 +51,14 @@ def test_kmv_saturated_estimate_close(spark):
     assert abs(r.kmv_estimate - n) / n < 0.35  # k=64 → ~12% stderr
 
 
-def test_kmv_unsaturated_falls_back_to_survivor_count(spark):
+def test_kmv_unsaturated_uses_theta_estimator(spark):
+    # < k survivors below tau → fixed-threshold estimate n_kept / tau,
+    # NOT the raw survivor count (which would be a ~1/tau underestimate)
     df = spark.createDataFrame([("g", i) for i in range(50)],
                                "g: string, k: long")
     r = kmv_distinct(df, "g", "k", k=64, tau=0.1).collect()[0]
     assert not r.saturated
-    assert r.kmv_estimate == float(r.n_kept)
+    assert r.kmv_estimate == round(r.n_kept / 0.1, 2)
     assert r.n_kept <= 50
 
 

@@ -297,3 +297,39 @@ def test_lorenz_curve_shapes(spark):
     pts = sorted(out["skew"])
     assert all(pts[i][1] <= pts[i + 1][1] + 1e-9
                for i in range(len(pts) - 1))
+
+
+def test_kendall_group_size_guard_refuses_loudly(spark):
+    # a group bigger than max_group_rows must fail fast with the group
+    # name in the message, not OOM an executor (salted_join policy)
+    df = spark.createDataFrame(
+        [("big", float(i), float(i % 7)) for i in range(100)],
+        "g: string, x: double, y: double")
+    with pytest.raises(Exception, match="max_group_rows"):
+        kendall_tau(df, "g", "x", "y", max_group_rows=50).collect()
+    # the cap is per-group: under it, same frame computes fine
+    assert kendall_tau(df, "g", "x", "y",
+                       max_group_rows=100).count() == 1
+
+
+def test_seq_patterns_window_full_test_is_positional(spark):
+    # null token at a LEADING lag position must not drop the gram
+    # while interior nulls keep it: the window-full test is
+    # row_number() >= n, not t1 IS NOT NULL (ADVICE r3)
+    import datetime as dt
+    from hipipe_spark.operators.temporal import seq_patterns
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(3):
+        seq = [None, "b", "c", None, "b", "c"]  # null leads 2 grams
+        for i, tok in enumerate(seq):
+            rows.append((u, base + dt.timedelta(seconds=i), i, tok))
+    df = spark.createDataFrame(rows,
+                               "u: long, ts: timestamp, i: long, tok: string")
+    out = seq_patterns(df, "u", "tok", ["ts", "i"], n=3,
+                       min_support=2, top_k=10).collect()
+    pats = {(r.t1, r.t2, r.t3): r.support for r in out}
+    # (null, b, c) is a legitimate full-window gram: rows 1-2 and 4-5
+    assert pats.get((None, "b", "c")) == 3
+    # first two rows of each user never form a gram (window not full)
+    assert (None, None, "b") not in pats
