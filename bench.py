@@ -74,6 +74,42 @@ def force(df) -> int:
     return row["n"]
 
 
+def _scaling_row() -> dict | None:
+    import subprocess
+
+    from tools.scaling_bench import append_md, measure
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n = int(os.environ.get("BENCH_SCALING_N", "4"))
+    n_convs = int(os.environ.get("BENCH_SCALING_CONVS", "200000"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
+    cache_path = os.path.join(repo, "BENCH", "scaling_cache.json")
+    try:
+        with open(cache_path) as f:
+            cached = json.load(f)
+        from datetime import datetime, timezone
+        age = (datetime.now(timezone.utc)
+               - datetime.fromisoformat(cached["result"]["date"]))
+        if (cached["key"] == [head, n, n_convs]
+                and age.total_seconds() < 4 * 3600):
+            return cached["result"]
+    except Exception:
+        pass
+    result = measure(n=n, n_convs=n_convs, rounds=rounds)
+    append_md(result)
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    with open(cache_path, "w") as f:
+        json.dump({"key": [head, n, n_convs], "result": result}, f)
+    return result
+
+
 def main() -> None:
     import __spark_entry__ as E
     from hipipe_spark.datagen import gen_profile_updates, gen_transcripts
@@ -138,6 +174,22 @@ def main() -> None:
     tps = n_turns / pipe_sec
     tps_4x = n_turns_4x / pipe_sec_4x
 
+    # Core-scaling row (the north rule's >=0.8 criterion): same job,
+    # same input, local[N] vs local[4N] in fresh child JVMs, interleaved
+    # per-level best (VERDICT r3 #6 — the efficiency numbers must land
+    # in the driver's BENCH artifact, not only in hand-run
+    # BENCH/BASELINE.md). Defaults follow the protocol note: 4->16-core
+    # span (keeps the top level at half the machine so driver/GC/OS
+    # threads don't steal from executors) over a ~6.1M-turn corpus.
+    # The measurement is cached per git HEAD for 4h: the driver runs
+    # bench.py several times per round and the 2-JVM protocol is
+    # independent of those reps — re-measuring each rep would triple
+    # the cost for no information. BENCH_SCALING=0 skips (local
+    # iteration); BENCH_SCALING_CONVS sizes the child corpus.
+    scaling = None
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        scaling = _scaling_row()
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
         "metric": "bench_total",
@@ -152,6 +204,10 @@ def main() -> None:
         "scale_eff_4x": round(tps_4x / tps, 3),
         "flagship_runs": flagship_runs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+        **({"scaling": scaling,
+            "compute_eff": scaling["compute_scaling_efficiency"],
+            "e2e_eff": scaling["e2e_scaling_efficiency"]}
+           if scaling else {}),
     }))
 
 

@@ -95,22 +95,31 @@ def _best(a: dict, b: dict) -> dict:
     return out
 
 
-def main(n: int = 8, n_convs: int = 20000) -> None:
-    # INTERLEAVE the levels (N, 4N, N, 4N — fresh JVM each) and take the
-    # per-level best: a co-tenant noise burst then degrades BOTH levels'
-    # worse run instead of silently wrecking one side of the ratio (this
-    # sandbox swings 2-3x on a minutes timescale; see protocol note).
+def measure(n: int = 8, n_convs: int = 20000, rounds: int = 2) -> dict:
+    """Run the two-parallelism protocol and return the result dict.
+
+    INTERLEAVES the levels (N, 4N, N, 4N — fresh JVM each) and takes
+    the per-level best: a co-tenant noise burst then degrades BOTH
+    levels' worse run instead of silently wrecking one side of the
+    ratio (this sandbox swings 2-3x on a minutes timescale; see
+    protocol note). Importable so ``bench.py`` can fold the scaling
+    row into the driver's per-round BENCH JSON (VERDICT r3 #6).
+    """
     lo = run(n, n_convs)
     hi = run(n * 4, n_convs)
-    lo = _best(lo, run(n, n_convs))
-    hi = _best(hi, run(n * 4, n_convs))
+    for _ in range(max(0, rounds - 1)):
+        lo = _best(lo, run(n, n_convs))
+        hi = _best(hi, run(n * 4, n_convs))
     eff_c = hi["compute_turns_per_sec"] / (4 * lo["compute_turns_per_sec"])
     eff_e = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
-    result = {"N": lo, "fourN": hi,
-              "compute_scaling_efficiency": round(eff_c, 3),
-              "e2e_scaling_efficiency": round(eff_e, 3),
-              "date": datetime.now(timezone.utc).isoformat(timespec="seconds")}
-    print(json.dumps(result))
+    return {"N": lo, "fourN": hi,
+            "compute_scaling_efficiency": round(eff_c, 3),
+            "e2e_scaling_efficiency": round(eff_e, 3),
+            "date": datetime.now(timezone.utc).isoformat(timespec="seconds")}
+
+
+def append_md(result: dict) -> None:
+    lo, hi = result["N"], result["fourN"]
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     header = not os.path.exists(md)
@@ -141,6 +150,12 @@ def main(n: int = 8, n_convs: int = 20000) -> None:
             f"| {result['compute_scaling_efficiency']} "
             f"| {result['e2e_scaling_efficiency']} |\n"
         )
+
+
+def main(n: int = 8, n_convs: int = 20000) -> None:
+    result = measure(n, n_convs)
+    print(json.dumps(result))
+    append_md(result)
 
 
 if __name__ == "__main__":
