@@ -27,16 +27,27 @@ class InferenceStage(Stage):
 
     def __init__(self, loader: Callable[[], Callable[[pd.DataFrame], pd.DataFrame]],
                  input_cols: list[str], output_schema: str,
-                 name: str = "inference"):
+                 name: str = "inference",
+                 passthrough: list[str] | None = None):
         super().__init__(name)
         self.loader, self.input_cols, self.output_schema = loader, input_cols, output_schema
+        # Arrow transfer discipline: every passthrough column is
+        # serialized to the Python worker and back. Default keeps all
+        # columns (the ergonomic contract); pass an explicit list to
+        # keep wide payloads (raw text, binary blobs) JVM-side when the
+        # model only needs the feature columns.
+        self.passthrough = passthrough
 
     def apply(self, df: DataFrame) -> DataFrame:
         loader, input_cols = self.loader, self.input_cols
-        passthrough = [c for c in df.columns]
+        passthrough = (list(self.passthrough) if self.passthrough is not None
+                       else [c for c in df.columns])
+        staged = df.select(*dict.fromkeys(passthrough + input_cols))
         schema = ", ".join(
-            [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+            [f"`{f.name}` {f.dataType.simpleString()}"
+             for f in staged.schema.fields if f.name in passthrough]
         ) + ", " + self.output_schema
+        df = staged
 
         def runner(batches: Iterable[pd.DataFrame]):
             predict = loader()  # once per worker, not per batch

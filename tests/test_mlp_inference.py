@@ -36,9 +36,14 @@ def test_score_quality_mlp_end_to_end(spark):
         "doc_id int, text string")
     rows = {r["doc_id"]: r for r in score_quality_mlp(df).collect()}
     assert set(rows) == {1, 2, 3}
-    # feature columns are internal — dropped from the output
+    # feature columns are internal — dropped from the output; raw text
+    # is excluded from the Arrow passthrough by default (wide-column
+    # discipline) and restorable with keep_text=True
+    out_cols = score_quality_mlp(df).columns
     for c in FEATURE_COLS:
-        assert c not in score_quality_mlp(df).columns
+        assert c not in out_cols
+    assert "text" not in out_cols
+    assert "text" in score_quality_mlp(df, keep_text=True).columns
     # prose scores above pure-punctuation noise with these weights is
     # not guaranteed a priori; what IS pinned: deterministic replay
     again = {r["doc_id"]: r["mlp_score"]
