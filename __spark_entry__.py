@@ -1442,12 +1442,14 @@ def q_media_meta(spark, sf_dir):
 
 def q_media_decode(spark, sf_dir):
     """REAL stdlib media decode (VERDICT r3 #3): gen_real_media emits
-    actual PNG (all five filter types) and PCM-16 WAV bytes whose
-    generation parameters are pure arithmetic in the id; decode_features
-    (sources/multimodal.py) recovers width/height/channels/mean from the
-    PNG pipeline (zlib inflate + filter reconstruction) and rate/
-    duration/RMS from the WAV pipeline. The oracle recomputes what a
-    correct decode MUST recover — a value-check of the codec itself."""
+    actual PNG (all five filter types), PCM-16 WAV, and APNG video
+    bytes whose generation parameters are pure arithmetic in the id;
+    decode_features (sources/multimodal.py) recovers width/height/
+    channels/mean from the PNG pipeline (zlib inflate + filter
+    reconstruction), rate/duration/RMS from the WAV pipeline, and
+    frame count/duration/sampled-frame mean from the APNG pipeline.
+    The oracle recomputes what a correct decode MUST recover — a
+    value-check of the codecs themselves."""
     from hipipe_spark.sources.multimodal import decode_features, gen_real_media
 
     out = decode_features(gen_real_media(spark, n=128))
@@ -4148,7 +4150,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT aud.i, ns,
                round(sqrt(AVG(CAST(((aud.i*31 + 17*t.t) % 2048 - 1024) AS DOUBLE) ** 2)), 4) AS rms
         FROM aud CROSS JOIN range(0, 257) t(t) WHERE t.t < ns
-        GROUP BY aud.i, ns)
+        GROUP BY aud.i, ns),
+      vid AS (SELECT i, 6 + i % 7 AS w, 6 + (2*i) % 5 AS h,
+                     2 + i % 4 AS nf
+              FROM range(0, 128) t(i) WHERE i % 3 = 2),
+      vmean AS (
+        SELECT vid.i, w, h, nf,
+               round(AVG(CAST((vid.i*7 + 11*f.f + 3*j.j) % 256 AS DOUBLE)), 4) AS mean_val,
+               CAST(GREATEST(1, FLOOR(w * LEAST(8.0/w, 8.0/h, 1.0))) AS INTEGER) AS tw,
+               CAST(GREATEST(1, FLOOR(h * LEAST(8.0/w, 8.0/h, 1.0))) AS INTEGER) AS th
+        FROM vid CROSS JOIN range(0, 6) f(f) CROSS JOIN range(0, 160) j(j)
+        WHERE f.f < nf AND f.f % 2 = 0 AND j.j < w*h
+        GROUP BY vid.i, w, h, nf)
       SELECT i AS media_id, 'image' AS kind,
              CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
              CAST(ch AS INTEGER) AS channels,
@@ -4162,10 +4175,10 @@ def oracle_sql() -> dict[str, str]:
              CAST((1000*ns)//8000 AS INTEGER), NULL, rms, NULL, NULL
       FROM arms
       UNION ALL
-      SELECT i, 'video', NULL, NULL, NULL, NULL,
-             CAST(1000 + i % 60000 AS INTEGER),
-             CAST((1000 + i % 60000)//5000 AS INTEGER), NULL, NULL, NULL
-      FROM range(0, 128) t(i) WHERE i % 3 = 2
+      SELECT i, 'video', CAST(w AS INTEGER), CAST(h AS INTEGER), 1, NULL,
+             CAST(nf * 100 AS INTEGER), CAST(nf AS INTEGER),
+             mean_val, tw, th
+      FROM vmean
     """
     d["media_meta"] = """
       SELECT i AS media_id,

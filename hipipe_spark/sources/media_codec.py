@@ -85,38 +85,10 @@ def png_encode(width: int, height: int, pixels: bytes, channels: int = 1,
     )
 
 
-def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to ``(width, height, channels, pixels)`` with full
-    filter reconstruction. Supports 8-bit color types 0 (grey) and 2
-    (RGB), non-interlaced — raises ``ValueError`` on anything else or on
-    a malformed stream (truncation, bad signature, size mismatch)."""
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, width = 8, None
-    height = channels = 0
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated chunk")
-        pos += 12 + length  # skip CRC
-        if tag == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body)
-            if depth != 8 or color not in (0, 2) or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG: depth={depth} color={color} "
-                    f"interlace={interlace}")
-            channels = 1 if color == 0 else 3
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("no IHDR")
-    raw = zlib.decompress(bytes(idat))
+def _reconstruct(raw: bytes, width: int, height: int,
+                 channels: int) -> bytes:
+    """Undo per-scanline PNG filters on a decompressed IDAT/fdAT
+    payload → raw row-major pixels."""
     stride, bpp = width * channels, channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size mismatch")
@@ -148,7 +120,145 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad filter type {ft}")
         out[y * stride:(y + 1) * stride] = line
         prev = bytes(line)
-    return width, height, channels, bytes(out)
+    return bytes(out)
+
+
+def _parse_chunks(data: bytes):
+    """Yield (tag, body) for each chunk; validates signature and
+    per-chunk truncation."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # skip CRC
+        yield tag, body
+        if tag == b"IEND":
+            return
+
+
+def _parse_ihdr(body: bytes) -> tuple[int, int, int]:
+    width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", body)
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} "
+            f"interlace={interlace}")
+    return width, height, 1 if color == 0 else 3
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, pixels)`` with full
+    filter reconstruction. Supports 8-bit color types 0 (grey) and 2
+    (RGB), non-interlaced — raises ``ValueError`` on anything else or on
+    a malformed stream (truncation, bad signature, size mismatch)."""
+    dims = None
+    idat = bytearray()
+    for tag, body in _parse_chunks(data):
+        if tag == b"IHDR":
+            dims = _parse_ihdr(body)
+        elif tag == b"IDAT":
+            idat += body
+    if dims is None:
+        raise ValueError("no IHDR")
+    width, height, channels = dims
+    pixels = _reconstruct(zlib.decompress(bytes(idat)), width, height,
+                          channels)
+    return width, height, channels, pixels
+
+
+def _filter_rows(width: int, height: int, pixels: bytes,
+                 channels: int) -> bytes:
+    """Serialize pixels as filter-0 scanlines (the encode inverse of
+    :func:`_reconstruct` for the production default)."""
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride:(y + 1) * stride]
+    return bytes(raw)
+
+
+def apng_encode(width: int, height: int, frames: list[bytes],
+                channels: int = 1, delay_num: int = 1,
+                delay_den: int = 10) -> bytes:
+    """Encode full-size frames as an APNG (the public Animated-PNG
+    spec): IHDR + acTL(num_frames) + per-frame fcTL, frame 0 in IDAT,
+    frames 1+ in fdAT with running sequence numbers. All frames share
+    the canvas (x=y=0, dispose/blend 0) and one delay."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for fr in frames:
+        if len(fr) != width * height * channels:
+            raise ValueError("frame buffer size mismatch")
+    color_type = 0 if channels == 1 else 2
+    out = bytearray(_PNG_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8,
+                                       color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for fi, fr in enumerate(frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, width, height, 0, 0,
+                           delay_num, delay_den, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        comp = zlib.compress(_filter_rows(width, height, fr, channels), 6)
+        if fi == 0:
+            out += _chunk(b"IDAT", comp)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + comp)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_decode(data: bytes) -> tuple[int, int, int, list[bytes], float]:
+    """Decode an APNG → ``(width, height, channels, frames,
+    frame_delay_ms)``. Full-size frames only (x=y=0, frame dims ==
+    canvas — the subset the encoder emits; offset frames raise).
+    A plain PNG (no acTL) decodes as a single frame with delay 0."""
+    dims = None
+    n_frames = None
+    delay_ms = 0.0
+    cur = bytearray()
+    frames_raw: list[bytes] = []
+    saw_fctl = False
+    for tag, body in _parse_chunks(data):
+        if tag == b"IHDR":
+            dims = _parse_ihdr(body)
+        elif tag == b"acTL":
+            n_frames = struct.unpack(">II", body)[0]
+        elif tag == b"fcTL":
+            (_seq, fw, fh, x, y, dnum, dden, _disp, _blend) = struct.unpack(
+                ">IIIIIHHBB", body)
+            if dims is None:
+                raise ValueError("fcTL before IHDR")
+            if (fw, fh, x, y) != (dims[0], dims[1], 0, 0):
+                raise ValueError("offset/partial APNG frames unsupported")
+            delay_ms = 1000.0 * dnum / (dden or 100)
+            if saw_fctl and cur:
+                frames_raw.append(bytes(cur))
+                cur = bytearray()
+            saw_fctl = True
+        elif tag == b"IDAT":
+            cur += body
+        elif tag == b"fdAT":
+            cur += body[4:]  # strip the sequence number
+    if dims is None:
+        raise ValueError("no IHDR")
+    if cur:
+        frames_raw.append(bytes(cur))
+    width, height, channels = dims
+    frames = [_reconstruct(zlib.decompress(fr), width, height, channels)
+              for fr in frames_raw]
+    if n_frames is not None and len(frames) != n_frames:
+        raise ValueError(
+            f"acTL declared {n_frames} frames, stream has {len(frames)}")
+    return width, height, channels, frames, delay_ms
 
 
 def png_thumbnail(width: int, height: int, channels: int, pixels: bytes,

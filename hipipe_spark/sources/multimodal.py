@@ -6,11 +6,13 @@ Arrow-batched ``mapInPandas`` stages. Two decoders:
 
 - ``decoder="stdlib"`` — REAL decode, zero extra deps: PNG via the
   pure-stdlib parser in :mod:`hipipe_spark.sources.media_codec` (zlib
-  inflate + full None/Sub/Up/Average/Paeth filter reconstruction) and
-  WAV via the stdlib ``wave`` module. :func:`gen_real_media` synthesises
-  deterministic REAL PNG/WAV bytes so decode outputs (width / height /
-  channels / duration / mean) are value-checkable against an arithmetic
-  oracle. Video has no stdlib codec and stays metadata-only (disclosed).
+  inflate + full None/Sub/Up/Average/Paeth filter reconstruction), WAV
+  via the stdlib ``wave`` module, and video via APNG (the public
+  Animated-PNG spec — acTL/fcTL/fdAT chunks) with every-k-th
+  frame sampling. :func:`gen_real_media` synthesises deterministic REAL
+  PNG/WAV/APNG bytes so decode outputs (width / height / channels /
+  duration / frame count / mean) are value-checkable against an
+  arithmetic oracle.
 - ``decoder="fake"`` — deterministic fake decode (shape + checksum
   derived from the bytes), kept for the original plumbing tests;
   ``decoder="pil"``/"librosa" still raise ``NotImplementedError`` until
@@ -80,6 +82,10 @@ def _audio_n(i: int) -> int:
     return 200 + (i * 13) % 57
 
 
+def _video_dims(i: int) -> tuple[int, int, int]:
+    return 6 + i % 7, 6 + (2 * i) % 5, 2 + i % 4
+
+
 def gen_real_media(spark: SparkSession, n: int = 128,
                    seed: int = 42) -> DataFrame:
     """Deterministic media table with REAL decodable bytes, generated
@@ -91,14 +97,17 @@ def gen_real_media(spark: SparkSession, n: int = 128,
       filter is exercised in the production path, not just tests);
     - ``i % 3 == 1`` → PCM-16 WAV at 8 kHz, ``200 + (13i)%57`` samples,
       sample ``t`` value ``(i*31 + 17t) % 2048 - 1024``;
-    - ``i % 3 == 2`` → video: opaque sha256-stream bytes + metadata
-      (no stdlib video codec — decode disclosed as metadata-only).
+    - ``i % 3 == 2`` → APNG video (the public Animated-PNG spec):
+      ``w = 6 + i%7``, ``h = 6 + (2i)%5``, greyscale,
+      ``2 + i%4`` full-size frames at 100 ms/frame, frame ``f`` pixel
+      ``j`` value ``(i*7 + 11f + 3j) % 256``.
 
     Every parameter is pure arithmetic in ``i``, so a SQL oracle can
     recompute what a CORRECT decode must recover — the driver gate then
-    value-checks the real PNG/WAV decoders end-to-end.
+    value-checks the real PNG/WAV/APNG decoders end-to-end.
     """
-    from hipipe_spark.sources.media_codec import png_encode, wav_encode
+    from hipipe_spark.sources.media_codec import (
+        apng_encode, png_encode, wav_encode)
 
     def batches(it: Iterable[pd.DataFrame]):
         for pdf in it:
@@ -117,11 +126,15 @@ def gen_real_media(spark: SparkSession, n: int = 128,
                     rows.append((i, "audio", content, None, None,
                                  1000 * ns // AUDIO_RATE, "audio/wav"))
                 else:
-                    hsh = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-                    content = (hsh * (1 + i % 7))[: 32 + (i % 97)]
-                    rows.append((i, "video", content, 64 + i % 512,
-                                 64 + (i * 3) % 512, 1000 + i % 60000,
-                                 "video/mp4"))
+                    w, h, nf = _video_dims(i)
+                    frames = [
+                        bytes((i * 7 + 11 * f + 3 * j) % 256
+                              for j in range(w * h))
+                        for f in range(nf)]
+                    content = apng_encode(w, h, frames, channels=1,
+                                          delay_num=1, delay_den=10)
+                    rows.append((i, "video", content, w, h, nf * 100,
+                                 "image/apng"))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "content", "width",
                                "height", "duration_ms", "mime"],
@@ -131,7 +144,8 @@ def gen_real_media(spark: SparkSession, n: int = 128,
 
 
 def decode_features(df: DataFrame,
-                    thumb: tuple[int, int] = (8, 8)) -> DataFrame:
+                    thumb: tuple[int, int] = (8, 8),
+                    frame_step: int = 2) -> DataFrame:
     """REAL decode + feature extraction, Arrow-batched (stdlib codecs):
 
     - image/png → width, height, channels, mean pixel value (over all
@@ -139,8 +153,9 @@ def decode_features(df: DataFrame,
       ≤ ``thumb``, never upscaled);
     - audio/wav → sample_rate, duration_ms (floor), RMS amplitude as
       ``mean_val``;
-    - video → metadata passthrough (duration, 5 s frame-sample count) —
-      no stdlib codec, disclosed.
+    - video/apng → width, height, channels, frame count, duration from
+      the per-frame delay, mean pixel over every ``frame_step``-th
+      frame (the frame-sampling path), thumbnail dims from frame 0.
 
     Per-row Python inside an Arrow batch is the right tool here: codec
     state machines are genuinely imperative (the same boundary the
@@ -148,7 +163,7 @@ def decode_features(df: DataFrame,
     partitioning, column pruning — is ordinary Spark.
     """
     from hipipe_spark.sources.media_codec import (
-        png_decode, png_thumbnail, wav_decode)
+        apng_decode, png_decode, png_thumbnail, wav_decode)
 
     tw, th = thumb
 
@@ -168,8 +183,14 @@ def decode_features(df: DataFrame,
                     dur = 1000 * nf // rate
                     mean = (sum(s * s for s in samples) / len(samples)) ** 0.5
                 else:
-                    dur = int(rec.duration_ms)
-                    nframes = dur // 5000
+                    w, h, ch, frames, delay_ms = apng_decode(content)
+                    nframes = len(frames)
+                    dur = int(nframes * delay_ms)
+                    sampled = frames[::frame_step]
+                    mean = (sum(sum(fr) for fr in sampled)
+                            / (len(sampled) * w * h * ch))
+                    tw_o, th_o, _ = png_thumbnail(w, h, ch, frames[0],
+                                                  tw, th)
                 rows.append((mid, kind, len(content), w, h, ch, rate, dur,
                              nframes, mean, tw_o, th_o))
             out = pd.DataFrame(

@@ -3,7 +3,8 @@
 import pytest
 
 from hipipe_spark.sources.media_codec import (
-    png_decode, png_encode, png_thumbnail, wav_decode, wav_encode)
+    apng_decode, apng_encode, png_decode, png_encode, png_thumbnail,
+    wav_decode, wav_encode)
 
 
 def _px(n, a=7, b=3):
@@ -44,6 +45,43 @@ def test_png_thumbnail_aspect_and_roundtrip():
     assert png_thumbnail(4, 4, 1, _px(16), 32, 32)[:2] == (4, 4)
 
 
+def test_apng_roundtrip():
+    w, h = 7, 5
+    frames = [bytes((11 * f + 3 * j) % 256 for j in range(w * h))
+              for f in range(4)]
+    data = apng_encode(w, h, frames, channels=1, delay_num=1, delay_den=10)
+    gw, gh, gch, got, delay = apng_decode(data)
+    assert (gw, gh, gch) == (w, h, 1)
+    assert got == frames
+    assert delay == pytest.approx(100.0)
+
+
+def test_apng_single_frame_and_plain_png():
+    # 1-frame APNG round-trips; a plain PNG decodes as one frame
+    data = apng_encode(4, 4, [bytes(range(16))])
+    assert apng_decode(data)[3] == [bytes(range(16))]
+    plain = png_encode(4, 4, bytes(range(16)))
+    w, h, ch, frames, delay = apng_decode(plain)
+    assert frames == [bytes(range(16))] and delay == 0.0
+
+
+def test_apng_rejects_offset_frames():
+    import struct
+    import zlib
+
+    from hipipe_spark.sources.media_codec import _PNG_SIG, _chunk
+    ihdr = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    actl = _chunk(b"acTL", struct.pack(">II", 1, 0))
+    # fcTL with a 1-pixel x offset — unsupported subset, must raise
+    fctl = _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 3, 4, 1, 0,
+                                       1, 10, 0, 0))
+    raw = b"".join(b"\x00" + bytes(4) for _ in range(4))
+    idat = _chunk(b"IDAT", zlib.compress(raw))
+    data = _PNG_SIG + ihdr + actl + fctl + idat + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        apng_decode(data)
+
+
 def test_wav_roundtrip():
     samples = [(31 + 17 * t) % 2048 - 1024 for t in range(300)]
     data = wav_encode(samples, rate=8000)
@@ -62,7 +100,8 @@ def test_decode_features_end_to_end(spark):
     generator's arithmetic (the same invariant the driver oracle
     checks at the gate)."""
     from hipipe_spark.sources.multimodal import (
-        AUDIO_RATE, _audio_n, _img_dims, decode_features, gen_real_media)
+        AUDIO_RATE, _audio_n, _img_dims, _video_dims, decode_features,
+        gen_real_media)
 
     n = 24
     feats = {r["media_id"]: r
@@ -87,9 +126,15 @@ def test_decode_features_end_to_end(spark):
                             for t in range(ns)) / ns) ** 0.5
             assert r["mean_val"] == pytest.approx(want_rms)
         else:
-            assert r["duration_ms"] == 1000 + i % 60000
-            assert r["n_frames"] == r["duration_ms"] // 5000
-            assert r["width"] is None and r["mean_val"] is None
+            w, h, nf = _video_dims(i)
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+            assert r["n_frames"] == nf
+            assert r["duration_ms"] == nf * 100
+            sampled = list(range(0, nf, 2))
+            want_mean = sum((i * 7 + 11 * f + 3 * j) % 256
+                            for f in sampled
+                            for j in range(w * h)) / (len(sampled) * w * h)
+            assert r["mean_val"] == pytest.approx(want_mean)
 
 
 def test_extract_features_stdlib_route(spark):
