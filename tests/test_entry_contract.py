@@ -50,7 +50,7 @@ def test_every_query_has_oracle_or_is_disclosed():
     import sys
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as E
-    rows_only = {"approx_stats", "bpe_merges", "embedding_ivf_topk",
+    rows_only = {"bpe_merges", "embedding_ivf_topk",
                  "embedding_pca", "media_features"}
     q, o = set(E.queries()), set(E.oracle_sql())
     assert q - o == rows_only, (
