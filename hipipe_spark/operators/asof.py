@@ -413,6 +413,13 @@ def _asof_union_nearest(left, right, on, by, exact, tol, value_cols, suffix):
     return out.select(*[F.col(c) for c in lcols], *proj)
 
 
+# one cogroup (left rows + right rows for a key set) must fit a python
+# worker; refuse loudly past this rather than OOM an executor (the
+# salted_join / kendall_tau refuse-fast policy). ~100 bytes/row -> the
+# default is ~2 GB of pandas frames.
+MAX_COGROUP_ROWS = 20_000_000
+
+
 def _asof_cogroup(left, right, on, by, direction, exact, tol, value_cols, suffix):
     lcols = left.columns
     out_fields = [left.schema[c] for c in lcols]
@@ -426,6 +433,13 @@ def _asof_cogroup(left, right, on, by, direction, exact, tol, value_cols, suffix
     rename = {c: f"{c}{suffix}" for c in value_cols}
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) + len(rpdf) > MAX_COGROUP_ROWS:
+            key = lpdf[list(by)].iloc[0].tolist() if len(lpdf) else "?"
+            raise ValueError(
+                f"asof cogroup for key {key} holds "
+                f"{len(lpdf)}+{len(rpdf)} rows > MAX_COGROUP_ROWS "
+                f"({MAX_COGROUP_ROWS}); use strategy='union' or "
+                "'bucketed' for monster keys")
         lpdf = lpdf.sort_values(on, kind="mergesort")
         if rpdf.empty:
             for c in value_cols:

@@ -139,3 +139,15 @@ def test_multi_table_asof(spark, transcripts, profiles, strategy):
     _compare(out.withColumnsRenamed({"model_m": "model",
                                      "temperature_t": "temperature"}),
              merged)
+
+
+def test_cogroup_monster_key_refuses(spark, transcripts, profiles,
+                                     monkeypatch):
+    """A cogroup whose key exceeds MAX_COGROUP_ROWS must raise the
+    documented refuse-fast error, not OOM a worker."""
+    from hipipe_spark.operators import asof as asof_mod
+    monkeypatch.setattr(asof_mod, "MAX_COGROUP_ROWS", 3)
+    left = transcripts.select("conv_id", "turn_idx", "ts")
+    out = asof_join(left, profiles, strategy="cogroup")
+    with pytest.raises(Exception, match="MAX_COGROUP_ROWS"):
+        out.collect()
