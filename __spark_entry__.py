@@ -3446,6 +3446,60 @@ def q_lorenz(spark, sf_dir):
     return lorenz_curve(e, "event_type", "value", max_points=50)
 
 
+def q_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram self-perplexity (retrieval.py
+    kneser_ney_perplexity, d=0.75): the KenLM smoothing — discounted
+    bigram MLE interpolated with the continuation probability
+    (distinct-context counts), one persisted count table, three
+    equi-joins. Oracle replicates the count tables and the identical
+    IEEE probability expression in DuckDB CTEs."""
+    from hipipe_spark.operators.retrieval import kneser_ney_perplexity
+    d = _docs(spark, sf_dir)
+    out = kneser_ney_perplexity(d, "doc_id", "text", discount=0.75)
+    return out.select("id", "n_events",
+                      F.round("logprob", 5).alias("logprob"),
+                      F.round("ppl", 4).alias("ppl"))
+
+
+def q_changepoint(spark, sf_dir):
+    """Single best L2 change point per event_type over the daily
+    event-count series (stats.py changepoint_l2, min_seg=3): prefix-
+    sum SSE decomposition, one ordered window + one argmin window —
+    no candidate cross join. Integer-valued series make the running
+    sums exact in doubles, so the argmin is engine-exact."""
+    from hipipe_spark.operators.stats import changepoint_l2
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = (e.groupBy("event_type",
+                   F.to_date("ts").cast("string").alias("day"))
+         .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return changepoint_l2(s, "event_type", "day", "x", min_seg=3)
+
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user error
+    rates (stats.py eb_shrinkage): method-of-moments beta prior over
+    the observed rate distribution, per-group shrinkage toward the
+    prior mean — the 1/1=100% leaderboard-noise fix. One fact-table
+    groupBy + dimension-frame moments (rounded handoffs)."""
+    from hipipe_spark.operators.stats import eb_shrinkage
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eb_shrinkage(e, "user_id",
+                        (F.col("event_type") == "error"), min_n=5)
+
+
+def q_conformal(spark, sf_dir):
+    """Mondrian split-conformal intervals per event_type over event
+    values (evaluation.py conformal_intervals, alpha=0.1, seed=7):
+    deterministic hash split, per-group mean predictor, finite-sample
+    ⌈(n+1)(1−α)⌉ calibration quantile via rank selection, realized
+    test coverage. The rank-selected q is a data value, so residual
+    ties cannot make the result engine-dependent."""
+    from hipipe_spark.operators.evaluation import conformal_intervals
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conformal_intervals(e, "event_type", "value", "event_id",
+                               alpha=0.1, seed=7)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3544,6 +3598,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness": q_freshness,
         "group_znorm": q_group_znorm,
         "turn_similarity": q_turn_similarity,
+        # round-4 NEW operators (never-checked by construction): take
+        # the last four window slots; the four displaced entries
+        # (feature_corr, impute, walk_forward, distinctive_terms)
+        # rejoin the r5 rotation pool right below
+        "kn_ppl": q_kn_ppl,
+        "changepoint": q_changepoint,
+        "eb_shrinkage": q_eb_shrinkage,
+        "conformal": q_conformal,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -4668,6 +4730,128 @@ def oracle_sql() -> dict[str, str]:
              round(AVG(lnp), 5) AS logprob,
              round(exp(-AVG(lnp)), 4) AS ppl
       FROM sc GROUP BY id
+    """
+    d["kn_ppl"] = f"""
+      WITH d AS (SELECT doc_id AS id, {_det_tokens_sql('text')} AS toks
+                 FROM documents),
+      ev AS (SELECT id,
+                    unnest(list_prepend(chr(2), toks)) AS ctx,
+                    unnest(list_append(toks, chr(3))) AS nxt
+             FROM d),
+      big AS (SELECT ctx, nxt, COUNT(*) AS cb FROM ev GROUP BY ctx, nxt),
+      cx AS (SELECT ctx, CAST(SUM(cb) AS DOUBLE) AS cc,
+                    CAST(COUNT(*) AS DOUBLE) AS n1c
+             FROM big GROUP BY ctx),
+      co AS (SELECT nxt, CAST(COUNT(*) AS DOUBLE) AS n1l
+             FROM big GROUP BY nxt),
+      bt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bb FROM big),
+      sc AS (SELECT e.id,
+                    ln((greatest(CAST(b.cb AS DOUBLE) - 0.75, 0.0)
+                        + 0.75 * c.n1c * (o.n1l / bt.bb)) / c.cc) AS lnp
+             FROM ev e
+             JOIN big b ON e.ctx = b.ctx AND e.nxt = b.nxt
+             JOIN cx c ON e.ctx = c.ctx
+             JOIN co o ON e.nxt = o.nxt
+             CROSS JOIN bt)
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             round(AVG(lnp), 5) AS logprob,
+             round(exp(-AVG(lnp)), 4) AS ppl
+      FROM sc GROUP BY id
+    """
+    d["changepoint"] = """
+      WITH s AS (SELECT event_type,
+                        CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                        CAST(COUNT(*) AS DOUBLE) AS x
+                 FROM events GROUP BY event_type,
+                                      CAST(CAST(ts AS DATE) AS VARCHAR)),
+      w AS (SELECT event_type, day, x,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                AS i,
+              SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS s,
+              SUM(x*x) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS s2,
+              COUNT(*) OVER (PARTITION BY event_type) AS n,
+              SUM(x) OVER (PARTITION BY event_type) AS st,
+              SUM(x*x) OVER (PARTITION BY event_type) AS s2t
+            FROM s),
+      c AS (SELECT *,
+              (s2 - s*s/CAST(i AS DOUBLE))
+              + ((s2t - s2) - (st - s)*(st - s)
+                 / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS sse
+            FROM w WHERE i >= 3 AND i <= n - 3),
+      b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY sse ASC, i ASC) AS r FROM c)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(i AS BIGINT) AS cp_idx, day AS cp_order,
+             round(s2t - st*st/CAST(n AS DOUBLE), 6) AS sse_total,
+             round(sse, 6) AS sse_split,
+             round(s2t - st*st/CAST(n AS DOUBLE) - sse, 6) AS gain
+      FROM b WHERE r = 1
+      UNION ALL
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS cp_idx, CAST(NULL AS VARCHAR) AS cp_order,
+             CAST(NULL AS DOUBLE) AS sse_total,
+             CAST(NULL AS DOUBLE) AS sse_split,
+             CAST(NULL AS DOUBLE) AS gain
+      FROM s GROUP BY event_type HAVING COUNT(*) < 6
+    """
+    d["eb_shrinkage"] = """
+      WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN event_type = 'error'
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS k
+                 FROM events GROUP BY user_id),
+      r AS (SELECT *, CAST(k AS DOUBLE) / n AS rate FROM g),
+      p AS (SELECT *,
+              round(AVG(CASE WHEN n >= 5 THEN rate END) OVER (), 9) AS m,
+              round(VAR_SAMP(CASE WHEN n >= 5 THEN rate END) OVER (), 9)
+                AS v
+            FROM r),
+      q AS (SELECT *, round(greatest(m * (1 - m) / v - 1, 0), 9) AS kp
+            FROM p)
+      SELECT user_id, n, k, round(rate, 6) AS rate, m AS prior_m,
+             CASE WHEN v IS NOT NULL AND v > 0 THEN kp END AS prior_k,
+             round(CASE WHEN v IS NOT NULL AND v > 0
+                        THEN (k + m * kp) / (n + kp)
+                        ELSE rate END, 6) AS shrunk
+      FROM q
+    """
+    _ch7 = det_hash01_sql('event_id', 7)
+    d["conformal"] = f"""
+      WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS y,
+                   CASE WHEN {_ch7} < 0.5 THEN 'train'
+                        WHEN {_ch7} < 0.75 THEN 'cal'
+                        ELSE 'test' END AS split
+                 FROM events),
+      f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+                   round(AVG(y), 6) AS yhat
+            FROM b WHERE split = 'train' GROUP BY event_type),
+      c AS (SELECT b.event_type, round(abs(b.y - f.yhat), 9) AS r
+            FROM b JOIN f USING (event_type) WHERE split = 'cal'),
+      cr AS (SELECT event_type, r,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS ncal
+             FROM c),
+      q AS (SELECT event_type, r AS q_conf FROM cr
+            WHERE rn = CAST(ceil((ncal + 1) * 0.9) AS BIGINT)),
+      na AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal
+             FROM c GROUP BY event_type),
+      t AS (SELECT b.event_type, b.y, f.yhat
+            FROM b JOIN f USING (event_type) WHERE split = 'test'),
+      cov AS (SELECT t.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                round(AVG(CASE WHEN q.q_conf IS NOT NULL THEN
+                  CASE WHEN round(abs(t.y - t.yhat), 9) <= q.q_conf
+                       THEN 1.0 ELSE 0.0 END END), 6) AS coverage
+              FROM t LEFT JOIN q ON t.event_type = q.event_type
+              GROUP BY t.event_type)
+      SELECT f.event_type, f.n_train,
+             COALESCE(na.n_cal, 0) AS n_cal,
+             COALESCE(cov.n_test, 0) AS n_test,
+             f.yhat, q.q_conf, cov.coverage
+      FROM f LEFT JOIN na USING (event_type)
+             LEFT JOIN q ON f.event_type = q.event_type
+             LEFT JOIN cov ON f.event_type = cov.event_type
     """
     d["freshness"] = """
       WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -672,3 +672,86 @@ def classifier_summary(df: DataFrame, label: str,
         F.round(F.col("macro_f1_raw"), 6).alias("macro_f1"),
         F.round(F.col("weighted_f1_raw"), 6).alias("weighted_f1"),
         F.round(mcc, 6).alias("mcc"))
+
+
+def conformal_intervals(df: DataFrame, group: str, value: str,
+                        key: str, alpha: float = 0.1,
+                        seed: int = 0) -> DataFrame:
+    """Mondrian split-conformal prediction intervals per group (Vovk
+    et al. 2005; Lei et al. 2018): the distribution-free way to turn
+    ANY point predictor into calibrated intervals. The data is split
+    deterministically by key hash into train (fit the predictor —
+    here the per-group mean), calibration (collect absolute
+    residuals), and test; the half-width is the finite-sample
+    quantile::
+
+        q = the ⌈(n_cal + 1)(1 − α)⌉-th smallest calibration residual
+
+    which guarantees ≥ 1−α marginal coverage on exchangeable data.
+    Per group ("Mondrian" conditioning) so heteroscedastic groups get
+    their own widths. Output per group: ``(group, n_train, n_cal,
+    n_test, yhat, q_conf, coverage)`` where ``coverage`` is the
+    realized fraction of test rows inside ``yhat ± q_conf`` —
+    on exchangeable data it concentrates near 1−α. Groups whose
+    calibration set is too small for the rank (⌈(n+1)(1−α)⌉ > n) emit
+    null ``q_conf``/``coverage`` (the honest "interval is the whole
+    line" case).
+
+    Scale shape: the split is a pure hash expression on the scan; the
+    predictor and the calibration quantile are ONE groupBy + one
+    per-group ordered window over the calibration slice only; the
+    coverage check is a broadcast join of the group-dimension
+    (yhat, q) table against the test slice. Residual ties make the
+    rank-selected q value unique, so the result is engine-exact
+    without any float-order sensitivity beyond the rounded-handoff
+    yhat (module design rules in operators/stats.py).
+    """
+    from hipipe_spark.functions.hashing import det_hash01
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    u = det_hash01(F.col(key), seed)
+    base = df.select(
+        F.col(group), F.col(value).cast("double").alias("__y"),
+        F.when(u < 0.5, F.lit("train"))
+         .when(u < 0.75, F.lit("cal"))
+         .otherwise(F.lit("test")).alias("__split"))
+    fit = (base.where(F.col("__split") == "train")
+           .groupBy(group)
+           .agg(F.count(F.lit(1)).alias("n_train"),
+                F.round(F.avg("__y"), 6).alias("yhat")))
+    cal = (base.where(F.col("__split") == "cal")
+           .join(F.broadcast(fit), group)
+           .withColumn("__r", F.round(F.abs(F.col("__y")
+                                            - F.col("yhat")), 9)))
+    wq = Window.partitionBy(group).orderBy(F.col("__r").asc())
+    wn = Window.partitionBy(group)
+    rank_needed = F.ceil((F.col("__ncal") + 1) * F.lit(1.0 - alpha))
+    qtab = (cal.withColumn("__ncal", F.count(F.lit(1)).over(wn))
+            .withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") == rank_needed)
+            .select(F.col(group), F.col("__ncal").alias("n_cal"),
+                    F.col("__r").alias("q_conf")))
+    # groups where the rank exceeds n_cal (tiny calibration sets) keep
+    # a row with null q via left join below
+    ncal_all = (cal.groupBy(group)
+                .agg(F.count(F.lit(1)).alias("n_cal")))
+    test = (base.where(F.col("__split") == "test")
+            .join(F.broadcast(fit.select(group, "yhat")), group))
+    cov = (test.join(F.broadcast(qtab.select(group, "q_conf")),
+                     group, "left")
+           .groupBy(group)
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.round(F.avg(
+                    F.when(F.col("q_conf").isNotNull(),
+                           (F.round(F.abs(F.col("__y") - F.col("yhat")), 9)
+                            <= F.col("q_conf")).cast("double"))), 6)
+                 .alias("coverage")))
+    return (fit
+            .join(ncal_all, group, "left")
+            .join(qtab.select(group, "q_conf"), group, "left")
+            .join(cov, group, "left")
+            .select(group, "n_train",
+                    F.coalesce("n_cal", F.lit(0)).alias("n_cal"),
+                    F.coalesce("n_test", F.lit(0)).alias("n_test"),
+                    "yhat", "q_conf", "coverage"))

@@ -88,10 +88,35 @@ def dsir_weights(
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias(name)))
 
+    # ONE raw-corpus scan: tokenize+explode+hash is the dominant cost,
+    # and both the raw multinomial and the per-doc score are functions
+    # of the per-(doc, bucket) occurrence counts — pre-aggregate those
+    # once, persist, and derive both sides from the persisted table.
+    # Size is bounded by n_docs x min(doc_features, n_buckets) rows of
+    # (key, int8) — far below the exploded feature stream; MEMORY_AND_
+    # DISK persist spills gracefully at 100-TB corpus scale. The score
+    # rewrite sum_f logratio(f) == sum_bucket cnt * logratio(bucket) is
+    # exact, so the DuckDB oracle is unchanged.
+    doc_bucket = (raw.select(
+                      F.col(id_col).alias("doc_id"),
+                      F.explode_outer(_features(F.col(text_col), ngmax))
+                       .alias("feature"))
+                  .select("doc_id",
+                          F.when(F.col("feature").isNotNull(),
+                                 _bucket(F.col("feature"), n_buckets,
+                                         hash_family)).alias("bucket"))
+                  # count("bucket") ignores the null marker row an empty
+                  # doc contributes via explode_outer -> cnt 0 for it
+                  .groupBy("doc_id", "bucket")
+                  .agg(F.count("bucket").alias("cnt"))
+                  .persist())
+    raw_counts = (doc_bucket.groupBy("bucket")
+                  .agg(F.sum("cnt").alias("c_r")))
+
     grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     dist = (grid
             .join(F.broadcast(corpus_counts(target, "c_t")), "bucket", "left")
-            .join(F.broadcast(corpus_counts(raw, "c_r")), "bucket", "left")
+            .join(F.broadcast(raw_counts), "bucket", "left")
             .select("bucket",
                     F.coalesce("c_t", F.lit(0)).alias("c_t"),
                     F.coalesce("c_r", F.lit(0)).alias("c_r")))
@@ -106,20 +131,15 @@ def dsir_weights(
          - F.log((F.col("c_r") + s) / (F.sum("c_r").over(w) + s * n_buckets))
          ).alias("logratio")))
 
-    feats = (raw.select(
-                F.col(id_col).alias("doc_id"),
-                F.explode_outer(_features(F.col(text_col), ngmax))
-                 .alias("feature"))
-             .select("doc_id",
-                     F.when(F.col("feature").isNotNull(),
-                            _bucket(F.col("feature"), n_buckets,
-                                    hash_family)).alias("bucket")))
-    return (feats
-            .join(F.broadcast(logratio), "bucket", "left")
-            .groupBy("doc_id")
-            .agg(F.count("bucket").alias("n_features"),
-                 F.round(F.coalesce(F.sum("logratio"), F.lit(0.0)), 6)
-                  .alias("dsir_logweight")))
+    from hipipe_spark.operators.core import register_cached
+    out = (doc_bucket
+           .join(F.broadcast(logratio), "bucket", "left")
+           .groupBy("doc_id")
+           .agg(F.sum("cnt").alias("n_features"),
+                F.round(F.coalesce(F.sum(F.col("cnt") * F.col("logratio")),
+                                   F.lit(0.0)), 6)
+                 .alias("dsir_logweight")))
+    return register_cached(out, doc_bucket)
 
 
 def gumbel_topk(
@@ -146,9 +166,13 @@ def gumbel_topk(
     scored = df.withColumn(
         "gumbel_score",
         F.round(F.col(logweight_col) / F.lit(float(temperature)) + g, 6))
-    return (scored
-            .orderBy(F.col("gumbel_score").desc(), F.col(key_col).asc())
-            .limit(k))
+    out = (scored
+           .orderBy(F.col("gumbel_score").desc(), F.col(key_col).asc())
+           .limit(k))
+    # propagate any persisted intermediates (dsir_weights' doc_bucket)
+    # so release_cached on the top-k result frees them too
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, *getattr(df, "_hipipe_cached", ()))
 
 
 def dsir_weights_oracle_sql(

@@ -846,3 +846,131 @@ def lorenz_curve(df: DataFrame, group: str, value: str,
                     F.round(F.col("__cum") / F.col("__tot"), 6)
                      .alias("mass_share"))
             .orderBy(group, "pop_share"))
+
+
+def changepoint_l2(df: DataFrame, group: str, order: str, value: str,
+                   min_seg: int = 2) -> DataFrame:
+    """Single best L2 change-point per group series — binary
+    segmentation depth 1 (the building block of Scott-Knott / PELT
+    with an L2 cost, Killick et al. 2012): for every split position
+    ``t`` the cost is ``SSE_left(1..t) + SSE_right(t+1..n)``; the
+    change point is the argmin. ``gain = SST_total − min SSE`` is the
+    variance explained by allowing one level shift — rank groups by
+    it to find the series that actually broke.
+
+    Both segment SSEs are pure prefix-sum arithmetic::
+
+        SSE(1..t)   = S2_t − S_t²/t
+        SSE(t+1..n) = (S2_n − S2_t) − (S_n − S_t)²/(n−t)
+
+    so the whole scan is ONE ordered window per group (row_number +
+    two running sums) + one argmin window — no cross join of split
+    candidates, no per-row Python. Deterministic across engines when
+    ``value`` is integer-valued (running sums are then exact in
+    doubles and the IEEE expression tree is identical in the SQL
+    oracle); ties on SSE break to the earliest split. ``min_seg``
+    keeps degenerate 1-point segments from winning on noise.
+
+    Output per group: ``(group, n, cp_idx, cp_order, sse_total,
+    sse_split, gain)`` where ``cp_idx`` is the 1-based size of the
+    left segment and ``cp_order`` the order-column value of its last
+    row. Groups shorter than ``2*min_seg`` emit null cp columns.
+    """
+    if min_seg < 1:
+        raise ValueError("min_seg must be >= 1")
+    v = F.col(value).cast("double")
+    w = Window.partitionBy(group).orderBy(F.col(order).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(group)
+    base = (df.select(F.col(group), F.col(order), v.alias("__v"))
+            .withColumn("__i", F.row_number().over(w))
+            .withColumn("__s", F.sum("__v").over(wc))
+            .withColumn("__s2", F.sum(F.col("__v") * F.col("__v")).over(wc))
+            .withColumn("__n", F.count("*").over(wall))
+            .withColumn("__st", F.sum("__v").over(wall))
+            .withColumn("__s2t", F.sum(F.col("__v") * F.col("__v"))
+                                  .over(wall)))
+    i, n = F.col("__i").cast("double"), F.col("__n").cast("double")
+    sse_l = F.col("__s2") - F.col("__s") * F.col("__s") / i
+    sse_r = ((F.col("__s2t") - F.col("__s2"))
+             - (F.col("__st") - F.col("__s"))
+             * (F.col("__st") - F.col("__s")) / (n - i))
+    cand = (base.where((F.col("__i") >= min_seg)
+                       & (F.col("__i") <= F.col("__n") - min_seg))
+            .withColumn("__sse", sse_l + sse_r))
+    pick = Window.partitionBy(group).orderBy(
+        F.col("__sse").asc(), F.col("__i").asc())
+    best = (cand.withColumn("__r", F.row_number().over(pick))
+            .where(F.col("__r") == 1)
+            .select(F.col(group),
+                    F.col("__n").alias("n"),
+                    F.col("__i").cast("long").alias("cp_idx"),
+                    F.col(order).alias("cp_order"),
+                    F.round(F.col("__s2t")
+                            - F.col("__st") * F.col("__st") / n, 6)
+                     .alias("sse_total"),
+                    F.round("__sse", 6).alias("sse_split"),
+                    F.round(F.col("__s2t")
+                            - F.col("__st") * F.col("__st") / n
+                            - F.col("__sse"), 6).alias("gain")))
+    # groups too short for any admissible split still report length
+    short = (df.groupBy(group)
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") < 2 * min_seg)
+             .select(F.col(group), F.col("n"),
+                     F.lit(None).cast("long").alias("cp_idx"),
+                     F.lit(None).cast(df.schema[order].dataType)
+                      .alias("cp_order"),
+                     F.lit(None).cast("double").alias("sse_total"),
+                     F.lit(None).cast("double").alias("sse_split"),
+                     F.lit(None).cast("double").alias("gain")))
+    return best.unionByName(short)
+
+
+def eb_shrinkage(df: DataFrame, group: str, flag,
+                 min_n: int = 1, round_to: int = 6) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-group rates —
+    the standard fix for "this tool failed 1/1 times = 100% error
+    rate" leaderboard noise (Robinson 2016, *Introduction to
+    Empirical Bayes*): fit a beta prior to the observed rate
+    distribution by method of moments, then shrink every group toward
+    the prior mean proportionally to its evidence::
+
+        m = mean(rate_g),  v = var(rate_g)          (groups, n ≥ min_n)
+        K = m(1−m)/v − 1   (prior pseudo-count α+β, clamped ≥ 0)
+        shrunk_g = (k_g + m·K) / (n_g + K)
+
+    ``flag`` is a 0/1 Column (or column name) marking successes.
+    Small-n groups collapse to ``m``; big groups keep their MLE. If
+    the rate variance is 0/undefined (≤1 eligible group or identical
+    rates) shrinkage degrades to the raw rate.
+
+    One map-side-combinable groupBy over the fact table, then the
+    prior moments over the GROUP-dimension frame (an unpartitioned
+    window over thousands of rows at most — the documented
+    dimension-frame exception), then pure arithmetic. The prior is
+    rounded before reuse (module docstring: rounded handoffs).
+    Output: ``(group, n, k, rate, prior_m, prior_k, shrunk)``.
+    """
+    fl = F.col(flag) if isinstance(flag, str) else flag
+    g = (df.groupBy(group)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(fl.cast("long")).alias("k"))
+         .withColumn("rate", F.col("k").cast("double") / F.col("n")))
+    wall = Window.partitionBy()
+    elig = F.when(F.col("n") >= min_n, F.col("rate"))
+    pri = (g.withColumn("__m", F.round(F.avg(elig).over(wall), 9))
+           .withColumn("__v", F.round(F.var_samp(elig).over(wall), 9)))
+    k_prior = F.round(
+        F.greatest(F.col("__m") * (1.0 - F.col("__m")) / F.col("__v")
+                   - 1.0, F.lit(0.0)), 9)
+    shrunk = F.when(
+        F.col("__v").isNotNull() & (F.col("__v") > 0),
+        (F.col("k") + F.col("__m") * k_prior)
+        / (F.col("n") + k_prior)).otherwise(F.col("rate"))
+    return pri.select(
+        F.col(group), "n", "k", F.round("rate", round_to).alias("rate"),
+        F.col("__m").alias("prior_m"),
+        F.when(F.col("__v").isNotNull() & (F.col("__v") > 0), k_prior)
+         .alias("prior_k"),
+        F.round(shrunk, round_to).alias("shrunk"))

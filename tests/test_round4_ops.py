@@ -1,0 +1,181 @@
+"""Round-4 continuation operators: Kneser-Ney perplexity, L2
+changepoint, empirical-Bayes shrinkage, split-conformal intervals."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hipipe_spark.operators.evaluation import conformal_intervals
+from hipipe_spark.operators.retrieval import kneser_ney_perplexity
+from hipipe_spark.operators.stats import changepoint_l2, eb_shrinkage
+
+
+# ------------------------------------------------------ Kneser-Ney LM
+def test_kn_self_fit_manual(spark):
+    # corpus: "a b", "a b", "a c" -> chains BOS a b EOS etc.
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           kneser_ney_perplexity(docs, discount=0.5).collect()}
+    # count tables over the BOS-chain events:
+    # big: (BOS,a):3 (a,b):2 (a,c):1 (b,EOS):2 (c,EOS):1  -> B=5 types
+    # cc:  BOS:3 a:3 b:2 c:1 ; n1+(ctx): BOS:1 a:2 b:1 c:1
+    # n1+(*,w): a:1 b:1 c:1 EOS:2
+    d, B = 0.5, 5.0
+    def p(cb, cc, n1c, n1l):
+        return (max(cb - d, 0.0) + d * n1c * (n1l / B)) / cc
+    lp1 = (math.log(p(3, 3, 1, 1)) + math.log(p(2, 3, 2, 1))
+           + math.log(p(2, 2, 1, 2))) / 3
+    assert out[1]["n_events"] == 3
+    assert out[1]["logprob"] == pytest.approx(lp1, rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(math.exp(-lp1), rel=1e-12)
+    # doc 3's "a c" path is rarer -> higher perplexity than doc 1
+    assert out[3]["ppl"] > out[1]["ppl"]
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    # interpolated KN must be a proper distribution: for a fixed seen
+    # context, sum_w P(w|ctx) over the fit VOCABULARY (all nxt types)
+    # equals 1 (discount mass exactly re-distributed).
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x z y"), (3, "y x")], ["doc_id", "text"])
+    # rebuild the tables in python via the same event chain
+    chains = [["\x02", "x", "y", "z", "\x03"],
+              ["\x02", "x", "z", "y", "\x03"],
+              ["\x02", "y", "x", "\x03"]]
+    big: dict[tuple, int] = {}
+    for ch in chains:
+        for a, b in zip(ch, ch[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    B = len(big)
+    cc = {}
+    n1c = {}
+    n1l = {}
+    for (a, b), c in big.items():
+        cc[a] = cc.get(a, 0) + c
+        n1c[a] = n1c.get(a, 0) + 1
+        n1l[b] = n1l.get(b, 0) + 1
+    d = 0.75
+    vocab = sorted(n1l)
+    for ctx in cc:
+        tot = sum((max(big.get((ctx, w), 0) - d, 0.0)
+                   + d * n1c[ctx] * (n1l[w] / B)) / cc[ctx]
+                  for w in vocab)
+        assert tot == pytest.approx(1.0, abs=1e-12)
+    # and the Spark scorer agrees with the python replica on doc 1
+    out = {r["id"]: r for r in
+           kneser_ney_perplexity(docs, discount=0.75).collect()}
+    ch = chains[0]
+    lp = sum(math.log((max(big[(a, b)] - d, 0.0)
+                       + d * n1c[a] * (n1l[b] / B)) / cc[a])
+             for a, b in zip(ch, ch[1:])) / (len(ch) - 1)
+    assert out[1]["logprob"] == pytest.approx(lp, rel=1e-12)
+
+
+def test_kn_empty_doc_and_heldout_backoff(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "")],
+                                 ["doc_id", "text"])
+    out = {r["id"]: r for r in
+           kneser_ney_perplexity(docs).collect()}
+    # empty text still scores the single BOS->EOS event
+    assert out[2]["n_events"] == 1
+    # held-out doc with an unseen CONTEXT backs off to continuation
+    fit = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    score = spark.createDataFrame([(9, "q b")], ["doc_id", "text"])
+    row = kneser_ney_perplexity(score, fit_docs=fit).collect()[0]
+    # events: (BOS,q) unseen nxt -> p=0 -> null lnp skipped;
+    # (q,b) unseen ctx -> p_cont(b)=1/3; (b,EOS) seen
+    assert row["n_events"] == 3
+    assert row["logprob"] is not None
+
+
+# ------------------------------------------------------- changepoint
+def test_changepoint_finds_level_shift(spark):
+    rows = [("a", i, 10.0 if i <= 20 else 25.0) for i in range(1, 41)]
+    rows += [("b", i, 5.0) for i in range(1, 11)]       # flat: gain 0
+    rows += [("c", i, float(i)) for i in range(1, 4)]   # too short
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    out = {r["g"]: r for r in
+           changepoint_l2(df, "g", "t", "x", min_seg=2).collect()}
+    assert out["a"]["cp_idx"] == 20 and out["a"]["cp_order"] == 20
+    assert out["a"]["sse_split"] == pytest.approx(0.0, abs=1e-6)
+    assert out["a"]["gain"] == pytest.approx(out["a"]["sse_total"])
+    assert out["b"]["gain"] == pytest.approx(0.0, abs=1e-6)
+    # earliest-split tie-break on the flat series
+    assert out["b"]["cp_idx"] == 2
+    assert out["c"]["cp_idx"] is None and out["c"]["n"] == 3
+
+
+def test_changepoint_min_seg_validation(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)], ["g", "t", "x"])
+    with pytest.raises(ValueError):
+        changepoint_l2(df, "g", "t", "x", min_seg=0)
+
+
+# ------------------------------------------------------ EB shrinkage
+def test_eb_shrinkage_pulls_small_groups(spark):
+    rows = []
+    # 20 well-observed groups at rate ~0.2 (100 trials each)
+    for g in range(20):
+        k = 15 + (g % 10)  # rates 0.15..0.24
+        rows += [(g, 1)] * k + [(g, 0)] * (100 - k)
+    rows += [(99, 1)]  # the 1/1 = 100% offender
+    df = spark.createDataFrame(rows, ["g", "f"])
+    out = {r["g"]: r for r in
+           eb_shrinkage(df, "g", F.col("f") == 1, min_n=5).collect()}
+    loud = out[99]
+    assert loud["rate"] == 1.0
+    # shrunk all the way back toward the ~0.2 prior mean
+    assert loud["shrunk"] < 0.5
+    assert abs(loud["shrunk"] - loud["prior_m"]) < 0.1
+    # big groups move far less than the 1/1 offender
+    big = out[0]
+    assert abs(big["shrunk"] - big["rate"]) < 0.05
+    assert (abs(big["shrunk"] - big["rate"])
+            < 0.2 * abs(loud["shrunk"] - loud["rate"]))
+    # shrinkage is toward the prior mean for every group
+    for r in out.values():
+        if r["prior_k"] is None:
+            continue
+        lo, hi = sorted([r["rate"], r["prior_m"]])
+        assert lo - 1e-6 <= r["shrunk"] <= hi + 1e-6
+
+
+def test_eb_shrinkage_degenerate_variance(spark):
+    # identical rates -> v=0 -> raw rates pass through
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (2, 1), (2, 0)], ["g", "f"])
+    out = eb_shrinkage(df, "g", F.col("f") == 1).collect()
+    for r in out:
+        assert r["shrunk"] == r["rate"] and r["prior_k"] is None
+
+
+# --------------------------------------------------------- conformal
+def test_conformal_coverage_near_alpha(spark):
+    # deterministic pseudo-noise values per key
+    df = (spark.range(4000)
+          .select(F.col("id").alias("k"),
+                  F.lit("g").alias("g"),
+                  (F.pmod(F.col("id") * 2654435761, F.lit(1000))
+                   / 1000.0).alias("y")))
+    row = conformal_intervals(df, "g", "y", "k", alpha=0.1).collect()[0]
+    assert row["n_train"] + row["n_cal"] + row["n_test"] == 4000
+    # uniform noise: q should be near the 90th pct of |y - 0.5| ~ 0.45
+    assert 0.40 < row["q_conf"] < 0.50
+    assert 0.85 < row["coverage"] <= 0.97
+
+
+def test_conformal_tiny_calibration_null_q(spark):
+    # 3 rows: whatever the split, ceil((n_cal+1)*0.9) > n_cal for
+    # n_cal <= 8, so q must be null and coverage null
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(3)], ["g", "k", "y"])
+    row = conformal_intervals(df, "g", "y", "k", alpha=0.1).collect()[0]
+    assert row["q_conf"] is None and row["coverage"] is None
+
+
+def test_conformal_alpha_validation(spark):
+    df = spark.createDataFrame([("g", 1, 1.0)], ["g", "k", "y"])
+    with pytest.raises(ValueError):
+        conformal_intervals(df, "g", "y", "k", alpha=1.5)
