@@ -3500,6 +3500,20 @@ def q_conformal(spark, sf_dir):
                                alpha=0.1, seed=7)
 
 
+def q_compress_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (functions/text.py
+    compression_ratio): DEFLATE is not SQL-expressible, so this is a
+    rows-only driver row (disclosed) — values are pytest-pinned
+    against direct zlib.compress in tests/test_round4_ops.py. The
+    UDF is Arrow-vectorized (one Python call per batch), scan-local,
+    shuffle-free."""
+    from hipipe_spark.functions.text import compression_ratio
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    F.round(compression_ratio(F.col("text")), 6)
+                     .alias("compress_ratio"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3702,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_cogroup": q_asof_cogroup,
         "asof_bucketed": q_asof_bucketed,
         "media_features": q_media_features,
+        "compress_ratio": q_compress_ratio,
         "string_to_bool": q_string_to_bool,
         "base64": q_base64,
         "random_fill": q_random_fill,

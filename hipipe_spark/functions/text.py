@@ -322,3 +322,51 @@ def dialogue_flags(col: Column) -> dict[str, Column]:
         "ends_clean": (t.endswith(".") | t.endswith("!")
                        | t.endswith("?")).cast("int"),
     }
+
+
+def compression_ratio(col: Column, level: int = 6) -> Column:
+    """zlib-compressed-size / raw-size of the UTF-8 text — the
+    Gopher/RefinedWeb-style redundancy signal (Rae et al. 2021 use the
+    dual: highly compressible documents are repetitive boilerplate;
+    nearly incompressible ones are noise/binary junk; natural prose
+    sits in a mid band, typically ~0.3-0.6). Complements the exact
+    n-gram repetition fractions above: compression catches long-range
+    and approximate repetition that fixed-n counting misses.
+
+    DEFLATE is not expressible in SQL, so unlike everything else in
+    this module the implementation is an Arrow-vectorized
+    ``pandas_udf`` (one Python call per BATCH, stdlib zlib in a tight
+    loop — never per-row Spark-side) and the driver check for query
+    registrations is rows-only; tests/test_round4_ops.py pins values
+    against direct ``zlib.compress`` calls. Null/empty text -> null.
+
+    Scale shape: a scan-local map — no shuffle, no state; at 100 TB it
+    pipelines inside whatever stage scans the corpus. zlib level 6 is
+    the cost/ratio knee (level 1 underestimates redundancy; 9 is ~2x
+    slower for <1% ratio change).
+    """
+    # local import keeps module import light; the hint must be built
+    # non-stringified (this module uses `from __future__ import
+    # annotations`) so pyspark's signature inference sees pd.Series —
+    # hence the explicit __annotations__ assignment.
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    lv = int(level)
+
+    def _ratio_batch(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8", errors="replace")
+            if not b:
+                return None
+            return len(zlib.compress(b, lv)) / len(b)
+
+        return s.map(one)
+
+    _ratio_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio_batch, "double")(col)

@@ -179,3 +179,28 @@ def test_conformal_alpha_validation(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], ["g", "k", "y"])
     with pytest.raises(ValueError):
         conformal_intervals(df, "g", "y", "k", alpha=1.5)
+
+
+# -------------------------------------------------- compression ratio
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from hipipe_spark.functions.text import compression_ratio
+
+    texts = ["hello world " * 50,           # highly repetitive
+             "the quick brown fox jumps over the lazy dog",
+             "abc", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    out = {r["i"]: r["cr"] for r in
+           df.select("i", compression_ratio(F.col("t")).alias("cr"))
+             .collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert out[i] is None
+        else:
+            b = t.encode()
+            assert out[i] == pytest.approx(
+                len(zlib.compress(b, 6)) / len(b), rel=1e-12)
+    # repetitive text compresses far better than prose
+    assert out[0] < 0.1 < out[1]
