@@ -3514,6 +3514,24 @@ def q_compress_ratio(spark, sf_dir):
                      .alias("compress_ratio"))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph.py hits) over the same user-journey
+    transition graph as q_pagerank: auth separates funnel-sink states
+    from the router states hub surfaces. 8 iterations, two node-keyed
+    join+agg passes each, L2 norms as 12-dp rounded handoffs so the
+    unrolled DuckDB oracle (graph.py hits_oracle_sql) is engine-exact."""
+    from pyspark.sql import Window
+    from hipipe_spark.operators.graph import hits
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (ev.select("event_type",
+                       F.lag("event_type").over(w).alias("prev"))
+               .filter(F.col("prev").isNotNull())
+               .select(F.col("prev").alias("src"),
+                       F.col("event_type").alias("dst")))
+    return hits(edges, n_iter=8, round_to=6).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3620,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "eb_shrinkage": q_eb_shrinkage,
         "conformal": q_conformal,
+        "hits": q_hits,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -5849,6 +5868,14 @@ def oracle_sql() -> dict[str, str]:
       FROM sc GROUP BY id
     """
     from hipipe_spark.operators.graph import pagerank_oracle_sql
+    from hipipe_spark.operators.graph import hits_oracle_sql
+    d["hits"] = hits_oracle_sql(
+        """SELECT prev AS src, event_type AS dst FROM (
+             SELECT event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+             FROM events) WHERE prev IS NOT NULL""",
+        n_iter=8, round_to=6) + " ORDER BY node"
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
              SELECT event_type,

@@ -497,3 +497,134 @@ def assortativity(edges: DataFrame, src: str = "src",
     return agg.select(
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
         F.round(r, 6).alias("r"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list — PageRank's bipartite dual: a node is a good AUTHORITY when
+    good hubs point at it, a good HUB when it points at good
+    authorities. On a user-journey transition graph the two scores
+    separate "states journeys funnel INTO" from "states that route
+    traffic onward" — one number (PageRank) can't make that
+    distinction. Parallel edges are collapsed (classic unweighted
+    HITS).
+
+    Per iteration: ``auth ← Eᵀ·hub`` then ``hub ← E·auth``, each
+    L2-normalized. The norm is a rounded handoff (12 dp) so the two
+    engines' different summation orders cannot compound across
+    iterations — the same design rule as CUPED's θ
+    (operators/stats.py module docstring).
+
+    Scale shape: the deduped edge list is persisted once partitioned
+    by the join side; each iteration is two node-keyed equi-join +
+    aggregate passes plus a 1-row norm broadcast (crossJoin of a
+    single-row aggregate, exactly pagerank's dangling-mass shape);
+    lineage is cut per iteration with ``localCheckpoint`` so the plan
+    stays O(1) per round. Returns ``(node, hub, auth)`` for every
+    node on either edge end.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    state = nodes.select("node", F.lit(1.0).alias("hub"),
+                         F.lit(1.0).alias("auth"))
+    state = state.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        a_raw = (e.join(state.select(F.col("node"), "hub"),
+                        e.src == F.col("node"))
+                 .groupBy("dst").agg(F.sum("hub").alias("a_raw")))
+        a = (nodes.join(a_raw, nodes.node == a_raw.dst, "left")
+             .select("node",
+                     F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")))
+        # checkpoint the raw-score frames: the norm aggregate AND the
+        # normalized projection both read them, and the hub half reads
+        # auth again — uncheckpointed, each reference re-evaluates the
+        # whole join subtree and one iteration costs ~6 passes instead
+        # of 2 (measured 26s -> 9s on the 8-iteration driver query)
+        a = a.localCheckpoint(eager=True)
+        na = a.agg(F.round(F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))),
+                           12).alias("na"))
+        auth = (a.crossJoin(na)  # 1-row broadcast, pagerank's shape
+                .select("node", F.when(F.col("na") > 0,
+                                       F.col("a_raw") / F.col("na"))
+                                 .otherwise(F.lit(0.0)).alias("auth")))
+        h_raw = (e.join(auth.select(F.col("node"), "auth"),
+                        e.dst == F.col("node"))
+                 .groupBy("src").agg(F.sum("auth").alias("h_raw")))
+        h = (nodes.join(h_raw, nodes.node == h_raw.src, "left")
+             .select("node",
+                     F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")))
+        h = h.localCheckpoint(eager=True)
+        nh = h.agg(F.round(F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))),
+                           12).alias("nh"))
+        hub = (h.crossJoin(nh)
+               .select("node", F.when(F.col("nh") > 0,
+                                      F.col("h_raw") / F.col("nh"))
+                                .otherwise(F.lit(0.0)).alias("hub")))
+        state = (hub.join(auth, "node")
+                 .select("node", "hub", "auth"))
+        state = state.localCheckpoint(eager=True)
+    e.unpersist()
+    if round_to is not None:
+        state = state.select("node",
+                             F.round("hub", round_to).alias("hub"),
+                             F.round("auth", round_to).alias("auth"))
+    return state
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replica of :func:`hits` — iterations unrolled into
+    chained MATERIALIZED CTEs (the :func:`pagerank_oracle_sql`
+    technique), norms rounded to 12 dp exactly like the Spark side.
+    ``edges_sql`` must yield columns ``src, dst``."""
+    pre = f"""
+      WITH e0 AS ({edges_sql}),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      s0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nodes)"""
+    steps = []
+    for t in range(1, n_iter + 1):
+        prev = f"s{t-1}"
+        steps.append(f"""
+      , ar{t} AS MATERIALIZED (
+          SELECT n.node, COALESCE(x.a_raw, 0) AS a_raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.hub) AS a_raw
+            FROM e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+          ) x ON x.node = n.node)
+      , an{t} AS (SELECT ROUND(SQRT(SUM(a_raw * a_raw)), 12) AS na FROM ar{t})
+      , a{t} AS MATERIALIZED (
+          SELECT node, CASE WHEN (SELECT na FROM an{t}) > 0
+                            THEN a_raw / (SELECT na FROM an{t})
+                            ELSE 0.0 END AS auth FROM ar{t})
+      , hr{t} AS MATERIALIZED (
+          SELECT n.node, COALESCE(x.h_raw, 0) AS h_raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS node, SUM(a.auth) AS h_raw
+            FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+          ) x ON x.node = n.node)
+      , hn{t} AS (SELECT ROUND(SQRT(SUM(h_raw * h_raw)), 12) AS nh FROM hr{t})
+      , s{t} AS MATERIALIZED (
+          SELECT h.node,
+                 CASE WHEN (SELECT nh FROM hn{t}) > 0
+                      THEN h.h_raw / (SELECT nh FROM hn{t})
+                      ELSE 0.0 END AS hub,
+                 a.auth
+          FROM hr{t} h JOIN a{t} a ON a.node = h.node)""")
+    return (pre + "".join(steps)
+            + f"\n      SELECT node, ROUND(hub, {round_to}) AS hub,"
+              f" ROUND(auth, {round_to}) AS auth FROM s{n_iter}")

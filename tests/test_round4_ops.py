@@ -204,3 +204,49 @@ def test_compression_ratio_matches_zlib(spark):
                 len(zlib.compress(b, 6)) / len(b), rel=1e-12)
     # repetitive text compresses far better than prose
     assert out[0] < 0.1 < out[1]
+
+
+# -------------------------------------------------------------- HITS
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hipipe_spark.operators.graph import hits
+
+    edges = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"), ("h2", "a1"),
+             ("a1", "h1")]  # one back-edge so hubs get authority too
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in hits(df, n_iter=8).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    hub = np.ones(len(nodes))
+    for _ in range(8):
+        auth = A.T @ hub
+        auth /= round(float(np.sqrt((auth ** 2).sum())), 12)
+        hub = A @ auth
+        hub /= round(float(np.sqrt((hub ** 2).sum())), 12)
+    for n in nodes:
+        assert out[n]["hub"] == pytest.approx(hub[idx[n]], abs=1e-9)
+        assert out[n]["auth"] == pytest.approx(auth[idx[n]], abs=1e-9)
+    # structure: h1 is the dominant hub, a1 the dominant authority
+    assert out["h1"]["hub"] == max(r["hub"] for r in out.values())
+    assert out["a1"]["auth"] == max(r["auth"] for r in out.values())
+
+
+def test_hits_parallel_edges_and_validation(spark):
+    from hipipe_spark.operators.graph import hits
+
+    # duplicated edges must not change the (unweighted) result
+    df1 = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "c")],
+                                ["src", "dst"])
+    df2 = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    r1 = {r["node"]: (r["hub"], r["auth"])
+          for r in hits(df1, n_iter=4, round_to=9).collect()}
+    r2 = {r["node"]: (r["hub"], r["auth"])
+          for r in hits(df2, n_iter=4, round_to=9).collect()}
+    assert r1 == r2
+    with pytest.raises(ValueError):
+        hits(df1, n_iter=-1)
