@@ -3532,6 +3532,24 @@ def q_hits(spark, sf_dir):
     return hits(edges, n_iter=8, round_to=6).orderBy("node")
 
 
+def q_logrank(spark, sf_dir):
+    """Two-group log-rank test (stats.py logrank_test) over the same
+    user-lifetime frame as q_kaplan_meier, arms split by user parity:
+    one duration-grid aggregate, one descending risk-set window on the
+    duration-dimension frame, one final row; E and V are 9-dp rounded
+    handoffs so the Mantel-Cox z is engine-exact."""
+    from hipipe_spark.operators.stats import logrank_test
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    life = e.groupBy("user_id").agg(
+        F.floor((F.max(sec) - F.min(sec)) / 3600)
+         .cast("bigint").alias("dur_h"),
+        F.max(F.when(F.col("user_id") % 4 != 0, 1).otherwise(0))
+         .cast("int").alias("ev"))
+    return logrank_test(life, "dur_h", "ev",
+                        (F.col("user_id") % 2 == 0).cast("int"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3639,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrinkage": q_eb_shrinkage,
         "conformal": q_conformal,
         "hits": q_hits,
+        "logrank": q_logrank,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -5876,6 +5895,61 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts, event_id) AS prev
              FROM events) WHERE prev IS NOT NULL""",
         n_iter=8, round_to=6) + " ORDER BY node"
+    d["logrank"] = """
+      WITH life AS (
+        SELECT user_id,
+               CAST(floor((epoch(MAX(ts)) - epoch(MIN(ts))) / 3600)
+                    AS BIGINT) AS dur_h,
+               MAX(CASE WHEN user_id % 4 != 0 THEN 1 ELSE 0 END) AS ev,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM events GROUP BY user_id),
+      per_t AS (
+        SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(SUM(ev) AS BIGINT) AS d_all,
+               CAST(SUM(ev * is_a) AS BIGINT) AS d_a
+        FROM life GROUP BY dur_h),
+      cum AS (
+        SELECT *,
+               SUM(n_all) OVER (ORDER BY dur_h DESC
+                 ROWS UNBOUNDED PRECEDING) AS r_all,
+               SUM(n_a) OVER (ORDER BY dur_h DESC
+                 ROWS UNBOUNDED PRECEDING) AS r_a
+        FROM per_t),
+      terms AS (
+        SELECT *,
+               CAST(r_a AS DOUBLE) / r_all AS frac,
+               CASE WHEN d_all > 0
+                    THEN d_all * (CAST(r_a AS DOUBLE) / r_all)
+                    ELSE 0.0 END AS e_term,
+               CASE WHEN d_all > 0 AND r_all > 1
+                    THEN d_all * (CAST(r_a AS DOUBLE) / r_all)
+                         * (1.0 - (CAST(r_a AS DOUBLE) / r_all))
+                         * (r_all - d_all) / (r_all - 1)
+                    ELSE 0.0 END AS v_term
+        FROM cum),
+      tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS n_a,
+               CAST(SUM(n_all - n_a) AS BIGINT) AS n_b,
+               CAST(SUM(d_all) AS BIGINT) AS n_events,
+               CAST(SUM(d_a) AS BIGINT) AS observed_a,
+               round(SUM(e_term), 9) AS expected_a,
+               round(SUM(v_term), 9) AS var_a
+        FROM terms),
+      zt AS (
+        SELECT *,
+               CASE WHEN var_a > 0
+                    THEN (observed_a - expected_a) / sqrt(var_a)
+                    END AS z
+        FROM tot)
+      SELECT n_a, n_b, n_events, observed_a,
+             round(expected_a, 6) AS expected_a,
+             round(var_a, 6) AS var_a,
+             round(z, 6) AS z,
+             round(2.0 / (1.0 + exp(0.07056 * abs(z) * abs(z) * abs(z)
+                                    + 1.5976 * abs(z))), 6) AS p_value
+      FROM zt
+    """
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
              SELECT event_type,

@@ -974,3 +974,66 @@ def eb_shrinkage(df: DataFrame, group: str, flag,
         F.when(F.col("__v").isNotNull() & (F.col("__v") > 0), k_prior)
          .alias("prior_k"),
         F.round(shrunk, round_to).alias("shrunk"))
+
+
+def logrank_test(df: DataFrame, duration: str, event: str, is_a,
+                 ndigits: int = 6) -> DataFrame:
+    """Two-group log-rank test (Mantel-Cox) — the standard "do these
+    survival curves differ?" companion to :func:`kaplan_meier` /
+    :func:`nelson_aalen`: at every event time the observed group-A
+    deaths are compared with the hypergeometric expectation given the
+    at-risk split; ``z = (O − E)/√V`` sums the per-time terms::
+
+        E_t = d_t · r_At/r_t
+        V_t = d_t · (r_At/r_t)(1 − r_At/r_t)(r_t − d_t)/(r_t − 1)
+
+    ``is_a`` is a 0/1 Column (or name) marking group-A membership;
+    ``event`` = 1 observed / 0 right-censored.
+
+    Plan: one groupBy on the duration grid (the only raw-row pass),
+    then ONE descending cumulative window over the duration-dimension
+    frame gives every risk set by back-summation (the
+    :func:`kaplan_meier` shape), then a single-row aggregate. E and V
+    are rounded (9 dp) before the z arithmetic — the rounded-handoff
+    rule — so the oracle's different summation order cannot flip the
+    statistic. p-value via the Bowling logistic Φ (module docstring).
+
+    Output (one row): ``n_a, n_b, n_events, observed_a, expected_a,
+    var_a, z, p_value``.
+    """
+    a = (F.col(is_a) if isinstance(is_a, str) else is_a).cast("long")
+    ev = F.col(event).cast("long")
+    per_t = (df.groupBy(duration).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(a).alias("n_a"),
+        F.sum(ev).alias("d_all"),
+        F.sum(ev * a).alias("d_a")))
+    w = (Window.partitionBy().orderBy(F.col(duration).desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (per_t
+           .withColumn("r_all", F.sum("n_all").over(w))
+           .withColumn("r_a", F.sum("n_a").over(w)))
+    frac = F.col("r_a").cast("double") / F.col("r_all")
+    e_term = F.when(F.col("d_all") > 0,
+                    F.col("d_all") * frac).otherwise(F.lit(0.0))
+    v_term = F.when(
+        (F.col("d_all") > 0) & (F.col("r_all") > 1),
+        F.col("d_all") * frac * (1.0 - frac)
+        * (F.col("r_all") - F.col("d_all"))
+        / (F.col("r_all") - 1)).otherwise(F.lit(0.0))
+    tot = cum.agg(
+        F.sum("n_a").alias("n_a"),
+        F.sum(F.col("n_all") - F.col("n_a")).alias("n_b"),
+        F.sum("d_all").alias("n_events"),
+        F.sum("d_a").alias("observed_a"),
+        F.round(F.sum(e_term), 9).alias("expected_a"),
+        F.round(F.sum(v_term), 9).alias("var_a"))
+    z = F.when(F.col("var_a") > 0,
+               (F.col("observed_a") - F.col("expected_a"))
+               / F.sqrt(F.col("var_a")))
+    return tot.select(
+        "n_a", "n_b", "n_events", "observed_a",
+        F.round("expected_a", ndigits).alias("expected_a"),
+        F.round("var_a", ndigits).alias("var_a"),
+        F.round(z, ndigits).alias("z"),
+        F.round(norm_sf2(z), ndigits).alias("p_value"))

@@ -250,3 +250,54 @@ def test_hits_parallel_edges_and_validation(spark):
     assert r1 == r2
     with pytest.raises(ValueError):
         hits(df1, n_iter=-1)
+
+
+# ---------------------------------------------------------- log-rank
+def test_logrank_matches_manual_hypergeometric(spark):
+    from hipipe_spark.operators.stats import logrank_test
+
+    # (duration, event, is_a) — classic small example with ties
+    rows = [(1, 1, 1), (2, 1, 1), (2, 0, 1), (4, 1, 1),
+            (1, 1, 0), (3, 1, 0), (4, 0, 0), (5, 1, 0)]
+    df = spark.createDataFrame(rows, ["d", "e", "a"])
+    out = logrank_test(df, "d", "e", "a").collect()[0]
+
+    # manual: risk sets by descending-duration cumsum
+    import collections
+    per_t = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for d, e, a in rows:
+        per_t[d][0] += 1
+        per_t[d][1] += a
+        per_t[d][2] += e
+        per_t[d][3] += e * a
+    O = E = V = 0.0
+    r_all = r_a = 0
+    for d in sorted(per_t, reverse=True):
+        n_all, n_a, d_all, d_a = per_t[d]
+        r_all += n_all
+        r_a += n_a
+        if d_all > 0:
+            frac = r_a / r_all
+            O += d_a
+            E += d_all * frac
+            if r_all > 1:
+                V += (d_all * frac * (1 - frac)
+                      * (r_all - d_all) / (r_all - 1))
+    z = (O - E) / V ** 0.5
+    assert out["n_a"] == 4 and out["n_b"] == 4 and out["n_events"] == 6
+    assert out["observed_a"] == O
+    assert out["expected_a"] == pytest.approx(E, abs=1e-6)
+    assert out["var_a"] == pytest.approx(V, abs=1e-6)
+    assert out["z"] == pytest.approx(z, abs=1e-5)
+    assert 0 <= out["p_value"] <= 1
+
+
+def test_logrank_identical_groups_z_near_zero(spark):
+    from hipipe_spark.operators.stats import logrank_test
+
+    # two identical copies of the same lifetimes -> O == E exactly
+    rows = [(d, 1, a) for d in (1, 2, 3, 5, 8) for a in (0, 1)]
+    df = spark.createDataFrame(rows, ["d", "e", "a"])
+    out = logrank_test(df, "d", "e", "a").collect()[0]
+    assert out["z"] == pytest.approx(0.0, abs=1e-9)
+    assert out["p_value"] == pytest.approx(1.0, abs=1e-3)
