@@ -3550,6 +3550,30 @@ def q_logrank(spark, sf_dir):
                         (F.col("user_id") % 2 == 0).cast("int"))
 
 
+def q_link_features(spark, sf_dir):
+    """Link-prediction feature block (graph.py link_features) over the
+    part co-purchase graph: common neighbors, Adamic-Adar, resource
+    allocation, neighbor Jaccard for non-adjacent pairs sharing >= 2
+    neighbors. Wedge equi-join through the shared neighbor (never
+    all-pairs), hub neighbors capped at degree 20 before the join —
+    the bipartite_project guard."""
+    from hipipe_spark.operators.graph import link_features
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey")
+          # every-5th-part subgraph: the full co-purchase graph is
+          # near-complete (avg degree ~90 at sf0.01) and link
+          # prediction is vacuous on a clique; the subsample leaves a
+          # sparse graph where the hub cap actually prunes (27k -> 21k
+          # pairs at sf0.01)
+          .filter(F.col("l_partkey") % 5 == 0))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return link_features(pairs, max_degree=30, min_common=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3658,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_conformal,
         "hits": q_hits,
         "logrank": q_logrank,
+        "link_features": q_link_features,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -5949,6 +5974,43 @@ def oracle_sql() -> dict[str, str]:
              round(2.0 / (1.0 + exp(0.07056 * abs(z) * abs(z) * abs(z)
                                     + 1.5976 * abs(z))), 6) AS p_value
       FROM zt
+    """
+    d["link_features"] = """
+      WITH e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                  FROM lineitem a JOIN lineitem b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM e0
+                    UNION ALL SELECT b FROM e0)
+              GROUP BY 1),
+      keep AS (SELECT node AS w FROM deg WHERE deg <= 30),
+      adj AS (SELECT x.w, x.n FROM (
+                SELECT a AS w, b AS n FROM e0
+                UNION ALL SELECT b AS w, a AS n FROM e0) x
+              JOIN keep USING (w)),
+      wed AS (SELECT l.n AS na, r.n AS nb, d.deg AS wdeg
+              FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+              JOIN deg d ON d.node = l.w),
+      p AS (SELECT na AS node_a, nb AS node_b,
+                   CAST(COUNT(*) AS BIGINT) AS common,
+                   SUM(CASE WHEN wdeg > 1 THEN 1.0 / ln(wdeg)
+                            ELSE 0.0 END) AS aa,
+                   SUM(1.0 / wdeg) AS ra
+            FROM wed GROUP BY na, nb
+            HAVING COUNT(*) >= 2),
+      pne AS (SELECT p.* FROM p
+              LEFT JOIN e0 ON e0.a = p.node_a AND e0.b = p.node_b
+              WHERE e0.a IS NULL)
+      SELECT node_a, node_b, common,
+             round(aa, 6) AS adamic_adar,
+             round(ra, 6) AS resource_alloc,
+             round(CAST(common AS DOUBLE)
+                   / (da.deg + db.deg - common), 6) AS jaccard
+      FROM pne
+      JOIN deg da ON da.node = pne.node_a
+      JOIN deg db ON db.node = pne.node_b
     """
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (

@@ -301,3 +301,38 @@ def test_logrank_identical_groups_z_near_zero(spark):
     out = logrank_test(df, "d", "e", "a").collect()[0]
     assert out["z"] == pytest.approx(0.0, abs=1e-9)
     assert out["p_value"] == pytest.approx(1.0, abs=1e-3)
+
+
+# ------------------------------------------------------ link features
+def test_link_features_manual_graph(spark):
+    from hipipe_spark.operators.graph import link_features
+
+    # path a-w1-b plus both link to w2; a-b NOT adjacent
+    # degrees: a:2 (w1,w2), b:2, w1:2 (a,b), w2:2 (a,b)
+    edges = [("a", "w1"), ("w1", "b"), ("a", "w2"), ("w2", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r["node_a"], r["node_b"]): r
+           for r in link_features(df, min_common=1).collect()}
+    import math
+    ab = out[("a", "b")]
+    assert ab["common"] == 2
+    assert ab["adamic_adar"] == pytest.approx(2 / math.log(2), abs=1e-6)
+    assert ab["resource_alloc"] == pytest.approx(1.0, abs=1e-6)
+    # jaccard = 2 shared / (2 + 2 - 2) = 1.0 (identical neighbor sets)
+    assert ab["jaccard"] == pytest.approx(1.0, abs=1e-6)
+    # w1-w2 share neighbors a and b, also non-adjacent
+    assert out[("w1", "w2")]["common"] == 2
+    # adjacent pairs never appear
+    assert ("a", "w1") not in out and ("w1", "b") not in out
+
+
+def test_link_features_hub_cap_prunes(spark):
+    from hipipe_spark.operators.graph import link_features
+
+    # star hub h connects x1..x5: every xi,xj pair shares only h
+    edges = [("h", f"x{i}") for i in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    full = link_features(df, min_common=1).count()
+    capped = link_features(df, max_degree=3, min_common=1).count()
+    assert full == 10  # C(5,2) wedges through the hub
+    assert capped == 0  # hub (deg 5) dropped before the wedge join
