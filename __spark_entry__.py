@@ -3574,6 +3574,25 @@ def q_link_features(spark, sf_dir):
     return link_features(pairs, max_degree=30, min_common=2)
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peel (graph.py k_core, k=14, 12 rounds) over the sparse
+    co-purchase subgraph of q_link_features: iterative shell removal
+    until fixpoint — the converged flag is part of the output (and of
+    the oracle compare), so a truncated peel would fail loudly rather
+    than pass silently. Oracle unrolls the peel into chained
+    MATERIALIZED CTEs (monotone, so extra oracle rounds are no-ops)."""
+    from hipipe_spark.operators.graph import k_core
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey")
+          .filter(F.col("l_partkey") % 5 == 0))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return k_core(pairs, k=14, n_rounds=12)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full feature pipeline incl. as-of profile join, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -3683,6 +3702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "logrank": q_logrank,
         "link_features": q_link_features,
+        "kcore": q_kcore,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -6012,6 +6032,14 @@ def oracle_sql() -> dict[str, str]:
       JOIN deg da ON da.node = pne.node_a
       JOIN deg db ON db.node = pne.node_b
     """
+    from hipipe_spark.operators.graph import k_core_oracle_sql
+    d["kcore"] = k_core_oracle_sql(
+        """SELECT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0""",
+        k=14, n_rounds=12)
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
              SELECT event_type,

@@ -707,3 +707,118 @@ def link_features(
                     .alias("jaccard")))
     from hipipe_spark.operators.core import register_cached
     return register_cached(out, e)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 8,
+) -> DataFrame:
+    """k-core membership by iterative peeling (Seidman 1983; the
+    Batagelj-Zaversnik distributed variant): repeatedly delete nodes
+    with degree < k until none remain — the surviving subgraph is the
+    k-core, the standard "dense interaction kernel" extractor (spam
+    rings, power-user communities, rigid near-dup cliques that
+    connected components over-merge).
+
+    ``n_rounds`` bounds the peel (each round is one degree aggregate +
+    two semi-joins + a ``localCheckpoint`` lineage cut). Peeling
+    converges when a round removes nothing; the output's
+    ``converged`` flag reports whether THIS run got there — a
+    truncated run is disclosed in-band, not silently wrong. Real
+    graphs converge in few rounds (each round removes a full shell);
+    pytest pins round-(R) == round-(R+1) on the driver fixture.
+
+    Scale shape: the canonical edge set is persisted once; every round
+    touches only node-keyed aggregates and semi-joins (edge set
+    monotonically shrinks — checkpointed per round so the plan stays
+    O(1)). Output: ``(node, in_core, core_deg, converged)`` for every
+    node of the input graph; ``core_deg`` is the node's degree inside
+    the final surviving subgraph (0 when peeled).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    e0 = (edges.where(a != b)
+          .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+          .distinct().persist())
+    all_nodes = (e0.select(F.col("a").alias("node"))
+                 .union(e0.select(F.col("b").alias("node")))
+                 .distinct().persist())
+    e = e0
+    prev_n = None
+    converged = False
+    for _ in range(n_rounds):
+        deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        survivors = deg.where(F.col("deg") >= k).select("node")
+        survivors = survivors.localCheckpoint(eager=True)
+        n_now = survivors.count()
+        if prev_n is not None and n_now == prev_n:
+            converged = True
+            break
+        prev_n = n_now
+        e = (e.join(survivors.withColumnRenamed("node", "a"), "a",
+                    "left_semi")
+             .join(survivors.withColumnRenamed("node", "b"), "b",
+                   "left_semi"))
+        e = e.localCheckpoint(eager=True)
+        if n_now == 0:
+            converged = True
+            break
+    final_deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+                 .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+                 .where(F.col("deg") >= k))
+    out = (all_nodes.join(final_deg, "node", "left")
+           .select("node",
+                   F.col("deg").isNotNull().alias("in_core"),
+                   F.coalesce("deg", F.lit(0)).cast("bigint")
+                    .alias("core_deg"),
+                   F.lit(converged).alias("converged")))
+    from hipipe_spark.operators.core import register_cached
+    return register_cached(out, e0, all_nodes)
+
+
+def k_core_oracle_sql(
+    edges_sql: str,
+    k: int,
+    n_rounds: int = 8,
+) -> str:
+    """DuckDB replica of :func:`k_core` — the peel unrolled into
+    ``n_rounds`` chained MATERIALIZED CTEs. The Spark side may stop
+    early on convergence; since peeling is monotone, extra rounds are
+    no-ops, so a fixed-round oracle matches any converged run (the
+    ``converged`` output column is reproduced as a constant TRUE and
+    only comparable when the Spark run converged — the driver fixture
+    pins that). ``edges_sql`` must yield ``src, dst``."""
+    pre = f"""
+      WITH eraw AS ({edges_sql}),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM eraw WHERE src != dst),
+      nodes AS MATERIALIZED (
+        SELECT a AS node FROM e0 UNION SELECT b FROM e0)"""
+    steps = []
+    for t in range(1, n_rounds + 1):
+        prev = f"e{t-1}"
+        steps.append(f"""
+      , s{t} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+          GROUP BY node HAVING COUNT(*) >= {k})
+      , e{t} AS MATERIALIZED (
+          SELECT e.a, e.b FROM {prev} e
+          JOIN s{t} sa ON sa.node = e.a
+          JOIN s{t} sb ON sb.node = e.b)""")
+    return (pre + "".join(steps) + f"""
+      , fd AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                 SELECT a AS node FROM e{n_rounds}
+                 UNION ALL SELECT b FROM e{n_rounds})
+               GROUP BY node HAVING COUNT(*) >= {k})
+      SELECT n.node, fd.node IS NOT NULL AS in_core,
+             COALESCE(fd.deg, 0) AS core_deg, TRUE AS converged
+      FROM nodes n LEFT JOIN fd ON fd.node = n.node""")

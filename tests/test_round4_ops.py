@@ -336,3 +336,50 @@ def test_link_features_hub_cap_prunes(spark):
     capped = link_features(df, max_degree=3, min_common=1).count()
     assert full == 10  # C(5,2) wedges through the hub
     assert capped == 0  # hub (deg 5) dropped before the wedge join
+
+
+# ------------------------------------------------------------ k-core
+def test_kcore_peels_tail_keeps_clique(spark):
+    from hipipe_spark.operators.graph import k_core
+
+    # K4 clique (deg 3 each) with a pendant path hanging off it
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"), ("d", "p1"), ("p1", "p2")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in k_core(df, k=3).collect()}
+    assert all(out[n]["in_core"] for n in "abcd")
+    assert not out["p1"]["in_core"] and not out["p2"]["in_core"]
+    assert all(out[n]["core_deg"] == 3 for n in "abcd")
+    assert out["p1"]["core_deg"] == 0
+    assert all(r["converged"] for r in out.values())
+    # k above the clique degree peels everything
+    out4 = k_core(df, k=4).collect()
+    assert all(not r["in_core"] for r in out4)
+    assert all(r["converged"] for r in out4)
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    from hipipe_spark.operators.graph import k_core
+
+    # chain c0-c1-...-c5 into a triangle: k=2 peels the chain one
+    # node per round (a 5-round cascade), triangle survives
+    edges = [(f"c{i}", f"c{i+1}") for i in range(5)]
+    edges += [("c5", "t1"), ("t1", "t2"), ("t2", "c5")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in k_core(df, k=2, n_rounds=10).collect()}
+    assert all(out[n]["in_core"] for n in ("c5", "t1", "t2"))
+    assert all(not out[f"c{i}"]["in_core"] for i in range(5))
+    assert all(r["converged"] for r in out.values())
+    # truncated run discloses itself
+    out2 = k_core(df, k=2, n_rounds=2).collect()
+    assert all(not r["converged"] for r in out2)
+
+
+def test_kcore_validation(spark):
+    from hipipe_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError):
+        k_core(df, k=0)
+    with pytest.raises(ValueError):
+        k_core(df, k=2, n_rounds=0)
