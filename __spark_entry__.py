@@ -3632,6 +3632,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kripp, the hypothesis-testing batch, the sketch family, the
     series/stat batch, and the graph batch).
 
+    Round-4 continuation: four NEW operators (kn_ppl, changepoint,
+    eb_shrinkage, conformal — never-checked by construction) take the
+    last four window slots; the four displaced rotation entries
+    (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
+    r5 pool immediately after the window alongside the other late
+    additions (hits, logrank, link_features, kcore — each dual-SF
+    green in this session's replica runs).
+
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
     row count, schema, per-value hash - against DuckDB at sf0.01);
