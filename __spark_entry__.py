@@ -207,6 +207,24 @@ def q_asof_forward(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "val")
 
 
+def q_leakage_audit(spark, sf_dir):
+    """Zero-temporal-leakage gate (validate.py leakage_audit): run two
+    point-in-time joins carrying the matched SOURCE timestamp as a
+    value column — backward (feature direction, must be clean) and
+    forward (label direction, expected to lead) — then audit every
+    source in ONE melted aggregate scan. The north rule's "no feature
+    may read ts' > ts" as a Spark plan: the backward row reports
+    n_leaks=0/ok=true, the forward row reports the leads loudly."""
+    from hipipe_spark.operators.validate import leakage_audit
+    left, right = _asof_sides(spark, sf_dir)
+    feat = right.select("user_id", "ts", F.col("ts").alias("src_ts_feature"))
+    lab = right.select("user_id", "ts", F.col("ts").alias("src_ts_label"))
+    out = asof_join(left, feat, on="ts", by="user_id", strategy="union")
+    out = asof_join(out, lab, on="ts", by="user_id", strategy="union",
+                    direction="forward")
+    return leakage_audit(out, "ts", ["src_ts_feature", "src_ts_label"])
+
+
 def q_asof_nearest(spark, sf_dir):
     """Nearest as-of (pandas merge_asof semantics: closer of the
     backward/forward candidates, ties prefer backward) — oracled by two
@@ -3711,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank": q_logrank,
         "link_features": q_link_features,
         "kcore": q_kcore,
+        "leakage_audit": q_leakage_audit,
         "feature_corr": q_feature_corr,
         "impute": q_impute,
         "walk_forward": q_walk_forward,
@@ -6048,6 +6067,38 @@ def oracle_sql() -> dict[str, str]:
             AND a.l_partkey < b.l_partkey
            WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0""",
         k=14, n_rounds=12)
+    d["leakage_audit"] = """
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1),
+           r AS (SELECT user_id, ts FROM events WHERE event_id % 2 = 0),
+           b AS (SELECT l.event_id, l.ts, r.ts AS src_b
+                 FROM l ASOF LEFT JOIN r
+                   ON l.user_id = r.user_id AND l.ts >= r.ts),
+           f AS (SELECT l.event_id, r.ts AS src_f
+                 FROM l ASOF LEFT JOIN r
+                   ON l.user_id = r.user_id AND l.ts <= r.ts),
+           j AS (SELECT b.event_id, b.ts, b.src_b, f.src_f
+                 FROM b JOIN f USING (event_id)),
+           agg AS (SELECT
+             count(*) AS n,
+             sum(CASE WHEN src_b IS NOT NULL THEN 1 ELSE 0 END) AS m1,
+             sum(CASE WHEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 > 0
+                      THEN 1 ELSE 0 END) AS l1,
+             max(CASE WHEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 > 0
+                      THEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 END) AS x1,
+             sum(CASE WHEN src_f IS NOT NULL THEN 1 ELSE 0 END) AS m2,
+             sum(CASE WHEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 > 0
+                      THEN 1 ELSE 0 END) AS l2,
+             max(CASE WHEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 > 0
+                      THEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 END) AS x2
+             FROM j)
+      SELECT 1 AS src_no, 'src_ts_feature' AS source,
+             n AS n_rows, m1 AS n_matched, l1 AS n_leaks,
+             round(x1, 6) AS max_lead_s,
+             round(l1 * 1.0 / n, 6) AS leak_rate, l1 = 0 AS ok FROM agg
+      UNION ALL
+      SELECT 2, 'src_ts_label', n, m2, l2, round(x2, 6),
+             round(l2 * 1.0 / n, 6), l2 = 0 FROM agg
+    """
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
              SELECT event_type,

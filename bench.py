@@ -90,8 +90,14 @@ def _scaling_row() -> dict | None:
     n_convs = int(os.environ.get("BENCH_SCALING_CONVS", "600000"))
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
     try:
+        # Key on the last commit that touched the code the measurement
+        # actually exercises (library + the harness itself), not HEAD:
+        # a docs/entry-registry commit doesn't change the measured plan,
+        # so it shouldn't force a 2x ~90s re-measurement inside the
+        # driver's (possibly contended) bench window.
         head = subprocess.run(
-            ["git", "-C", repo, "rev-parse", "HEAD"],
+            ["git", "-C", repo, "log", "-1", "--format=%H", "--",
+             "hipipe_spark", "tools/scaling_bench.py", "bench.py"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
     except Exception:

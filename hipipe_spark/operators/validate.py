@@ -333,3 +333,70 @@ def benford(df: DataFrame, group: str, value: str) -> DataFrame:
         F.round(F.col("__dev"), 6).alias("deviation"),
         F.round(F.avg("__dev").over(w), 6).alias("mad"))
         .orderBy(group, "digit"))
+
+
+def leakage_audit(df: DataFrame, ts_col: str,
+                  src_ts_cols: Sequence[str],
+                  tolerance_s: float = 0.0,
+                  round_to: int = 6) -> DataFrame:
+    """Zero-temporal-leakage gate: verify that every feature source
+    timestamp is at or before the observation timestamp it enriched.
+
+    The north rule's core invariant — "no feature may read ts' > ts" —
+    becomes a Spark plan instead of a promise: run every point-in-time
+    join with the matched source timestamp carried as a value column
+    (rename the right side's ``ts`` before :func:`~hipipe_spark.
+    operators.asof.asof_join` so it lands in ``value_cols``), then
+    audit all sources in ONE aggregate scan, exactly the
+    :func:`check_rules` shape (conditional sums, partial-aggregated
+    map-side, melted on the driver-sized result row). A driver loop of
+    per-source ``filter(...).count()`` calls would cost one corpus
+    scan per feature table at 100 TB.
+
+    Per source column: ``n_rows`` (audited rows), ``n_matched``
+    (non-null source ts — as-of misses are null and are NOT leaks),
+    ``n_leaks`` (source ts later than observation ts by more than
+    ``tolerance_s`` seconds), ``max_lead_s`` (worst lead among leaks,
+    null when clean), ``leak_rate`` = n_leaks / n_rows, and ``ok``.
+    Forward/label joins audited on purpose show up loudly — that is
+    the point: the auditor distinguishes feature inputs (must be
+    clean) from label constructions (expected to lead).
+    """
+    if not src_ts_cols:
+        raise ValueError("src_ts_cols must be non-empty")
+
+    from .temporal import ts_seconds
+
+    def _epoch_s(name: str) -> Column:
+        # ts_seconds handles TIMESTAMP/TIMESTAMP_NTZ (ANSI mode rejects
+        # a direct NTZ->double cast); numeric epoch-second ts columns
+        # pass through.
+        if dict(df.dtypes)[name].startswith("timestamp"):
+            return ts_seconds(F.col(name))
+        return F.col(name).cast("double")
+
+    obs = _epoch_s(ts_col)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(src_ts_cols):
+        lead = _epoch_s(c) - obs
+        is_leak = F.col(c).isNotNull() & (lead > tolerance_s)
+        aggs.append(F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+                    .cast("bigint").alias(f"__m{i}"))
+        aggs.append(F.sum(F.when(is_leak, 1).otherwise(0))
+                    .cast("bigint").alias(f"__l{i}"))
+        aggs.append(F.max(F.when(is_leak, lead)).alias(f"__x{i}"))
+    row = df.agg(*aggs)
+    melted = F.array(*[
+        F.struct(F.lit(i + 1).alias("src_no"),
+                 F.lit(c).alias("source"),
+                 F.col("__n").cast("bigint").alias("n_rows"),
+                 F.col(f"__m{i}").alias("n_matched"),
+                 F.col(f"__l{i}").alias("n_leaks"),
+                 F.round(F.col(f"__x{i}"), round_to).alias("max_lead_s"),
+                 F.when(F.col("__n") > 0,
+                        F.round(F.col(f"__l{i}") / F.col("__n"), round_to))
+                 .otherwise(F.lit(0.0)).alias("leak_rate"),
+                 (F.col(f"__l{i}") == 0).alias("ok"))
+        for i, c in enumerate(src_ts_cols)
+    ])
+    return row.select(F.inline(melted))

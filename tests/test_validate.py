@@ -76,3 +76,37 @@ def test_profile_columns_approximate_close(transcripts):
     # HLL default rsd = 5%
     assert abs(approx["n_distinct"] - exact["n_distinct"]) \
         <= max(3, 0.15 * exact["n_distinct"])
+
+
+def test_leakage_audit_counts_and_leads(spark):
+    from hipipe_spark.operators.validate import leakage_audit
+    # numeric epoch-second timestamps; src_a clean (one null miss),
+    # src_b leaks twice (leads 5.5 and 2.0), src_c exactly-at-ts (not
+    # a leak at tolerance 0)
+    df = spark.createDataFrame(
+        [(100.0, 90.0, 105.5, 100.0),
+         (200.0, None, 202.0, 200.0),
+         (300.0, 300.0, 299.0, 300.0)],
+        "ts double, src_a double, src_b double, src_c double")
+    out = {r["source"]: r for r in leakage_audit(
+        df, "ts", ["src_a", "src_b", "src_c"]).collect()}
+    a, b, c = out["src_a"], out["src_b"], out["src_c"]
+    assert (a["n_rows"], a["n_matched"], a["n_leaks"]) == (3, 2, 0)
+    assert a["ok"] and a["max_lead_s"] is None
+    assert (b["n_leaks"], b["max_lead_s"]) == (2, 5.5)
+    assert not b["ok"] and abs(b["leak_rate"] - 2 / 3) < 1e-6
+    assert c["n_leaks"] == 0 and c["ok"]
+
+
+def test_leakage_audit_tolerance_and_timestamps(spark):
+    from hipipe_spark.operators.validate import leakage_audit
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:00:03"),
+         ("2024-01-01 01:00:00", "2024-01-01 00:59:00")],
+        "ts string, src string").select(
+        F.to_timestamp("ts").alias("ts"),
+        F.to_timestamp("src").alias("src"))
+    strict = leakage_audit(df, "ts", ["src"]).collect()[0]
+    assert strict["n_leaks"] == 1 and strict["max_lead_s"] == 3.0
+    lenient = leakage_audit(df, "ts", ["src"], tolerance_s=5.0).collect()[0]
+    assert lenient["n_leaks"] == 0 and lenient["ok"]
