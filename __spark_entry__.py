@@ -990,6 +990,17 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup pairs — the LOCAL-guarantee
+    tier of the dedup family: any shared substring of length >= w+k-1
+    yields a shared fingerprint. Every hash is the det LCG family, so
+    the full fingerprint→pair pipeline is bit-reproducible in DuckDB."""
+    from hipipe_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4, max_len=240)
+    return winnow_pairs(fps, "doc_id", threshold=0.25, max_df=50)
+
+
 def q_embedding_topk(spark, sf_dir):
     em = _embs(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 5)
@@ -3655,8 +3666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     last four window slots; the four displaced rotation entries
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
-    additions (hits, logrank, link_features, kcore — each dual-SF
-    green in this session's replica runs).
+    additions (hits, logrank, link_features, kcore, leakage_audit,
+    winnow_dedup — each green in this session's replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3737,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_label": q_future_label,
         "role_streak": q_role_streak,
         "funnel": q_funnel,
+        "winnow_dedup": q_winnow,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -4163,6 +4175,54 @@ def oracle_sql() -> dict[str, str]:
                    "l_quantity FROM lineitem"),
         group="l_returnflag", n_reps=50, seed=7)
     d["simhash"] = _simhash_det_oracle()
+    # winnow_dedup: DuckDB replays the exact fingerprint selection
+    # (poly-31 k-gram fold -> LCG double-round mix -> rightmost-tie
+    # window min via the (h*256 + 255-pos) packing) then the pair join.
+    _wk, _ww, _wcap, _wdf = 5, 4, 240, 50
+    from hipipe_spark.functions.hashing import _A as _HA, _C as _HC, _M as _HM
+    d["winnow_dedup"] = f"""
+      WITH d AS (SELECT doc_id,
+                        substring(lower(coalesce(text, '')), 1, {_wcap}) AS t
+                 FROM documents WHERE doc_id % 5 = 0),
+      nn AS (SELECT doc_id, t, length(t) - {_wk} + 1 AS n
+             FROM d WHERE length(t) - {_wk} + 1 >= {_ww}),
+      b AS (SELECT doc_id, n,
+        list_transform(range(1, n + 1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(i, i + {_wk}),
+                           j -> CAST(ascii(substring(t, j, 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % {_HM})) AS hs
+        FROM nn),
+      m AS (SELECT doc_id, n,
+        list_transform(hs,
+          x -> ((x * {_HA} + {_HC}) % {_HM} * {_HA} + {_HC}) % {_HM}) AS mh
+        FROM b),
+      e AS (SELECT doc_id, n,
+        list_transform(range(1, n + 1),
+                       i -> mh[i] * 256 + (255 - i)) AS encs FROM m),
+      mi AS (SELECT doc_id,
+        list_distinct(list_transform(
+          list_transform(range({_ww}, n + 1),
+                         p -> list_min(encs[p - {_ww} + 1 : p])),
+          v -> v // 256)) AS fps
+        FROM e),
+      fp AS (SELECT doc_id, unnest(fps) AS fp FROM mi),
+      sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+      hubs AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > {_wdf}),
+      kept AS (SELECT f.doc_id, f.fp FROM fp f
+               LEFT JOIN hubs h ON f.fp = h.fp WHERE h.fp IS NULL),
+      shared AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+                        count(*) AS n_shared
+                 FROM kept a JOIN kept b2 ON a.fp = b2.fp
+                 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, n_shared,
+                   sa.n_fp AS n_a, sb.n_fp AS n_b,
+                   round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS sim
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, n_shared, n_a, n_b, sim FROM j WHERE sim >= 0.25
+    """
     # NB: DuckDB's list_resize miscopies non-trivial default values when
     # used inside a lambda — pad via list_concat + a generated fill list
     def _fill(n_expr: str, v_expr: str) -> str:

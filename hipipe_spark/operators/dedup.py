@@ -900,3 +900,130 @@ def dup_weights(
             .select(F.col("node").alias(id_col), "cluster_size",
                     F.round(F.lit(1.0) / F.col("cluster_size"), 6)
                      .alias("weight")))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    max_len: int = 240,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003) — the MOSS selection scheme, complementing the MinHash /
+    SimHash / n-gram tiers with a LOCAL guarantee: any shared substring
+    of length >= w + k - 1 contributes at least one common fingerprint,
+    so matches cannot be missed by unlucky sampling (MinHash's failure
+    mode on short overlaps).
+
+    Per document: lowercase, cap at ``max_len`` chars, hash every
+    char ``k``-gram (polynomial-31 fold over codepoints mod 2^31 +
+    the LCG double-round mix — the
+    :func:`~hipipe_spark.functions.hashing.det_hash_str_i64` family,
+    bit-reproducible in DuckDB), then over every window of ``w``
+    consecutive k-gram hashes select the minimum, ties broken by
+    RIGHTMOST position (the paper's rule). Tie-breaking packs
+    (hash, position) into one int64: ``enc = h * 256 + (255 - pos)``
+    — min(enc) is (min hash, max pos) in a single comparison; exact
+    because h < 2^31 and pos < 256 (enforced: ``max_len <= 255``).
+
+    Implementation is a vectorized Arrow ``mapInPandas`` batch (numpy
+    sliding windows, exact int64 arithmetic — every intermediate
+    ≤ 2^61). An all-JVM array-expression formulation was measured
+    first and rejected: nested higher-order functions are
+    CodegenFallback in Spark, and a lambda body that references an
+    upstream array expression re-evaluates that whole chain PER
+    ELEMENT (O(n³) per doc interpreted) — 67 s for 50 docs vs 3.9 s
+    end-to-end for this path, and staging through separate
+    projections doesn't help (CollapseProject re-inlines
+    referenced-once aliases). The scale shape is unchanged: a
+    narrow, embarrassingly-parallel map over the corpus scan — no
+    shuffle; only (id, fp) pairs leave the stage.
+
+    Returns ``(id_col, fp)`` — the DISTINCT fingerprint hashes per
+    document. Documents shorter than ``k + w - 1`` chars produce no
+    complete window and drop out (they cannot share a guaranteed
+    match anyway).
+    """
+    if max_len > 255:
+        raise ValueError("max_len must be <= 255 (position packs into "
+                         "8 bits of the selection key)")
+    from ..functions.hashing import _A, _C, _M
+    a, c, m, kk, ww, cap = _A, _C, _M, int(k), int(w), int(max_len)
+
+    def fp_batches(it):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+        for pdf in it:
+            ids: list = []
+            fps: list = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                t = ("" if txt is None else txt).lower()[:cap]
+                n = len(t) - kk + 1
+                if n < ww:
+                    continue
+                codes = np.array([ord(ch) for ch in t], dtype=np.int64)
+                grams = sliding_window_view(codes, kk)        # (n, kk)
+                base = np.zeros(n, dtype=np.int64)
+                for j in range(kk):
+                    base = (base * 31 + grams[:, j]) % m
+                mixed = ((base * a + c) % m * a + c) % m
+                enc = mixed * 256 + (255 - (np.arange(n, dtype=np.int64) + 1))
+                mins = sliding_window_view(enc, ww).min(axis=1)
+                sel = np.unique(mins // 256)
+                ids.extend([did] * len(sel))
+                fps.extend(sel.tolist())
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp_batches, f"{id_col} long, fp long")
+
+
+def winnow_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from :func:`winnow_fingerprints`
+    output: documents sharing fingerprints, scored by overlap
+    coefficient ``n_shared / min(n_a, n_b)`` (the containment-style
+    score — robust when one doc quotes a fragment of another).
+
+    ``max_df`` optionally excludes hub fingerprints appearing in more
+    than that many documents before the self-join (boilerplate
+    substrings would otherwise fan out quadratically — the same
+    max-df policy as :func:`ngram_jaccard_pairs`; lossy for pairs
+    whose ONLY overlap is boilerplate, which is the point). The join
+    is an equi-join on the 8-byte fingerprint — bucketed, never
+    all-pairs.
+
+    Returns ``(id_a, id_b, n_shared, n_a, n_b, sim)`` with
+    ``sim >= threshold``, ``id_a < id_b``.
+    """
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    kept = fps
+    if max_df is not None:
+        hubs = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > max_df).select("fp"))
+        kept = fps.join(hubs, "fp", "left_anti")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (a.join(b, "fp")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_fp").alias("n_b"))
+    sim = F.round(F.col("n_shared")
+                  / F.least(F.col("n_a"), F.col("n_b")), 6)
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("sim", sim)
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "n_shared", "n_a", "n_b", "sim"))
