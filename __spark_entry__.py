@@ -2660,6 +2660,20 @@ def q_k_anonymity(spark, sf_dir):
                        sensitive_col="val_band")
 
 
+def q_t_closeness(spark, sf_dir):
+    """Entropy l-diversity + t-closeness audit (validate.t_closeness)
+    over (c_nationkey, c_mktsegment) classes with the account-balance
+    band as the sensitive attribute. violations_only=False so the
+    driver row pins entropy/tvd for EVERY class, not just the failing
+    tail."""
+    from hipipe_spark.operators.validate import t_closeness
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"))
+    return t_closeness(cust, ["c_nationkey", "c_mktsegment"],
+                       "bal_band", l=3, t=0.25, violations_only=False)
+
+
 def q_json_features(spark, sf_dir):
     """Typed JSON field extraction (functions/json.py json_features):
     ONE from_json parse per row (get_json_object would re-parse per
@@ -3667,7 +3681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
-    winnow_dedup — each green in this session's replica runs).
+    winnow_dedup, t_closeness — each green in this session's replica
+    runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3749,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_streak": q_role_streak,
         "funnel": q_funnel,
         "winnow_dedup": q_winnow,
+        "t_closeness": q_t_closeness,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -6320,6 +6336,47 @@ def oracle_sql() -> dict[str, str]:
                   WHEN class_size < 35 THEN 'k'
                   WHEN distinct_sensitive < 2 THEN 'l' END AS violation
       FROM g WHERE class_size < 35 OR distinct_sensitive < 2
+    """
+    d["t_closeness"] = """
+      WITH src AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        FROM customer),
+      cv AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM src GROUP BY 1, 2, 3),
+      gdist AS (
+        SELECT bal_band,
+               sum(n) / (SELECT CAST(sum(n) AS DOUBLE) FROM cv) AS p_g
+        FROM cv GROUP BY 1),
+      cs AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(sum(n) AS BIGINT) AS class_size
+        FROM cv GROUP BY 1, 2),
+      agg AS (
+        SELECT cv.c_nationkey, cv.c_mktsegment,
+               max(cs.class_size) AS class_size,
+               CAST(count(*) AS BIGINT) AS distinct_sensitive,
+               sum(cv.n * ln(cv.n)) AS nlnn,
+               sum(abs(cv.n / CAST(cs.class_size AS DOUBLE) - g.p_g))
+                 AS absdiff,
+               sum(g.p_g) AS pg
+        FROM cv
+        JOIN cs ON cs.c_nationkey = cv.c_nationkey
+               AND cs.c_mktsegment = cv.c_mktsegment
+        JOIN gdist g ON g.bal_band IS NOT DISTINCT FROM cv.bal_band
+        GROUP BY 1, 2)
+      SELECT c_nationkey, c_mktsegment, class_size, distinct_sensitive,
+             round(ln(class_size) - nlnn / class_size, 6) AS entropy,
+             round(0.5 * (absdiff + (1.0 - pg)), 6) AS tvd,
+             CASE WHEN distinct_sensitive < 3
+                    AND round(0.5 * (absdiff + (1.0 - pg)), 6) > 0.25
+                  THEN 'l+t'
+                  WHEN distinct_sensitive < 3 THEN 'l'
+                  WHEN round(0.5 * (absdiff + (1.0 - pg)), 6) > 0.25
+                  THEN 't' END AS violation
+      FROM agg
     """
     from hipipe_spark.operators.selection import dsir_weights_oracle_sql
     d["dsir"] = dsir_weights_oracle_sql(n_buckets=1024)

@@ -190,6 +190,81 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5,
             .filter(F.col("violation").isNotNull()))
 
 
+def t_closeness(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, l: int = 2, t: float = 0.375,
+                round_to: int = 6,
+                violations_only: bool = True) -> DataFrame:
+    """Privacy-release audit beyond :func:`k_anonymity`: entropy
+    l-diversity and t-closeness (Li, Li & Venkatasubramanian, ICDE
+    2007) per quasi-identifier equivalence class, in ONE corpus scan.
+
+    Per class: ``distinct_sensitive`` (the plain l), ``entropy`` of
+    the sensitive distribution in nats (entropy l-diversity:
+    exp(entropy) is the effective value count), and ``tvd`` — the
+    total-variation distance between the class's sensitive
+    distribution and the GLOBAL one (the t-closeness metric for
+    categorical attributes). ``violation`` marks classes with
+    ``distinct_sensitive < l`` ('l'), ``tvd > t`` ('t'), or both
+    ('l+t'); with ``violations_only`` (default) only the failing tail
+    is returned — output never grows with corpus size.
+
+    Scale shape: one map-side-combinable aggregate on
+    (quasi, sensitive) reduces the corpus; everything else runs on
+    the class×value table. TVD needs every GLOBAL value per class,
+    but no dense cross join is materialized: for values absent from a
+    class |p_class − p_global| = p_global, so
+    ``tvd = 0.5 * (Σ_present |p_c − p_g| + (1 − Σ_present p_g))`` —
+    computed from present combinations only. The global distribution
+    is dimension-sized (distinct sensitive values) → broadcast.
+    Entropy folds from Σ n·ln n:
+    ``H = ln(class_size) − Σ n ln n / class_size``. NULL sensitive
+    values count as a value of their own (grouped, not dropped) —
+    the same semantics in the DuckDB oracle.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1 or not (0.0 <= t <= 1.0):
+        raise ValueError("need l >= 1 and 0 <= t <= 1")
+    cv = (df.groupBy(*quasi_cols, sensitive_col)
+            .agg(F.count(F.lit(1)).alias("n")))
+    glob = cv.groupBy(sensitive_col).agg(F.sum("n").alias("n_v"))
+    total = glob.agg(F.sum("n_v").alias("n_total"))
+    glob = (glob.crossJoin(F.broadcast(total))
+                .select(F.col(sensitive_col).alias("_sv"),
+                        (F.col("n_v") / F.col("n_total")).alias("p_g")))
+    # null-safe join: a NULL sensitive value is a value of its own
+    cv = (cv.join(F.broadcast(glob),
+                  F.col(sensitive_col).eqNullSafe(F.col("_sv")))
+            .drop("_sv"))
+    w = Window.partitionBy(*quasi_cols)
+    cv = cv.withColumn("cs", F.sum("n").over(w))
+    out = (cv.groupBy(*quasi_cols)
+             .agg(F.max("cs").alias("class_size"),
+                  F.count(F.lit(1)).alias("distinct_sensitive"),
+                  F.sum(F.col("n") * F.log(F.col("n"))).alias("_nlnn"),
+                  F.sum(F.abs(F.col("n") / F.col("cs") - F.col("p_g")))
+                   .alias("_absdiff"),
+                  F.sum("p_g").alias("_pg")))
+    out = (out.withColumn(
+                "entropy",
+                F.round(F.log(F.col("class_size"))
+                        - F.col("_nlnn") / F.col("class_size"),
+                        round_to))
+              .withColumn(
+                "tvd",
+                F.round(0.5 * (F.col("_absdiff")
+                               + (F.lit(1.0) - F.col("_pg"))),
+                        round_to))
+              .drop("_nlnn", "_absdiff", "_pg"))
+    l_bad = F.col("distinct_sensitive") < l
+    t_bad = F.col("tvd") > t
+    out = out.withColumn(
+        "violation",
+        F.when(l_bad & t_bad, "l+t").when(l_bad, "l").when(t_bad, "t"))
+    return out.filter(F.col("violation").isNotNull()) \
+        if violations_only else out
+
+
 def table_diff(old: DataFrame, new: DataFrame, keys: Sequence[str],
                compare: Sequence[str] | None = None,
                include_unchanged: bool = False) -> DataFrame:
