@@ -990,6 +990,18 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64->8 dims
+    (decomposition.random_projection): data-INDEPENDENT compression —
+    no fit pass; one narrow JVM fold per row. Signs are the det
+    avalanche-mix family, so the oracle bakes identical literals."""
+    from hipipe_spark.operators.decomposition import random_projection
+    em = _embs(spark, sf_dir)
+    return random_projection(em.select("vec_id", "label", "embedding"),
+                             "embedding", dims=64, k=8, seed=0,
+                             round_to=6).drop("embedding")
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing (MOSS) fingerprint near-dup pairs — the LOCAL-guarantee
     tier of the dedup family: any shared substring of length >= w+k-1
@@ -3681,8 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
-    winnow_dedup, t_closeness — each green in this session's replica
-    runs).
+    winnow_dedup, t_closeness, random_projection — each green in this
+    session's replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3765,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "winnow_dedup": q_winnow,
         "t_closeness": q_t_closeness,
+        "random_projection": q_random_projection,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -6378,6 +6391,12 @@ def oracle_sql() -> dict[str, str]:
                   THEN 't' END AS violation
       FROM agg
     """
+    from hipipe_spark.operators.decomposition import (
+        random_projection_oracle_sql,
+    )
+    d["random_projection"] = random_projection_oracle_sql(
+        table="embeddings", id_cols=["vec_id", "label"],
+        vec_expr="embedding", dims=64, k=8, seed=0, round_to=6)
     from hipipe_spark.operators.selection import dsir_weights_oracle_sql
     d["dsir"] = dsir_weights_oracle_sql(n_buckets=1024)
     _g = (f"-ln(-ln(greatest({det_hash01_sql('doc_id', 3)}, 1e-12)))")

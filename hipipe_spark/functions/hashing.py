@@ -41,6 +41,30 @@ def det_hash01(key: Column, seed: int = 0) -> Column:
     return det_hash_i64(key, seed) / F.lit(float(_M))
 
 
+def det_hash_i64_py(key: int, seed: int = 0) -> int:
+    """Plan-time Python twin of :func:`det_hash_i64` (same constants,
+    same rounds) — for baking hash-derived literals into BOTH a Spark
+    plan and its oracle SQL (e.g. deterministic random-projection
+    signs), so the two sides share one bit-exact source."""
+    x = (int(key) + int(seed)) % _M
+    x = (x * _A + _C) % _M
+    x = (x * _A + _C) % _M
+    return x
+
+
+def det_hash_mix_i64_py(key: int, seed: int = 0) -> int:
+    """Plan-time Python twin of :func:`det_hash_mix_i64` (same
+    rounds). Use when the consumer needs uniform BITS — the LCG
+    twin's top bit ALTERNATES on consecutive keys (affine bijection),
+    which would make e.g. Rademacher sign rows perfectly correlated."""
+    h0 = (int(key) + int(seed)) % _M
+    h1 = h0 ^ 61 ^ (h0 >> 16)
+    h2 = (h1 * 9) % _M
+    h3 = h2 ^ (h2 >> 4)
+    h4 = (h3 * 0x27D4EB2D) % _M
+    return h4 ^ (h4 >> 15)
+
+
 def det_hash_i64_sql(key_expr: str, seed: int = 0) -> str:
     """ANSI-SQL (DuckDB-runnable) text of :func:`det_hash_i64`."""
     x = f"(({key_expr}) + {int(seed)}) % {_M}"
