@@ -990,6 +990,21 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_hbos(spark, sf_dir):
+    """Histogram-based outlier score (features.hbos_fit/hbos_scores)
+    over three lineitem measures: two fit aggregates (min/max +
+    conditional bin counts, both one-row collects), then a pure-JVM
+    literal-histogram scoring scan. Oracle recomputes the identical
+    equal-width histograms in CTEs — same IEEE double arithmetic."""
+    from hipipe_spark.operators.features import hbos_scores
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    out = hbos_scores(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                      n_bins=12)
+    return out.select("l_orderkey", "l_linenumber", "hbos")
+
+
 def q_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss sign projection 64->8 dims
     (decomposition.random_projection): data-INDEPENDENT compression —
@@ -3693,8 +3708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
-    winnow_dedup, t_closeness, random_projection — each green in this
-    session's replica runs).
+    winnow_dedup, t_closeness, random_projection, hbos — each green
+    in this session's replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3778,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": q_winnow,
         "t_closeness": q_t_closeness,
         "random_projection": q_random_projection,
+        "hbos": q_hbos,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -6390,6 +6406,30 @@ def oracle_sql() -> dict[str, str]:
                   WHEN round(0.5 * (absdiff + (1.0 - pg)), 6) > 0.25
                   THEN 't' END AS violation
       FROM agg
+    """
+    d["hbos"] = """
+      WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS f1,
+               CAST(l_extendedprice AS DOUBLE) AS f2,
+               CAST(l_discount AS DOUBLE) AS f3
+        FROM lineitem),
+      mm AS (SELECT min(f1) mn1, max(f1) mx1, min(f2) mn2, max(f2) mx2,
+                    min(f3) mn3, max(f3) mx3 FROM src),
+      b AS (SELECT l_orderkey, l_linenumber,
+              least(11, greatest(0, CAST(floor((f1 - mn1) / ((mx1 - mn1) / 12)) AS INT))) AS b1,
+              least(11, greatest(0, CAST(floor((f2 - mn2) / ((mx2 - mn2) / 12)) AS INT))) AS b2,
+              least(11, greatest(0, CAST(floor((f3 - mn3) / ((mx3 - mn3) / 12)) AS INT))) AS b3
+            FROM src, mm),
+      h1 AS (SELECT b1, count(*) AS n FROM b GROUP BY 1),
+      h2 AS (SELECT b2, count(*) AS n FROM b GROUP BY 1),
+      h3 AS (SELECT b3, count(*) AS n FROM b GROUP BY 1),
+      p1 AS (SELECT b1, ln((SELECT max(n) FROM h1)) - ln(n) AS lp FROM h1),
+      p2 AS (SELECT b2, ln((SELECT max(n) FROM h2)) - ln(n) AS lp FROM h2),
+      p3 AS (SELECT b3, ln((SELECT max(n) FROM h3)) - ln(n) AS lp FROM h3)
+      SELECT b.l_orderkey, b.l_linenumber,
+             round(0.0 + p1.lp + p2.lp + p3.lp, 6) AS hbos
+      FROM b JOIN p1 USING (b1) JOIN p2 USING (b2) JOIN p3 USING (b3)
     """
     from hipipe_spark.operators.decomposition import (
         random_projection_oracle_sql,

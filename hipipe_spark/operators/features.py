@@ -503,3 +503,110 @@ def lag_autocorr(
             .agg(F.sum(pair.cast("int")).cast("bigint")
                   .alias("n_pairs"),
                  F.round(r, round_to).alias("autocorr")))
+
+
+def hbos_fit(df: DataFrame, feature_cols: list[str],
+             n_bins: int = 16) -> dict:
+    """Fit the equal-width histograms for :func:`hbos_scores`
+    (Goldstein & Dengel, "Histogram-based Outlier Score", KI 2012).
+    Returns a plain-python model ``{col: {"min", "width", "logp":
+    [per-bin -ln(count/max_count)]}}`` suitable for baking into a
+    plan (and into an oracle) as literals.
+
+    Exactly TWO corpus scans — the algorithm's lower bound for exact
+    equal-width bins: (1) one aggregate row of per-feature min/max;
+    (2) one aggregate row of n_features x n_bins conditional counts
+    (map-side-combinable; no explode, no shuffle of fact rows). Both
+    collect() sites are dimension-sized by contract (one row each).
+    Degenerate features (min == max) get a single all-mass bin —
+    their score contribution is 0 for every row.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    mm = df.agg(*[a for c in feature_cols
+                  for a in (F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                            F.max(F.col(c).cast("double")).alias(f"mx_{c}"))]
+                ).collect()[0]
+    aggs, meta = [], {}
+    for c in feature_cols:
+        mn, mx = mm[f"mn_{c}"], mm[f"mx_{c}"]
+        if mn is None:
+            raise ValueError(f"hbos_fit: feature {c!r} is all-null")
+        width = (mx - mn) / n_bins if mx > mn else 1.0
+        meta[c] = (float(mn), float(width), mx > mn)
+        x = F.col(c).cast("double")
+        # least/greatest SKIP nulls in Spark — guard explicitly or a
+        # null value silently lands in an edge bin
+        b = F.when(x.isNotNull(),
+                   F.least(F.lit(n_bins - 1),
+                           F.floor((x - F.lit(mn))
+                                   / F.lit(width)).cast("int")))
+        for i in range(n_bins):
+            aggs.append(F.sum(F.when(b == i, 1).otherwise(0))
+                         .alias(f"c_{c}_{i}"))
+    counts = df.agg(*aggs).collect()[0]
+    model = {}
+    for c in feature_cols:
+        mn, width, spread = meta[c]
+        if not spread:
+            model[c] = {"min": mn, "width": width, "logp": [0.0]}
+            continue
+        cs = [int(counts[f"c_{c}_{i}"] or 0) for i in range(n_bins)]
+        peak = max(cs)
+        import math
+        model[c] = {
+            "min": mn, "width": width,
+            # -ln(count/peak); empty bins get None — a row can only
+            # land there in transform mode (data it wasn't fit on)
+            "logp": [None if v == 0 else math.log(peak) - math.log(v)
+                     for v in cs],
+        }
+    return model
+
+
+def hbos_scores(df: DataFrame, feature_cols: list[str],
+                model: dict | None = None, n_bins: int = 16,
+                out: str = "hbos", round_to: int = 6) -> DataFrame:
+    """Histogram-based outlier score: ``hbos = Σ_f -ln(p_f(bin_f(x)))``
+    with each feature's histogram normalized to its peak bin (the
+    paper's convention — a row in every feature's modal bin scores
+    0). Higher = more anomalous. The fast unsupervised outlier pass
+    for training-data quality filtering: linear, no pairwise
+    distances, features treated independently.
+
+    Scoring is a pure JVM projection — the fitted per-bin log-scores
+    are literals (``element_at`` on a baked array), so the scan is
+    narrow, shuffle-free, and oracle-reproducible. Rows landing in an
+    EMPTY bin (only possible when scoring data the model wasn't fit
+    on) get a null score rather than an arbitrary cap — callers
+    decide the policy. Null feature values score null.
+    """
+    if model is None:
+        model = hbos_fit(df, feature_cols, n_bins)
+    total: Column = F.lit(0.0)
+    for c in feature_cols:
+        m = model[c]
+        logp = m["logp"]
+        if len(logp) == 1:  # degenerate feature: contributes 0
+            contrib = F.when(F.col(c).isNotNull(), F.lit(0.0))
+        else:
+            x = F.col(c).cast("double")
+            # same null guard as hbos_fit: least/greatest skip nulls
+            b = F.when(
+                x.isNotNull(),
+                F.least(F.lit(len(logp) - 1),
+                        F.greatest(F.lit(0),
+                                   F.floor((x - F.lit(m["min"]))
+                                           / F.lit(m["width"]))
+                                    .cast("int"))))
+            arr = F.array(*[F.lit(v).cast("double") for v in logp])
+            # gate on the value, not on element_at's null index
+            # propagation — Catalyst folds element_at over a
+            # constant array of equal values to the value even for a
+            # null index (measured), which would score null rows 0
+            contrib = F.when(x.isNotNull(),
+                             F.element_at(arr, b + F.lit(1)))
+        total = total + contrib
+    return df.withColumn(out, F.round(total, round_to))
