@@ -990,6 +990,21 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity (graph.modularity) of the brand
+    partition over the co-purchase projection: does p_brand explain
+    the co-purchase structure? Per-community contributions; the
+    graph's Q = sum(q_contrib)."""
+    from hipipe_spark.operators.graph import bipartite_project, modularity
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = bipartite_project(li, "l_partkey", "l_orderkey",
+                              min_weight=2, max_right_degree=8)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("community"))
+    return modularity(edges, part)
+
+
 def q_hbos(spark, sf_dir):
     """Histogram-based outlier score (features.hbos_fit/hbos_scores)
     over three lineitem measures: two fit aggregates (min/max +
@@ -3708,8 +3723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
-    winnow_dedup, t_closeness, random_projection, hbos — each green
-    in this session's replica runs).
+    winnow_dedup, t_closeness, random_projection, hbos, modularity —
+    each green in this session's replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3794,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "random_projection": q_random_projection,
         "hbos": q_hbos,
+        "modularity": q_modularity,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -6406,6 +6422,40 @@ def oracle_sql() -> dict[str, str]:
                   WHEN round(0.5 * (absdiff + (1.0 - pg)), 6) > 0.25
                   THEN 't' END AS violation
       FROM agg
+    """
+    d["modularity"] = """
+      WITH pr AS (SELECT DISTINCT l_partkey AS l, l_orderkey AS r
+                  FROM lineitem),
+      keep AS (SELECT r FROM pr GROUP BY r HAVING count(*) <= 8),
+      pin AS (SELECT pr.l, pr.r FROM pr JOIN keep USING (r)),
+      ew AS (SELECT a.l AS src, b.l AS dst, count(*) AS weight
+             FROM pin a JOIN pin b ON a.r = b.r AND a.l < b.l
+             GROUP BY 1, 2),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM ew WHERE weight >= 2 AND src <> dst),
+      m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM e),
+      asg AS (SELECT p_partkey AS node, p_brand AS c FROM part),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      intra AS (SELECT ca.c, CAST(count(*) AS BIGINT) AS internal_edges
+                FROM e
+                JOIN asg ca ON ca.node = e.a
+                JOIN asg cb ON cb.node = e.b
+                WHERE ca.c = cb.c GROUP BY 1),
+      comm AS (SELECT asg.c, CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(coalesce(sum(deg.deg), 0) AS BIGINT)
+                        AS degree_sum
+               FROM asg LEFT JOIN deg ON deg.node = asg.node
+               GROUP BY 1)
+      SELECT comm.c AS community, comm.n_nodes,
+             CAST(coalesce(intra.internal_edges, 0) AS BIGINT)
+               AS internal_edges,
+             comm.degree_sum,
+             round(coalesce(intra.internal_edges, 0) / (SELECT m FROM m)
+                   - pow(comm.degree_sum / (2.0 * (SELECT m FROM m)), 2.0),
+                   6) AS q_contrib
+      FROM comm LEFT JOIN intra ON intra.c = comm.c
     """
     d["hbos"] = """
       WITH src AS (

@@ -822,3 +822,74 @@ def k_core_oracle_sql(
       SELECT n.node, fd.node IS NOT NULL AS in_core,
              COALESCE(fd.deg, 0) AS core_deg, TRUE AS converged
       FROM nodes n LEFT JOIN fd ON fd.node = n.node""")
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a partition over an undirected simple
+    graph — the standard quality score for a community assignment
+    (e.g. :func:`label_propagation` output over the near-duplicate
+    graph, or any clustering of the co-occurrence projection):
+    ``Q = Σ_c [ e_c/m − (d_c / 2m)² ]`` with e_c = intra-community
+    edges, d_c = community degree sum, m = total edges.
+
+    Input edges are canonicalized (symmetrized, deduplicated,
+    self-loops dropped); nodes missing from ``assign`` contribute
+    their edges to m only (standard convention — the partition is
+    scored as given). Returns one row per community:
+    ``(community, n_nodes, internal_edges, degree_sum, q_contrib)``;
+    the graph's Q is ``sum(q_contrib)`` — kept per-community so the
+    caller sees WHICH communities carry the structure.
+
+    Scale shape: one distinct over canonical edges, one degree
+    aggregate, two node-keyed joins of the edge list against the
+    (node-sized) assignment, then community-sized aggregates. No
+    iteration, no window over facts.
+    """
+    from hipipe_spark.operators.core import register_cached
+
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct()
+         .persist())
+    m = e.count()
+    if m == 0:
+        raise ValueError("modularity: no edges after canonicalization")
+    asg = (assign.select(F.col(node_col).alias("node"),
+                         F.col(community_col).alias("c"))
+           .dropDuplicates(["node"]))
+    # degrees from the canonical edge list (each edge adds 1 to both)
+    deg = (e.select(F.col("a").alias("node"))
+           .union(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    ca = asg.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+    cb = asg.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    intra = (e.join(ca, "a").join(cb, "b")
+             .filter(F.col("c_a") == F.col("c_b"))
+             .groupBy(F.col("c_a").alias("c"))
+             .agg(F.count(F.lit(1)).alias("internal_edges")))
+    comm = (asg.join(deg, "node", "left")
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.coalesce(F.col("deg"), F.lit(0)))
+                  .alias("degree_sum")))
+    out = (comm.join(intra, "c", "left")
+           .withColumn("internal_edges",
+                       F.coalesce(F.col("internal_edges"), F.lit(0)))
+           .withColumn(
+               "q_contrib",
+               F.round(F.col("internal_edges") / F.lit(float(m))
+                       - F.pow(F.col("degree_sum")
+                               / F.lit(2.0 * m), F.lit(2.0)),
+                       round_to))
+           .select(F.col("c").alias(community_col), "n_nodes",
+                   "internal_edges", "degree_sum", "q_contrib"))
+    return register_cached(out, e)
