@@ -990,6 +990,25 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_conv_winnow(spark, sf_dir):
+    """Conversation-level near-dup pairs: render transcripts to text
+    (transcripts.render_conversations — oracle-pinned by
+    render_convs), then the winnowing local-guarantee fingerprint
+    tier over the rendered string. The transcript twin of
+    winnow_dedup: shared dialogue spans >= w+k-1 chars can never be
+    missed."""
+    from hipipe_spark.operators.dedup import (
+        winnow_fingerprints, winnow_pairs,
+    )
+    from hipipe_spark.operators.transcripts import render_conversations
+    t = _transcripts(spark, sf_dir)
+    r = render_conversations(t, template="plain").select(
+        "conv_id", "rendered")
+    fps = winnow_fingerprints(r, "conv_id", "rendered", k=5, w=4,
+                              max_len=240)
+    return winnow_pairs(fps, "conv_id", threshold=0.2, max_df=60)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity (graph.modularity) of the brand
     partition over the co-purchase projection: does p_brand explain
@@ -3723,8 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (feature_corr, impute, walk_forward, distinctive_terms) rejoin the
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
-    winnow_dedup, t_closeness, random_projection, hbos, modularity —
-    each green in this session's replica runs).
+    winnow_dedup, t_closeness, random_projection, hbos, modularity,
+    conv_winnow — each green in this session's replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3810,6 +3829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "hbos": q_hbos,
         "modularity": q_modularity,
+        "conv_winnow": q_conv_winnow,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -4018,6 +4038,67 @@ def _det_tokens_sql(text_expr: str) -> str:
     """DuckDB twin of hipipe_spark.functions.text.tokens(lower(col))."""
     return (f"CASE WHEN trim({text_expr}) = '' THEN CAST([] AS VARCHAR[]) "
             f"ELSE string_split_regex(trim(lower({text_expr})), '\\s+') END")
+
+
+def _winnow_pairs_oracle_sql(src_sql: str, k: int, w: int,
+                             cap: int, threshold: float,
+                             max_df: int | None = None) -> str:
+    """DuckDB replay of winnow_fingerprints + winnow_pairs
+    (operators/dedup.py): the exact MOSS selection — poly-31 k-gram
+    fold over codepoints, LCG double-round mix, rightmost-tie window
+    min via the (h*256 + 255-pos) int64 packing — then the
+    fingerprint equi-join scored by overlap coefficient.
+    ``src_sql`` must yield columns (wid, wtext)."""
+    from hipipe_spark.functions.hashing import _A, _C, _M
+    hub = (f"hubs AS (SELECT fp FROM fp GROUP BY fp "
+           f"HAVING count(*) > {int(max_df)}),\n"
+           "      kept AS (SELECT f.wid, f.fp FROM fp f\n"
+           "               LEFT JOIN hubs h ON f.fp = h.fp "
+           "WHERE h.fp IS NULL),"
+           ) if max_df is not None else \
+          "kept AS (SELECT wid, fp FROM fp),"
+    return f"""
+      WITH d AS (SELECT wid,
+                        substring(lower(coalesce(wtext, '')), 1, {cap}) AS t
+                 FROM ({src_sql})),
+      nn AS (SELECT wid, t, length(t) - {k} + 1 AS n
+             FROM d WHERE length(t) - {k} + 1 >= {w}),
+      b AS (SELECT wid, n,
+        list_transform(range(1, n + 1), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(i, i + {k}),
+                           j -> CAST(ascii(substring(t, j, 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % {_M})) AS hs
+        FROM nn),
+      m AS (SELECT wid, n,
+        list_transform(hs,
+          x -> ((x * {_A} + {_C}) % {_M} * {_A} + {_C}) % {_M}) AS mh
+        FROM b),
+      e AS (SELECT wid, n,
+        list_transform(range(1, n + 1),
+                       i -> mh[i] * 256 + (255 - i)) AS encs FROM m),
+      mi AS (SELECT wid,
+        list_distinct(list_transform(
+          list_transform(range({w}, n + 1),
+                         p -> list_min(encs[p - {w} + 1 : p])),
+          v -> v // 256)) AS fps
+        FROM e),
+      fp AS (SELECT wid, unnest(fps) AS fp FROM mi),
+      sizes AS (SELECT wid, count(*) AS n_fp FROM fp GROUP BY wid),
+      {hub}
+      shared AS (SELECT a.wid AS id_a, b2.wid AS id_b,
+                        count(*) AS n_shared
+                 FROM kept a JOIN kept b2 ON a.fp = b2.fp
+                 WHERE a.wid < b2.wid GROUP BY 1, 2),
+      j AS (SELECT id_a, id_b, n_shared,
+                   sa.n_fp AS n_a, sb.n_fp AS n_b,
+                   round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS sim
+            FROM shared
+            JOIN sizes sa ON sa.wid = id_a
+            JOIN sizes sb ON sb.wid = id_b)
+      SELECT id_a, id_b, n_shared, n_a, n_b, sim
+      FROM j WHERE sim >= {threshold}
+    """
 
 
 def _minhash_det_oracle(n_hashes: int = 32, bands: int = 16,
@@ -4236,54 +4317,20 @@ def oracle_sql() -> dict[str, str]:
                    "l_quantity FROM lineitem"),
         group="l_returnflag", n_reps=50, seed=7)
     d["simhash"] = _simhash_det_oracle()
-    # winnow_dedup: DuckDB replays the exact fingerprint selection
+    # winnow: DuckDB replays the exact fingerprint selection
     # (poly-31 k-gram fold -> LCG double-round mix -> rightmost-tie
     # window min via the (h*256 + 255-pos) packing) then the pair join.
-    _wk, _ww, _wcap, _wdf = 5, 4, 240, 50
-    from hipipe_spark.functions.hashing import _A as _HA, _C as _HC, _M as _HM
-    d["winnow_dedup"] = f"""
-      WITH d AS (SELECT doc_id,
-                        substring(lower(coalesce(text, '')), 1, {_wcap}) AS t
-                 FROM documents WHERE doc_id % 5 = 0),
-      nn AS (SELECT doc_id, t, length(t) - {_wk} + 1 AS n
-             FROM d WHERE length(t) - {_wk} + 1 >= {_ww}),
-      b AS (SELECT doc_id, n,
-        list_transform(range(1, n + 1), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(i, i + {_wk}),
-                           j -> CAST(ascii(substring(t, j, 1)) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % {_HM})) AS hs
-        FROM nn),
-      m AS (SELECT doc_id, n,
-        list_transform(hs,
-          x -> ((x * {_HA} + {_HC}) % {_HM} * {_HA} + {_HC}) % {_HM}) AS mh
-        FROM b),
-      e AS (SELECT doc_id, n,
-        list_transform(range(1, n + 1),
-                       i -> mh[i] * 256 + (255 - i)) AS encs FROM m),
-      mi AS (SELECT doc_id,
-        list_distinct(list_transform(
-          list_transform(range({_ww}, n + 1),
-                         p -> list_min(encs[p - {_ww} + 1 : p])),
-          v -> v // 256)) AS fps
-        FROM e),
-      fp AS (SELECT doc_id, unnest(fps) AS fp FROM mi),
-      sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
-      hubs AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > {_wdf}),
-      kept AS (SELECT f.doc_id, f.fp FROM fp f
-               LEFT JOIN hubs h ON f.fp = h.fp WHERE h.fp IS NULL),
-      shared AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-                        count(*) AS n_shared
-                 FROM kept a JOIN kept b2 ON a.fp = b2.fp
-                 WHERE a.doc_id < b2.doc_id GROUP BY 1, 2),
-      j AS (SELECT id_a, id_b, n_shared,
-                   sa.n_fp AS n_a, sb.n_fp AS n_b,
-                   round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS sim
-            FROM shared
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b)
-      SELECT id_a, id_b, n_shared, n_a, n_b, sim FROM j WHERE sim >= 0.25
-    """
+    d["winnow_dedup"] = _winnow_pairs_oracle_sql(
+        src_sql=("SELECT doc_id AS wid, text AS wtext FROM documents "
+                 "WHERE doc_id % 5 = 0"),
+        k=5, w=4, cap=240, max_df=50, threshold=0.25)
+    d["conv_winnow"] = _winnow_pairs_oracle_sql(
+        src_sql=("WITH t AS (" + _T + ") "
+                 "SELECT conv_id AS wid, "
+                 "string_agg(role || ': ' || text, chr(10) "
+                 "ORDER BY turn_idx, role, text) AS wtext "
+                 "FROM t GROUP BY conv_id"),
+        k=5, w=4, cap=240, max_df=60, threshold=0.2)
     # NB: DuckDB's list_resize miscopies non-trivial default values when
     # used inside a lambda — pad via list_concat + a generated fill list
     def _fill(n_expr: str, v_expr: str) -> str:

@@ -952,6 +952,10 @@ def winnow_fingerprints(
                          "8 bits of the selection key)")
     from ..functions.hashing import _A, _C, _M
     a, c, m, kk, ww, cap = _A, _C, _M, int(k), int(w), int(max_len)
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_dtype = ("int64" if id_type in
+                ("bigint", "long", "int", "smallint", "tinyint")
+                else "object")
 
     def fp_batches(it):
         import numpy as np
@@ -976,11 +980,11 @@ def winnow_fingerprints(
                 sel = np.unique(mins // 256)
                 ids.extend([did] * len(sel))
                 fps.extend(sel.tolist())
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype=id_dtype),
                                 "fp": pd.Series(fps, dtype="int64")})
 
     return df.select(id_col, text_col).mapInPandas(
-        fp_batches, f"{id_col} long, fp long")
+        fp_batches, f"{id_col} {id_type}, fp long")
 
 
 def winnow_pairs(

@@ -111,3 +111,15 @@ def test_pairs_scoring_and_hub_exclusion(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # max_df=1 excludes every fingerprint appearing in 2+ docs -> no pairs
     assert winnow_pairs(fps, "doc_id", threshold=0.0, max_df=1).count() == 0
+
+
+def test_string_ids(spark):
+    # id column type is preserved (conv-style string ids)
+    rows = [("conv_a", "the same shared sentence body here"),
+            ("conv_b", "the same shared sentence body here")]
+    df = spark.createDataFrame(rows, "cid string, text string")
+    fps = winnow_fingerprints(df, "cid", "text", k=K, w=W)
+    assert dict(fps.dtypes)["cid"] == "string"
+    pairs = winnow_pairs(fps, "cid", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["sim"]) for r in pairs] == \
+        [("conv_a", "conv_b", 1.0)]
