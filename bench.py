@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     # multinomials + one doc agg), multi-touch attribution (two window
     # passes), z-order write-layout keys (bit interleave + range sort)
     "substring_dedup", "dsir", "attribution", "zorder",
+    # round-4 continuation: winnowing local-guarantee dedup tier
+    # (vectorized Arrow fingerprints + fingerprint equi-join) and the
+    # HBOS outlier scoring scan (two-agg fit + literal-histogram scan)
+    "winnow_dedup", "hbos",
 ]
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "100000"))
