@@ -990,6 +990,18 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease / Flesch-Kincaid grade / ARI
+    (functions/text.readability): three shared JVM regex counts, all
+    indices one narrow projection — the classic quality-filter axes
+    next to quality_score."""
+    from hipipe_spark.functions.text import readability
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    cols = readability(F.col("text"))
+    return d.select("doc_id",
+                    *[c.alias(n) for n, c in cols.items()])
+
+
 def q_conv_winnow(spark, sf_dir):
     """Conversation-level near-dup pairs: render transcripts to text
     (transcripts.render_conversations — oracle-pinned by
@@ -3743,7 +3755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
-    conv_winnow — each green in this session's replica runs).
+    conv_winnow, readability — each green in this session's replica
+    runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3830,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos": q_hbos,
         "modularity": q_modularity,
         "conv_winnow": q_conv_winnow,
+        "readability": q_readability,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -4324,6 +4338,32 @@ def oracle_sql() -> dict[str, str]:
         src_sql=("SELECT doc_id AS wid, text AS wtext FROM documents "
                  "WHERE doc_id % 5 = 0"),
         k=5, w=4, cap=240, max_df=50, threshold=0.25)
+    d["readability"] = r"""
+      WITH src AS (
+        SELECT doc_id,
+          CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS DOUBLE) AS w,
+          CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS DOUBLE) AS s,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS DOUBLE) AS yraw,
+          CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               AS DOUBLE) AS c
+        FROM documents WHERE doc_id % 4 = 0),
+      n AS (SELECT doc_id, w, s, greatest(w, yraw) AS y, c FROM src)
+      SELECT doc_id,
+        CASE WHEN w > 0 THEN
+          round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+        END AS fre,
+        CASE WHEN w > 0 THEN
+          round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4)
+        END AS fkgl,
+        CASE WHEN w > 0 THEN
+          round(4.71 * (c / w) + 0.5 * (w / s) - 21.43, 4)
+        END AS ari
+      FROM n
+    """
     d["conv_winnow"] = _winnow_pairs_oracle_sql(
         src_sql=("WITH t AS (" + _T + ") "
                  "SELECT conv_id AS wid, "

@@ -370,3 +370,54 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
 
     _ratio_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_ratio_batch, "double")(col)
+
+
+def readability(col: Column, round_to: int = 4) -> dict[str, Column]:
+    """Classic readability indices as named columns — the quality-
+    filtering companions to :func:`quality_score` (too-low grade level
+    ≈ fragment soup, too-high ≈ OCR noise / legalese):
+
+    - ``fre``  — Flesch Reading Ease:
+      ``206.835 − 1.015·(W/S) − 84.6·(Y/W)``
+    - ``fkgl`` — Flesch–Kincaid Grade Level:
+      ``0.39·(W/S) + 11.8·(Y/W) − 15.59``
+    - ``ari``  — Automated Readability Index:
+      ``4.71·(C/W) + 0.5·(W/S) − 21.43``
+
+    with W = whitespace words, S = sentence-terminator runs
+    (``[.!?]+``, min 1), C = alphanumeric chars, Y = syllables by the
+    vowel-group heuristic (total ``[aeiouy]+`` runs over the text,
+    clamped below by W — a document-level simplification of the
+    per-word min-1 rule; exact per-word clamping would need a
+    per-token regex loop for a correction that moves FKGL by well
+    under a grade on natural text). Every count is one JVM regex
+    pass — no UDF, no shuffle;
+    all three indices share the same three counts. Empty/whitespace
+    text yields nulls (no words → undefined, not 0 — a 0 FKGL is a
+    legitimate score).
+    """
+    low = F.lower(col)
+    w = F.size(tokens(col)).cast("double")
+    s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(col, F.lit(r"[.!?]+"), 0))
+    ).cast("double")
+    y = F.greatest(
+        w,
+        F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0))
+         .cast("double"))
+    c = F.length(F.regexp_replace(col, r"[^A-Za-z0-9]", "")) \
+         .cast("double")
+    wps, ypw, cpw = w / s, y / w, c / w
+    guard = w > 0
+    return {
+        "fre": F.when(guard, F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw,
+            round_to)),
+        "fkgl": F.when(guard, F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59),
+            round_to)),
+        "ari": F.when(guard, F.round(
+            F.lit(4.71) * cpw + F.lit(0.5) * wps - F.lit(21.43),
+            round_to)),
+    }
