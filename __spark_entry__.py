@@ -990,6 +990,18 @@ def q_simhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_ad_test(spark, sf_dir):
+    """Two-sample Anderson-Darling (drift.ad_table) between view and
+    purchase value distributions — the tail-weighted sibling of ks/
+    wasserstein in the drift family; same one-exchange plan, windows
+    on the dimension-sized merged support."""
+    from hipipe_spark.operators.drift import ad_table
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.where("event_type = 'view'").select("value")
+    b = e.where("event_type = 'purchase'").select("value")
+    return ad_table(a, b, "value")
+
+
 def q_readability(spark, sf_dir):
     """Flesch Reading Ease / Flesch-Kincaid grade / ARI
     (functions/text.readability): three shared JVM regex counts, all
@@ -3755,8 +3767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
-    conv_winnow, readability — each green in this session's replica
-    runs).
+    conv_winnow, readability, ad_test — each green in this session's
+    replica runs).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -3844,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "conv_winnow": q_conv_winnow,
         "readability": q_readability,
+        "ad_test": q_ad_test,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -4338,6 +4351,36 @@ def oracle_sql() -> dict[str, str]:
         src_sql=("SELECT doc_id AS wid, text AS wtext FROM documents "
                  "WHERE doc_id % 5 = 0"),
         k=5, w=4, cap=240, max_df=50, threshold=0.25)
+    d["ad_test"] = """
+      WITH a AS (SELECT CAST(value AS DOUBLE) AS value FROM events
+                 WHERE event_type = 'view'),
+      b AS (SELECT CAST(value AS DOUBLE) AS value FROM events
+            WHERE event_type = 'purchase'),
+      tagged AS (SELECT value, 1 AS is_a, 0 AS is_b FROM a
+                 UNION ALL SELECT value, 0, 1 FROM b),
+      counts AS (SELECT value, CAST(sum(is_a) AS BIGINT) AS n_a,
+                        CAST(sum(is_b) AS BIGINT) AS n_b
+                 FROM tagged GROUP BY value),
+      tot AS (SELECT CAST(sum(n_a) AS DOUBLE) AS na,
+                     CAST(sum(n_b) AS DOUBLE) AS nb FROM counts),
+      cum AS (SELECT value, n_a, n_b,
+                     sum(n_a + n_b) OVER w AS h,
+                     sum(n_a) OVER w AS ma
+              FROM counts
+              WINDOW w AS (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+      con AS (SELECT value, n_a, n_b,
+                round(CASE WHEN h < na + nb THEN
+                  (n_a + n_b) * pow((na + nb) * ma - na * h, 2.0)
+                    * (1.0 / na + 1.0 / nb)
+                    / (h * (na + nb - h)) / (na + nb)
+                ELSE 0.0 END, 9) AS contrib
+              FROM cum, tot)
+      SELECT value, n_a, n_b, round(contrib, 6) AS contrib,
+             round(sum(contrib) OVER (), 6) AS a2
+      FROM con
+    """
     d["readability"] = r"""
       WITH src AS (
         SELECT doc_id,

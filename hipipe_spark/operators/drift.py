@@ -387,3 +387,60 @@ def chi2_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.col("chi2"), 6).alias("chi2"),
         dof.cast("bigint").alias("dof"),
         F.round(F.when(dof >= 1, p), 6).alias("p_value"))
+
+
+def ad_table(df_a: DataFrame, df_b: DataFrame,
+             col: Column | str, round_to: int = 6) -> DataFrame:
+    """Two-sample Anderson–Darling decomposition — the tail-sensitive
+    companion to :func:`ks_table` (KS sees the single largest eCDF
+    gap; AD integrates the squared gap with 1/(F(1−F)) weighting, so
+    divergence in the tails is not drowned out by the middle).
+
+    Statistic: the right-continuous tie-aware version (Scholz &
+    Stephens 1987, eq. 3, k=2) which reduces exactly to Pettitt's
+    continuous two-sample A² on untied data::
+
+        A² = (1/N) Σ_j  l_j (N·Ma_j − n_a·H_j)² (1/n_a + 1/n_b)
+                        / (H_j (N − H_j))
+
+    summed over distinct pooled values with H_j < N, where l_j =
+    pooled count at value j, H_j = cumulative pooled count, Ma_j =
+    cumulative count of sample a. Per distinct value the row carries
+    ``(value, n_a, n_b, contrib)`` with ``a2`` (the total) repeated
+    on every row, mirroring ks_table's output contract.
+
+    Plan shape identical to ks_table: each side partial-aggregates to
+    its distinct values, ONE exchange on the value key, cumulative
+    windows over the post-aggregation (dimension-sized) table — the
+    unpartitioned windows are safe by the same contract. Exact for
+    discrete domains; pre-bucket continuous features with
+    :func:`uniform_bucket`.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    tagged = (
+        df_a.select(c.alias("value"), F.lit(1).alias("is_a"),
+                    F.lit(0).alias("is_b"))
+        .unionByName(df_b.select(c.alias("value"), F.lit(0).alias("is_a"),
+                                 F.lit(1).alias("is_b")))
+    )
+    counts = tagged.groupBy("value").agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b"))
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    na, nb = F.sum("n_a").over(wall), F.sum("n_b").over(wall)
+    big_n = na + nb
+    l = F.col("n_a") + F.col("n_b")
+    h = (F.sum("n_a").over(wcum) + F.sum("n_b").over(wcum))
+    ma = F.sum("n_a").over(wcum)
+    contrib = F.when(
+        h < big_n,
+        l * F.pow(big_n * ma - na * h, F.lit(2.0))
+          * (F.lit(1.0) / na + F.lit(1.0) / nb)
+          / (h * (big_n - h)) / big_n
+    ).otherwise(F.lit(0.0))
+    withc = counts.withColumn("contrib", F.round(contrib, round_to + 3))
+    a2 = F.round(F.sum("contrib").over(Window.partitionBy()), round_to)
+    return withc.select(
+        "value", "n_a", "n_b",
+        F.round("contrib", round_to).alias("contrib"),
+        a2.alias("a2"))
