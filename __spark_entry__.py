@@ -3733,6 +3733,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return featurize(t, profiles=prof)
 
 
+def q_anova(spark, sf_dir):
+    """One-way ANOVA per segment (stats.anova_oneway): does the event
+    value differ across user-id buckets within each event_type? Grand
+    means are rounded and broadcast back to center the metric before
+    the power sums (deviation-scale terms keep the 6-dp oracle
+    rounding safe); one group-key aggregate + segment reduce."""
+    from hipipe_spark.operators.stats import anova_oneway
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        (F.col("user_id") % 4).cast("int").alias("bucket"))
+    return anova_oneway(e, "event_type", "bucket", "value")
+
+
+def q_levene(spark, sf_dir):
+    """Brown-Forsythe homogeneity-of-variance test (stats.levene_bf):
+    ANOVA on |x - group median| with exact interpolated medians
+    rounded before reuse; two fact scans, zero raw-row shuffles."""
+    from hipipe_spark.operators.stats import levene_bf
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        (F.col("user_id") % 4).cast("int").alias("bucket"))
+    return levene_bf(e, "event_type", "bucket", "value")
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality screen per event_type (stats.jarque_bera):
+    central power sums over rounded-mean-centered values — the
+    centering is what keeps fourth-moment arithmetic 6-dp stable."""
+    from hipipe_spark.operators.stats import jarque_bera
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return jarque_bera(e, "event_type", "value")
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Tie-corrected Kruskal-Wallis H across event types per user
+    cohort (stats.kruskal_wallis): midranks on the value-aggregated
+    dimension frame exactly like mann_whitney, chi-square tail via the
+    Wilson-Hilferty transform mirrored in the oracle."""
+    from hipipe_spark.operators.stats import kruskal_wallis
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 3).cast("int").alias("cohort"),
+        "event_type", "value")
+    return kruskal_wallis(e, "cohort", "event_type", "value")
+
+
+def q_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified 2x2 (stats.cmh_test): does
+    customer parity predict high-value orders pooled over priority
+    strata? One conditional-sum aggregate to the stratum cell table;
+    pooled OR + chi2 repeated per row (ad_table's contract)."""
+    from hipipe_spark.operators.stats import cmh_test
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cmh_test(o, "o_orderpriority",
+                    F.col("o_custkey") % 2 == 0,
+                    F.col("o_totalprice") > 150000.0)
+
+
+def q_tost(spark, sf_dir):
+    """TOST equivalence test per event_type (stats.tost_equiv): the
+    inverse Welch question - is the parity-arm difference provably
+    within +/-2.0? Same one-aggregate plan as welch_ttest."""
+    from hipipe_spark.operators.stats import tost_equiv
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"))
+    return tost_equiv(e, "event_type", "value", "arm", "a", "b", 2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
@@ -3767,7 +3835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5 pool immediately after the window alongside the other late
     additions (hits, logrank, link_features, kcore, leakage_audit,
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
-    conv_winnow, readability, ad_test — each green in this session's
+    conv_winnow, readability, ad_test, anova, levene, jarque_bera,
+    kruskal_wallis, cmh, tost — each green in this session's
     replica runs).
 
     Every query outside the window is still verified each session by
@@ -3857,6 +3926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_winnow": q_conv_winnow,
         "readability": q_readability,
         "ad_test": q_ad_test,
+        "anova": q_anova,
+        "levene": q_levene,
+        "jarque_bera": q_jarque_bera,
+        "kruskal_wallis": q_kruskal_wallis,
+        "cmh": q_cmh,
+        "tost": q_tost,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -8187,6 +8262,215 @@ def oracle_sql() -> dict[str, str]:
       FROM k
       WHERE (i % step = 0 OR i = n) AND tot > 0
     """
+    d["anova"] = """
+      WITH e AS (SELECT event_type, CAST(user_id % 4 AS INT) AS bucket,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      gm AS (SELECT event_type, round(avg(v), 6) AS gmu
+             FROM e GROUP BY event_type),
+      c AS (SELECT e.event_type, bucket, v - gmu AS d
+            FROM e JOIN gm USING (event_type)),
+      g AS (SELECT event_type, bucket, CAST(count(*) AS DOUBLE) AS ng,
+                   sum(d) AS sg, sum(d*d) AS qg
+            FROM c GROUP BY event_type, bucket),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   sum(ng) AS n, sum(sg) AS s,
+                   sum(sg*sg/ng) AS sb_raw,
+                   sum(qg - sg*sg/ng) AS ssw
+            FROM g GROUP BY event_type),
+      f AS (SELECT event_type, k, n,
+                   sb_raw - s*s/n AS ssb, ssw,
+                   CASE WHEN n - k > 0 THEN ssw / (n - k) END AS msw
+            FROM a)
+      SELECT event_type, k, CAST(n AS BIGINT) AS n,
+             round(ssb, 6) AS ss_between,
+             round(ssw, 6) AS ss_within,
+             round(CASE WHEN k > 1 AND n - k > 0 AND ssw > 0
+                   THEN (ssb / (k - 1)) / msw END, 6) AS f_stat,
+             round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw) END, 6)
+               AS eta2,
+             round(CASE WHEN ssb + ssw > 0 AND n - k > 0
+                   THEN (ssb - (k - 1) * msw) / (ssb + ssw + msw) END, 6)
+               AS omega2
+      FROM f
+    """
+    d["levene"] = """
+      WITH e AS (SELECT event_type, CAST(user_id % 4 AS INT) AS bucket,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      med AS (SELECT event_type, bucket,
+                     round(quantile_cont(v, 0.5), 6) AS m
+              FROM e GROUP BY event_type, bucket),
+      z AS (SELECT e.event_type, e.bucket, abs(v - m) AS zv
+            FROM e JOIN med USING (event_type, bucket)),
+      gm AS (SELECT event_type, round(avg(zv), 6) AS gmu
+             FROM z GROUP BY event_type),
+      c AS (SELECT z.event_type, bucket, zv - gmu AS d
+            FROM z JOIN gm USING (event_type)),
+      g AS (SELECT event_type, bucket, CAST(count(*) AS DOUBLE) AS ng,
+                   sum(d) AS sg, sum(d*d) AS qg
+            FROM c GROUP BY event_type, bucket),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   sum(ng) AS n, sum(sg) AS s,
+                   sum(sg*sg/ng) AS sb_raw,
+                   sum(qg - sg*sg/ng) AS ssw
+            FROM g GROUP BY event_type),
+      f AS (SELECT event_type, k, n,
+                   sb_raw - s*s/n AS ssb, ssw,
+                   CASE WHEN n - k > 0 THEN ssw / (n - k) END AS msw
+            FROM a)
+      SELECT event_type, k, CAST(n AS BIGINT) AS n,
+             round(CASE WHEN k > 1 AND n - k > 0 AND ssw > 0
+                   THEN (ssb / (k - 1)) / msw END, 6) AS w_stat,
+             round(ssb, 6) AS ss_between,
+             round(ssw, 6) AS ss_within
+      FROM f
+    """
+    d["jarque_bera"] = """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+      mu AS (SELECT event_type, round(avg(v), 6) AS m
+             FROM e GROUP BY event_type),
+      c AS (SELECT e.event_type, v - m AS d, m
+            FROM e JOIN mu USING (event_type)),
+      a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                   min(m) AS mean,
+                   sum(d*d) AS c2, sum(d*d*d) AS c3,
+                   sum(d*d*d*d) AS c4
+            FROM c GROUP BY event_type),
+      s AS (SELECT event_type, n, mean,
+                   c2/n AS m2, c3/n AS m3, c4/n AS m4
+            FROM a),
+      t AS (SELECT event_type, n, mean,
+                   CASE WHEN n >= 4 AND m2 > 0
+                        THEN m3 / pow(m2, 1.5) END AS skew,
+                   CASE WHEN n >= 4 AND m2 > 0
+                        THEN m4 / (m2*m2) - 3.0 END AS exk
+            FROM s)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             round(mean, 6) AS mean,
+             round(skew, 6) AS skew,
+             round(exk, 6) AS ex_kurt,
+             round(n / 6.0 * (skew*skew + exk*exk/4.0), 6) AS jb
+      FROM t
+    """
+    d["kruskal_wallis"] = """
+      WITH e AS (SELECT CAST(user_id % 3 AS INT) AS cohort, event_type,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      gv AS (SELECT cohort, event_type, v, CAST(count(*) AS DOUBLE) AS c
+             FROM e GROUP BY cohort, event_type, v),
+      vt AS (SELECT cohort, v, sum(c) AS t FROM gv GROUP BY cohort, v),
+      vr AS (SELECT cohort, v, t,
+                    sum(t) OVER (PARTITION BY cohort ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - t + (t + 1)/2 AS r
+             FROM vt),
+      pg AS (SELECT g.cohort, g.event_type, sum(g.c) AS ng,
+                    sum(g.c * vr.r) AS rg
+             FROM gv g JOIN vr ON g.cohort = vr.cohort AND g.v = vr.v
+             GROUP BY g.cohort, g.event_type),
+      tie AS (SELECT cohort, sum(t*t*t - t) AS tie FROM vt
+              GROUP BY cohort),
+      ag AS (SELECT cohort, CAST(count(*) AS BIGINT) AS k,
+                    sum(ng) AS n, sum(rg*rg/ng) AS r2
+             FROM pg GROUP BY cohort),
+      j AS (SELECT ag.cohort, k, n, r2, tie.tie
+            FROM ag JOIN tie ON ag.cohort = tie.cohort),
+      h0 AS (SELECT cohort, k, n,
+                    CASE WHEN k > 1 AND n > k
+                         THEN 12.0/(n*(n+1))*r2 - 3.0*(n+1) END AS h,
+                    1.0 - tie/(n*n*n - n) AS corr
+             FROM j),
+      h1 AS (SELECT cohort, k, n, h,
+                    CASE WHEN corr > 0 THEN h / corr END AS h_tied
+             FROM h0),
+      z AS (SELECT cohort, k, n, h, h_tied,
+                   CASE WHEN h_tied >= 0 THEN
+                     (pow(h_tied / (k - 1.0), 1.0/3.0)
+                      - (1.0 - 2.0/(9.0*(k - 1.0))))
+                     / sqrt(2.0/(9.0*(k - 1.0))) END AS zwh
+            FROM h1)
+      SELECT cohort, k, CAST(n AS BIGINT) AS n,
+             round(h, 6) AS h_stat,
+             round(h_tied, 6) AS h_tied,
+             round(CASE WHEN zwh IS NOT NULL THEN
+                   1.0 / (1.0 + exp(0.07056*zwh*zwh*zwh + 1.5976*zwh))
+                   END, 6) AS p_value
+      FROM z
+    """
+    d["cmh"] = """
+      WITH cell AS (SELECT o_orderpriority,
+          CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_totalprice > 150000.0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+          CAST(sum(CASE WHEN o_custkey % 2 = 0 AND NOT o_totalprice > 150000.0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+          CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_totalprice > 150000.0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+          CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND NOT o_totalprice > 150000.0
+                        THEN 1 ELSE 0 END) AS DOUBLE) AS d
+          FROM orders GROUP BY o_orderpriority),
+      per AS (SELECT o_orderpriority,
+                     CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                     CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+                     round(CASE WHEN a+b+c+d > 0
+                           THEN (a+b)*(a+c)/(a+b+c+d) ELSE 0.0 END, 9) AS ea,
+                     round(CASE WHEN a+b+c+d > 1
+                           THEN (a+b)*(c+d)*(a+c)*(b+d)
+                                / ((a+b+c+d)*(a+b+c+d)*(a+b+c+d-1))
+                           ELSE 0.0 END, 9) AS va,
+                     round(CASE WHEN a+b+c+d > 0
+                           THEN a*d/(a+b+c+d) ELSE 0.0 END, 9) AS no,
+                     round(CASE WHEN a+b+c+d > 0
+                           THEN b*c/(a+b+c+d) ELSE 0.0 END, 9) AS do_
+              FROM cell),
+      tot AS (SELECT o_orderpriority, a, b, c, d,
+                     sum(CAST(a AS DOUBLE)) OVER () AS sa,
+                     sum(ea) OVER () AS sea, sum(va) OVER () AS sva,
+                     sum(no) OVER () AS sno, sum(do_) OVER () AS sdo
+              FROM per)
+      SELECT o_orderpriority, a, b, c, d,
+             round(CASE WHEN sva > 0
+                   THEN pow(sa - sea, 2.0) / sva END, 6) AS cmh_chi2,
+             round(CASE WHEN sdo > 0 THEN sno / sdo END, 6) AS or_mh
+      FROM tot
+    """
+    d["tost"] = """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+                        CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm
+                 FROM events),
+      agg AS (SELECT event_type,
+                     CAST(sum(CASE WHEN arm='a' THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS na,
+                     sum(CASE WHEN arm='a' THEN v ELSE 0.0 END) AS sa,
+                     sum(CASE WHEN arm='a' THEN v*v ELSE 0.0 END) AS qa,
+                     CAST(sum(CASE WHEN arm='b' THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS nb,
+                     sum(CASE WHEN arm='b' THEN v ELSE 0.0 END) AS sb,
+                     sum(CASE WHEN arm='b' THEN v*v ELSE 0.0 END) AS qb
+              FROM e GROUP BY event_type),
+      st AS (SELECT event_type, na, nb,
+                    sa/na - sb/nb AS diff,
+                    CASE WHEN na >= 2 AND nb >= 2 THEN
+                      sqrt(((qa - sa*sa/na)/(na-1))/na
+                           + ((qb - sb*sb/nb)/(nb-1))/nb) END AS se
+             FROM agg),
+      z AS (SELECT event_type, na, nb, diff, se,
+                   CASE WHEN se > 0 THEN (diff + 2.0) / se END AS zl,
+                   CASE WHEN se > 0 THEN (diff - 2.0) / se END AS zu
+            FROM st),
+      p AS (SELECT event_type, na, nb, diff, se, zl, zu,
+                   1.0 - 1.0/(1.0 + exp(-(0.07056*zl*zl*zl + 1.5976*zl)))
+                     AS pl,
+                   1.0/(1.0 + exp(-(0.07056*zu*zu*zu + 1.5976*zu))) AS pu
+            FROM z)
+      SELECT event_type,
+             CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             round(diff, 6) AS diff, round(se, 6) AS se,
+             round(zl, 6) AS z_lower, round(zu, 6) AS z_upper,
+             round(greatest(pl, pu), 6) AS p_tost,
+             CASE WHEN zl IS NOT NULL AND zu IS NOT NULL
+                  THEN zl >= 1.6448536269514722
+                       AND zu <= -1.6448536269514722 END AS equivalent
+      FROM p
+    """
+
     return d
 
 

@@ -1037,3 +1037,308 @@ def logrank_test(df: DataFrame, duration: str, event: str, is_a,
         F.round("var_a", ndigits).alias("var_a"),
         F.round(z, ndigits).alias("z"),
         F.round(norm_sf2(z), ndigits).alias("p_value"))
+
+
+def anova_oneway(df: DataFrame, segment: str, group: str, value: str,
+                 ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` one-way ANOVA across the levels of ``group``:
+    one row per segment with ``k, n, ss_between, ss_within, f_stat,
+    eta2, omega2`` (effect sizes alongside the F ratio — the modern
+    reporting convention; no F-tail p-value because neither Spark nor
+    DuckDB has a closed-form incomplete beta, and the statistic plus
+    effect size is what a feature platform thresholds on).
+
+    Plan: pass 1 aggregates per-SEGMENT grand means, ROUNDED to 6 dp
+    (the module's rounded-handoff rule) and broadcast-joined back to
+    center the metric — shifting leaves every sum of squares
+    invariant but keeps all power-sum terms at DEVIATION scale, so
+    the 6-dp output rounding is immune to the catastrophic
+    cancellation that raw ``Σx² − (Σx)²/n`` exhibits when the metric
+    mean dwarfs its spread (1e13-scale terms cancelling to 1e9 leave
+    only ~3 safe decimal digits in a double). Pass 2 is ONE
+    map-side-combinable aggregate to per-(segment, group)
+    ``(n_g, Σd, Σd²)``, then a segment-level reduce of the
+    group-dimension frame::
+
+        SS_within  = Σ_g (Σd² − (Σd)²/n_g)
+        SS_between = Σ_g (Σd)²/n_g − (Σ_g Σd)²/N
+
+    Two fact scans, zero raw-row shuffles (the aggregate is the only
+    exchange, as in :func:`welch_ttest`).
+    """
+    xr = F.col(value).cast("double")
+    gm = df.groupBy(segment).agg(F.round(F.avg(xr), 6).alias("__gm"))
+    df = (df.join(F.broadcast(gm), segment)
+            .withColumn("__cx", xr - F.col("__gm")))
+    x = F.col("__cx")
+    g = df.groupBy(segment, group).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(x).alias("sg"),
+        F.sum(x * x).alias("qg"))
+    agg = g.groupBy(segment).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sb_raw"),
+        F.sum(F.col("qg") - F.col("sg") * F.col("sg") / F.col("ng"))
+         .alias("ssw"))
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sb_raw") - F.col("s") * F.col("s") / n
+    ssw = F.col("ssw")
+    sst = ssb + ssw
+    df_b, df_w = (k - 1).cast("double"), n - k
+    msw = F.when(df_w > 0, ssw / df_w)
+    fstat = F.when((k > 1) & (df_w > 0) & (ssw > 0), (ssb / df_b) / msw)
+    eta2 = F.when(sst > 0, ssb / sst)
+    omega2 = F.when((sst > 0) & (df_w > 0),
+                    (ssb - df_b * msw) / (sst + msw))
+    return agg.select(
+        segment, k, n.cast("bigint").alias("n"),
+        F.round(ssb, ndigits).alias("ss_between"),
+        F.round(ssw, ndigits).alias("ss_within"),
+        F.round(fstat, ndigits).alias("f_stat"),
+        F.round(eta2, ndigits).alias("eta2"),
+        F.round(omega2, ndigits).alias("omega2"))
+
+
+def levene_bf(df: DataFrame, segment: str, group: str, value: str,
+              ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` Brown–Forsythe test (Levene with group MEDIAN
+    centers — the robust recommendation) for homogeneity of variance
+    across the levels of ``group``: ``k, n, w_stat`` per segment,
+    where W is the one-way ANOVA F computed on the absolute
+    deviations ``z = |x − median_g|``.
+
+    Plan: pass 1 aggregates exact interpolated group medians
+    (map-side-combinable ``percentile``), ROUNDED to 6 dp before
+    reuse (the module's rounded-handoff rule — Spark and DuckDB both
+    interpolate linearly, so the rounded medians agree bit-for-bit);
+    the group-dimension median table broadcast-joins back onto the
+    fact rows, and pass 2 is :func:`anova_oneway`'s single aggregate
+    over z. The fact table is scanned twice (the algorithm's lower
+    bound — medians cannot stream with the deviations) but never
+    shuffled on raw rows.
+    """
+    x = F.col(value).cast("double")
+    med = df.groupBy(segment, group).agg(
+        F.round(F.expr(f"percentile(CAST({value} AS DOUBLE), 0.5)"), 6)
+         .alias("__med"))
+    z = (df.join(F.broadcast(med), [segment, group])
+           .select(segment, group,
+                   F.abs(x - F.col("__med")).alias("__z")))
+    out = anova_oneway(z, segment, group, "__z", ndigits)
+    return out.select(
+        segment, "k", "n",
+        F.col("f_stat").alias("w_stat"),
+        "ss_between", "ss_within")
+
+
+def jarque_bera(df: DataFrame, group: str, value: str,
+                ndigits: int = 6) -> DataFrame:
+    """Per-``group`` Jarque–Bera normality statistic with its
+    ingredients: ``n, mean, skew, ex_kurt, jb`` where
+    ``JB = n/6·(g1² + g2²/4)`` (g1 = sample skewness, g2 = excess
+    kurtosis). Flags heavy-tailed / skewed feature distributions that
+    violate the normal-theory tests upstream of them.
+
+    Plan: pass 1 aggregates per-group means, ROUNDED to 6 dp
+    (rounded-handoff rule) and broadcast-joined back; pass 2
+    aggregates the CENTRAL power sums ``Σ(x−μ̂)^{2,3,4}`` directly.
+    Centering before the power sums is deliberate: raw fourth-power
+    sums cancel catastrophically (Σx⁴ terms of ~1e16 subtracting to
+    ~1e12 loses 4 significant digits and breaks 6-dp oracle parity),
+    while central sums keep every term at deviation scale. Same
+    two-scan / zero-raw-shuffle shape as :func:`levene_bf`.
+    """
+    x = F.col(value).cast("double")
+    mu = df.groupBy(group).agg(F.round(F.avg(x), 6).alias("__mu"))
+    d = (df.join(F.broadcast(mu), group)
+           .select(group, (x - F.col("__mu")).alias("__d"), "__mu"))
+    dd = F.col("__d")
+    agg = d.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.first("__mu").alias("mean"),
+        F.sum(dd * dd).alias("c2"),
+        F.sum(dd * dd * dd).alias("c3"),
+        F.sum(dd * dd * dd * dd).alias("c4"))
+    n = F.col("n")
+    m2 = F.col("c2") / n
+    m3 = F.col("c3") / n
+    m4 = F.col("c4") / n
+    ok = (n >= 4) & (m2 > 0)
+    skew = F.when(ok, m3 / F.pow(m2, F.lit(1.5)))
+    exk = F.when(ok, m4 / (m2 * m2) - 3.0)
+    jb = F.when(ok, n / 6.0 * (skew * skew + exk * exk / 4.0))
+    return agg.select(
+        group, n.cast("bigint").alias("n"),
+        F.round("mean", ndigits).alias("mean"),
+        F.round(skew, ndigits).alias("skew"),
+        F.round(exk, ndigits).alias("ex_kurt"),
+        F.round(jb, ndigits).alias("jb"))
+
+
+def kruskal_wallis(df: DataFrame, segment: str, group: str, value: str,
+                   ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` Kruskal–Wallis H test across the levels of
+    ``group`` — the k-group generalization of :func:`mann_whitney`:
+    ``k, n, h_stat, h_tied, p_value`` per segment, with midranks for
+    ties and the tie correction ``H' = H / (1 − Σ(t³−t)/(N³−N))``;
+    p-value from the chi-square(k−1) survival via the Wilson–Hilferty
+    cube-root normal transform (both engines lack the incomplete
+    gamma; the transform reduces it to the module's shared logistic
+    Φ, written identically in the oracle).
+
+    Plan: rank arithmetic on AGGREGATED frames only, as in
+    mann_whitney: one groupBy to per-(segment, group, value) counts,
+    a value-level total via a second aggregate, midranks from a
+    cumulative window over the value-dimension frame, an aggregated
+    equi-join to attach midranks back to the per-group counts, and a
+    final segment reduce. The raw rows are touched exactly once.
+    """
+    x = F.col(value).cast("double")
+    gv = df.groupBy(segment, group, x.alias("__v")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    vt = gv.groupBy(segment, "__v").agg(F.sum("__c").alias("__t"))
+    w = (Window.partitionBy(segment).orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vt = vt.withColumn("__r", F.sum("__t").over(w) - F.col("__t")
+                       + (F.col("__t") + 1) / 2)
+    joined = gv.join(vt, [segment, "__v"])
+    per_g = joined.groupBy(segment, group).agg(
+        F.sum("__c").alias("ng"),
+        F.sum(F.col("__c") * F.col("__r")).alias("rg"))
+    ties = vt.groupBy(segment).agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+         .alias("tie"))
+    agg = (per_g.groupBy(segment).agg(
+               F.count(F.lit(1)).cast("bigint").alias("k"),
+               F.sum("ng").alias("n"),
+               F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("r2"))
+           .join(ties, segment))
+    k, n = F.col("k"), F.col("n")
+    h = F.when((k > 1) & (n > k),
+               12.0 / (n * (n + 1)) * F.col("r2") - 3.0 * (n + 1))
+    corr = 1.0 - F.col("tie") / (n * n * n - n)
+    h_tied = F.when(corr > 0, h / corr)
+    # Wilson-Hilferty: X² ~ chi2(v)  =>  (X²/v)^(1/3) approx normal
+    v = (k - 1).cast("double")
+    zwh = F.when(h_tied >= 0,
+                 ((F.pow(h_tied / v, F.lit(1.0 / 3.0)))
+                  - (1.0 - 2.0 / (9.0 * v)))
+                 / F.sqrt(2.0 / (9.0 * v)))
+    p = F.when(zwh.isNotNull(),
+               1.0 / (1.0 + F.exp(0.07056 * zwh * zwh * zwh
+                                  + 1.5976 * zwh)))
+    return agg.select(
+        segment, k, n.cast("bigint").alias("n"),
+        F.round(h, ndigits).alias("h_stat"),
+        F.round(h_tied, ndigits).alias("h_tied"),
+        F.round(p, ndigits).alias("p_value"))
+
+
+def cmh_test(df: DataFrame, stratum: str, exposed, outcome,
+             ndigits: int = 6) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 analysis — the
+    Simpson's-paradox guard for binary exposure/outcome effects:
+    per-stratum cell counts ``(a, b, c, d)`` (exposed-outcome,
+    exposed-no, unexposed-outcome, unexposed-no) plus the pooled
+    Mantel–Haenszel odds ratio and the CMH chi-square statistic
+    (without continuity correction, documented so the oracle is
+    exact) REPEATED on every stratum row, mirroring ``ad_table``'s
+    output contract::
+
+        χ²_CMH = (Σ_i a_i − Σ_i r1_i·c1_i/n_i)²
+                 / Σ_i r1_i·r2_i·c1_i·c2_i / (n_i²(n_i−1))
+        OR_MH  = Σ(a_i d_i/n_i) / Σ(b_i c_i/n_i)
+
+    Plan: ONE conditional-sum aggregate to the stratum-dimension cell
+    table, then unpartitioned-window totals over it (safe: stratum
+    cardinality is dimension-sized by contract).
+    """
+    e = exposed if isinstance(exposed, Column) else F.col(exposed)
+    o = outcome if isinstance(outcome, Column) else F.col(outcome)
+    cell = df.groupBy(stratum).agg(
+        F.sum(F.when(e & o, 1).otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when(e & ~o, 1).otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when(~e & o, 1).otherwise(0)).cast("double").alias("c"),
+        F.sum(F.when(~e & ~o, 1).otherwise(0)).cast("double").alias("d"))
+    a, b, c, dcol = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + dcol
+    r1, c1 = a + b, a + c
+    r2, c2 = c + dcol, b + dcol
+    ea = F.when(n > 0, r1 * c1 / n).otherwise(F.lit(0.0))
+    va = F.when(n > 1, r1 * r2 * c1 * c2 / (n * n * (n - 1))) \
+          .otherwise(F.lit(0.0))
+    num_or = F.when(n > 0, a * dcol / n).otherwise(F.lit(0.0))
+    den_or = F.when(n > 0, b * c / n).otherwise(F.lit(0.0))
+    per = cell.select(
+        stratum, a.cast("bigint").alias("a"), b.cast("bigint").alias("b"),
+        c.cast("bigint").alias("c"), dcol.cast("bigint").alias("d"),
+        F.round(ea, 9).alias("__ea"), F.round(va, 9).alias("__va"),
+        F.round(num_or, 9).alias("__no"), F.round(den_or, 9).alias("__do"))
+    wall = Window.partitionBy()
+    s_a = F.sum(F.col("a").cast("double")).over(wall)
+    s_ea = F.sum("__ea").over(wall)
+    s_va = F.sum("__va").over(wall)
+    s_no = F.sum("__no").over(wall)
+    s_do = F.sum("__do").over(wall)
+    chi2 = F.when(s_va > 0, F.pow(s_a - s_ea, F.lit(2.0)) / s_va)
+    or_mh = F.when(s_do > 0, s_no / s_do)
+    return per.select(
+        stratum, "a", "b", "c", "d",
+        F.round(chi2, ndigits).alias("cmh_chi2"),
+        F.round(or_mh, ndigits).alias("or_mh"))
+
+
+def tost_equiv(df: DataFrame, segment: str, value: str, arm: str,
+               arm_a: str, arm_b: str, margin: float,
+               z_crit: float = 1.6448536269514722,
+               ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` TOST equivalence test (two one-sided tests) —
+    the inverse question of :func:`welch_ttest`: is the A−B mean
+    difference provably WITHIN ±margin? One row per segment with
+    ``n_a, n_b, diff, se, z_lower, z_upper, p_tost, equivalent``
+    where z_lower tests diff > −margin, z_upper tests diff < +margin,
+    ``p_tost`` is the larger of the two one-sided normal p-values
+    (the TOST decision rule) and ``equivalent`` is the α=0.05 verdict
+    ``min(z_lower, −z_upper) ≥ z_crit`` (large-sample normal regime,
+    matching the module's Welch machinery).
+
+    Plan: identical to welch_ttest — one conditional-sum aggregate,
+    segment-dimension arithmetic after.
+    """
+    x = F.col(value).cast("double")
+    in_a, in_b = F.col(arm) == arm_a, F.col(arm) == arm_b
+    agg = (df.filter(in_a | in_b).groupBy(segment).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(in_a, x).otherwise(0.0)).alias("sa"),
+        F.sum(F.when(in_a, x * x).otherwise(0.0)).alias("qa"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(in_b, x).otherwise(0.0)).alias("sb"),
+        F.sum(F.when(in_b, x * x).otherwise(0.0)).alias("qb")))
+    na, nb = F.col("na"), F.col("nb")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    ok = (na >= 2) & (nb >= 2)
+    se = F.when(ok, F.sqrt(va / na + vb / nb))
+    diff = ma - mb
+    zl = F.when(ok & (se > 0), (diff + F.lit(margin)) / se)
+    zu = F.when(ok & (se > 0), (diff - F.lit(margin)) / se)
+    # logistic Phi(z); p1 = P(Z >= z_lower) = 1 - Phi, p2 = P(Z <= z_upper)
+    def phi(zc):
+        return 1.0 / (1.0 + F.exp(-(0.07056 * zc * zc * zc + 1.5976 * zc)))
+    p_l = 1.0 - phi(zl)   # small when z_lower is large positive
+    p_u = phi(zu)         # small when z_upper is large negative
+    p_tost = F.greatest(p_l, p_u)
+    equiv = F.when(zl.isNotNull() & zu.isNotNull(),
+                   (zl >= F.lit(z_crit)) & (zu <= F.lit(-z_crit)))
+    return agg.select(
+        segment,
+        na.cast("bigint").alias("n_a"), nb.cast("bigint").alias("n_b"),
+        F.round(diff, ndigits).alias("diff"),
+        F.round(se, ndigits).alias("se"),
+        F.round(zl, ndigits).alias("z_lower"),
+        F.round(zu, ndigits).alias("z_upper"),
+        F.round(p_tost, ndigits).alias("p_tost"),
+        equiv.alias("equivalent"))
