@@ -3801,6 +3801,52 @@ def q_tost(spark, sf_dir):
     return tost_equiv(e, "event_type", "value", "arm", "a", "b", 2.0)
 
 
+def q_ols2(spark, sf_dir):
+    """Closed-form two-predictor OLS per return flag
+    (regression.ols2): extendedprice on quantity + discount — the
+    2x2 normal-equation inverse written out over ONE aggregate of
+    rounded-mean-centered moments; slopes rounded at 7 dp before the
+    SSE handoff so both engines share the residual arithmetic."""
+    from hipipe_spark.operators.regression import ols2
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return ols2(li, "l_returnflag", "l_extendedprice",
+                "l_quantity", "l_discount")
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Per-user Durbin-Watson serial-correlation audit
+    (regression.durbin_watson) over the event-value stream in
+    (ts, event_id) order: one broadcast mean join, one key-window
+    lag, one aggregate."""
+    from hipipe_spark.operators.regression import durbin_watson
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return durbin_watson(e, "user_id", ["ts", "event_id"], "value")
+
+
+def q_calendar(spark, sf_dir):
+    """Cyclical calendar encodings (features.calendar_features):
+    hour/dow/month/minute-of-day sin-cos pairs + weekend flag as pure
+    JVM expressions — no shuffle, no UDF; the oracle recomputes the
+    same unit-circle arithmetic with pi()."""
+    from hipipe_spark.operators.features import calendar_features
+    e = spark.read.parquet(f"{sf_dir}/events.parquet") \
+             .select("event_id", "ts")
+    return calendar_features(e, "ts").drop("ts")
+
+
+def q_ewma(spark, sf_dir):
+    """Bounded-window EWMA per user (temporal.ewma_bounded):
+    last-8-lags exponential smoothing as a fixed fan of lag
+    expressions over one key window — the scale-safe, SQL-exact
+    alternative to the sequential recursive form; alpha=0.5 keeps
+    every weight an exact binary fraction."""
+    from hipipe_spark.operators.temporal import ewma_bounded
+    e = spark.read.parquet(f"{sf_dir}/events.parquet") \
+             .select("user_id", "event_id", "ts", "value")
+    out = ewma_bounded(e, "user_id", ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", "ewma", "ewma_n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
@@ -3836,7 +3882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (hits, logrank, link_features, kcore, leakage_audit,
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
     conv_winnow, readability, ad_test, anova, levene, jarque_bera,
-    kruskal_wallis, cmh, tost — each green in this session's
+    kruskal_wallis, cmh, tost, ols2, durbin_watson, calendar, ewma —
+    each green in this session's
     replica runs).
 
     Every query outside the window is still verified each session by
@@ -3932,6 +3979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "cmh": q_cmh,
         "tost": q_tost,
+        "ols2": q_ols2,
+        "durbin_watson": q_durbin_watson,
+        "calendar": q_calendar,
+        "ewma": q_ewma,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -8469,6 +8520,141 @@ def oracle_sql() -> dict[str, str]:
                   THEN zl >= 1.6448536269514722
                        AND zu <= -1.6448536269514722 END AS equivalent
       FROM p
+    """
+
+    d["ols2"] = """
+      WITH li AS (SELECT l_returnflag AS g,
+                         CAST(l_extendedprice AS DOUBLE) AS y,
+                         CAST(l_quantity AS DOUBLE) AS x1,
+                         CAST(l_discount AS DOUBLE) AS x2
+                  FROM lineitem),
+      mu AS (SELECT g, round(avg(y), 6) AS my, round(avg(x1), 6) AS m1,
+                    round(avg(x2), 6) AS m2
+             FROM li GROUP BY g),
+      c AS (SELECT li.g, y - my AS dy, x1 - m1 AS d1, x2 - m2 AS d2,
+                   my, m1, m2
+            FROM li JOIN mu ON li.g = mu.g),
+      a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                   min(my) AS my, min(m1) AS m1, min(m2) AS m2,
+                   sum(d1) AS u1, sum(d2) AS u2, sum(dy) AS uy,
+                   sum(d1*d1) AS p11, sum(d2*d2) AS p22,
+                   sum(d1*d2) AS p12,
+                   sum(d1*dy) AS p1y, sum(d2*dy) AS p2y,
+                   sum(dy*dy) AS pyy
+            FROM c GROUP BY g),
+      s AS (SELECT g, n, my, m1, m2, u1, u2, uy,
+                   p11 - u1*u1/n AS s11, p22 - u2*u2/n AS s22,
+                   p12 - u1*u2/n AS s12,
+                   p1y - u1*uy/n AS s1y, p2y - u2*uy/n AS s2y,
+                   pyy - uy*uy/n AS syy
+            FROM a),
+      k AS (SELECT *, s11*s22 - s12*s12 AS det,
+                   n >= 4 AND s11*s22 - s12*s12 > 0 AS ok
+            FROM s),
+      b AS (SELECT *,
+                   round(CASE WHEN ok THEN (s22*s1y - s12*s2y)/det END, 7)
+                     AS b1,
+                   round(CASE WHEN ok THEN (s11*s2y - s12*s1y)/det END, 7)
+                     AS b2
+            FROM k),
+      e AS (SELECT *, syy - b1*s1y - b2*s2y AS sse,
+                   CASE WHEN ok THEN (syy - b1*s1y - b2*s2y)/(n - 3) END
+                     AS sig2
+            FROM b),
+      f AS (SELECT *,
+                   CASE WHEN ok THEN my - b1*m1 - b2*m2
+                        + (uy - b1*u1 - b2*u2)/n END AS b0,
+                   CASE WHEN ok THEN sqrt(sig2*s22/det) END AS se1,
+                   CASE WHEN ok THEN sqrt(sig2*s11/det) END AS se2
+            FROM e)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+             round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+             round(se1, 6) AS se1, round(se2, 6) AS se2,
+             round(CASE WHEN se1 > 0 THEN b1/se1 END, 6) AS t1,
+             round(CASE WHEN se2 > 0 THEN b2/se2 END, 6) AS t2,
+             round(CASE WHEN ok AND syy > 0 THEN 1.0 - sse/syy END, 6)
+               AS r2,
+             round(CASE WHEN ok AND syy > 0
+                   THEN 1.0 - (sse/syy)*(n-1)/(n-3) END, 6) AS adj_r2
+      FROM f
+    """
+    d["durbin_watson"] = """
+      WITH e AS (SELECT user_id, ts, event_id,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      mu AS (SELECT user_id, round(avg(v), 6) AS m
+             FROM e GROUP BY user_id),
+      c AS (SELECT e.user_id, ts, event_id, v - m AS d
+            FROM e JOIN mu ON e.user_id = mu.user_id),
+      l AS (SELECT user_id, d,
+                   lag(d) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS p
+            FROM c),
+      a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   sum(d*d) AS ss,
+                   sum(CASE WHEN p IS NOT NULL
+                       THEN (d - p)*(d - p) ELSE 0.0 END) AS sd
+            FROM l GROUP BY user_id),
+      w AS (SELECT user_id, n,
+                   CASE WHEN n >= 8 AND ss > 0 THEN sd/ss END AS dw
+            FROM a)
+      SELECT user_id, n, round(dw, 6) AS dw,
+             round(CASE WHEN dw IS NOT NULL THEN 1.0 - dw/2.0 END, 6)
+               AS rho1
+      FROM w
+    """
+    d["calendar"] = """
+      WITH e AS (SELECT event_id,
+                        CAST(hour(ts) AS DOUBLE) AS h,
+                        CAST(dayofweek(ts) AS DOUBLE) AS dw,
+                        CAST(month(ts) - 1 AS DOUBLE) AS mo,
+                        CAST(hour(ts)*60 + minute(ts) AS DOUBLE) AS md
+                 FROM events)
+      SELECT event_id,
+             round(sin(h/24.0*2.0*pi()), 6) AS hour_sin,
+             round(cos(h/24.0*2.0*pi()), 6) AS hour_cos,
+             round(sin(dw/7.0*2.0*pi()), 6) AS dow_sin,
+             round(cos(dw/7.0*2.0*pi()), 6) AS dow_cos,
+             round(sin(mo/12.0*2.0*pi()), 6) AS month_sin,
+             round(cos(mo/12.0*2.0*pi()), 6) AS month_cos,
+             round(sin(md/1440.0*2.0*pi()), 6) AS mod_sin,
+             round(cos(md/1440.0*2.0*pi()), 6) AS mod_cos,
+             dw = 0.0 OR dw = 6.0 AS is_weekend
+      FROM e
+    """
+    d["ewma"] = """
+      WITH e AS (SELECT user_id, event_id, ts,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      l AS (SELECT user_id, event_id, v,
+                   lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                   lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+                   lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+                   lag(v, 7) OVER w AS l7
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             round((v
+                    + CASE WHEN l1 IS NOT NULL THEN l1*0.5 ELSE 0.0 END
+                    + CASE WHEN l2 IS NOT NULL THEN l2*0.25 ELSE 0.0 END
+                    + CASE WHEN l3 IS NOT NULL THEN l3*0.125 ELSE 0.0 END
+                    + CASE WHEN l4 IS NOT NULL THEN l4*0.0625 ELSE 0.0 END
+                    + CASE WHEN l5 IS NOT NULL THEN l5*0.03125 ELSE 0.0 END
+                    + CASE WHEN l6 IS NOT NULL THEN l6*0.015625 ELSE 0.0 END
+                    + CASE WHEN l7 IS NOT NULL THEN l7*0.0078125 ELSE 0.0 END)
+                   /
+                   (1.0
+                    + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+                    + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                    + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                    + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                    + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
+                   6) AS ewma,
+             CAST(1 + (l1 IS NOT NULL)::INT + (l2 IS NOT NULL)::INT
+                  + (l3 IS NOT NULL)::INT + (l4 IS NOT NULL)::INT
+                  + (l5 IS NOT NULL)::INT + (l6 IS NOT NULL)::INT
+                  + (l7 IS NOT NULL)::INT AS INT) AS ewma_n
+      FROM l
     """
 
     return d

@@ -610,3 +610,42 @@ def hbos_scores(df: DataFrame, feature_cols: list[str],
                              F.element_at(arr, b + F.lit(1)))
         total = total + contrib
     return df.withColumn(out, F.round(total, round_to))
+
+
+def calendar_features(df: DataFrame, ts_col: str = "ts",
+                      ndigits: int = 6) -> DataFrame:
+    """Cyclical calendar encodings — the feature-engineering staple
+    for any time-stamped event stream: appends ``hour_sin/hour_cos``
+    (hour of day), ``dow_sin/dow_cos`` (day of week, Sunday = 0),
+    ``month_sin/month_cos`` (month of year, 1-based mapped to the
+    0..11 circle), ``mod_sin/mod_cos`` (minute of day, the
+    fine-grained clock position) and ``is_weekend``. Sin/cos pairs
+    embed each period on the unit circle so midnight≈23:59 and
+    Dec≈Jan stay adjacent — adjacency a raw ordinal encoding
+    destroys.
+
+    Pure JVM column expressions over the existing rows — no shuffle,
+    no UDF, survives any scale by construction. The 2π factors use
+    the double literal of π so the oracle's ``pi()`` arithmetic is
+    identical.
+    """
+    import math
+    two_pi = 2.0 * math.pi
+    ts = F.col(ts_col)
+    hour = F.hour(ts).cast("double")
+    dow = (F.dayofweek(ts) - 1).cast("double")       # Sunday = 0
+    month = (F.month(ts) - 1).cast("double")         # Jan = 0
+    mod = (F.hour(ts) * 60 + F.minute(ts)).cast("double")
+
+    def pair(angle, period, name):
+        a = angle / period * two_pi
+        return [F.round(F.sin(a), ndigits).alias(f"{name}_sin"),
+                F.round(F.cos(a), ndigits).alias(f"{name}_cos")]
+
+    return df.select(
+        "*",
+        *pair(hour, 24.0, "hour"),
+        *pair(dow, 7.0, "dow"),
+        *pair(month, 12.0, "month"),
+        *pair(mod, 1440.0, "mod"),
+        ((dow == 0.0) | (dow == 6.0)).alias("is_weekend"))

@@ -1121,3 +1121,39 @@ def knee_point(df: DataFrame, x_col: str, y_col: str,
     w = Window.orderBy(F.col("score").desc(), F.col("x").asc())
     return (staged.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") == 1).drop("__rk"))
+
+
+def ewma_bounded(df: DataFrame, key: str, order: list[str],
+                 value: str, alpha: float = 0.5, window: int = 8,
+                 out_col: str = "ewma", ndigits: int = 6) -> DataFrame:
+    """Per-``key`` exponentially weighted moving average over the
+    last ``window`` observations (inclusive), normalized over the
+    weights actually present::
+
+        ewma_t = Σ_{j=0..W-1} (1−α)^j · x_{t−j}  /  Σ_{j} (1−α)^j
+
+    The BOUNDED-window form is deliberate: the textbook recursive
+    EWMA (`s_t = αx + (1−α)s_{t−1}`) is a sequential scan per key —
+    unexpressible as a window aggregate without per-row state — while
+    truncating at W lags makes it a fixed fan of ``lag`` expressions
+    over ONE key-partitioned window (one exchange, the op's lower
+    bound), loses at most ``(1−α)^W`` of the mass (0.4% at α=0.5,
+    W=8), and is bit-reproducible in any SQL engine. The default
+    α=0.5 gives exact binary-fraction weights, so the only float
+    noise is the final division. Appends ``out_col`` plus
+    ``{out_col}_n`` (observations actually in the window).
+    """
+    x = F.col(value).cast("double")
+    w = Window.partitionBy(key).orderBy(*order)
+    decay = 1.0 - alpha
+    num = x
+    den = F.lit(1.0)
+    cnt = F.lit(1)
+    for j in range(1, window):
+        lj = F.lag(x, j).over(w)
+        wt = F.lit(decay ** j)
+        num = num + F.when(lj.isNotNull(), lj * wt).otherwise(F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), wt).otherwise(F.lit(0.0))
+        cnt = cnt + F.when(lj.isNotNull(), 1).otherwise(0)
+    return (df.withColumn(out_col, F.round(num / den, ndigits))
+              .withColumn(f"{out_col}_n", cnt.cast("int")))
