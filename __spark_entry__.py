@@ -3847,6 +3847,57 @@ def q_ewma(spark, sf_dir):
     return out.select("user_id", "event_id", "ewma", "ewma_n")
 
 
+def q_influence(spark, sf_dir):
+    """Cook's-distance influence top-5 per event_type
+    (regression.ols2_influence): leverage and residual from the SAME
+    closed-form centered moments as the ols2 fit, broadcast back to
+    the rows; only the per-group top-k ranking shuffles raw rows."""
+    from hipipe_spark.operators.regression import ols2_influence
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("double").alias("x2"))
+    return ols2_influence(e, "event_type", "y", "x1", "x2", top_k=5)
+
+
+def q_runs(spark, sf_dir):
+    """Wald-Wolfowitz runs test per user (stats.runs_test): sign
+    persistence of the median-split value sequence — the
+    counterpart of durbin_watson's magnitude correlation."""
+    from hipipe_spark.operators.stats import runs_test
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return runs_test(e, "user_id", ["ts", "event_id"], "value")
+
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs single-outlier statistic per event_type
+    (stats.grubbs_stat): max |x - mean| / sd folded into the one
+    centered aggregate — max deviation recovered exactly from
+    max(d)/min(d) and the residual center."""
+    from hipipe_spark.operators.stats import grubbs_stat
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grubbs_stat(e, "event_type", "value")
+
+
+def q_icc(spark, sf_dir):
+    """One-way random-effects ICC(1) per event_type across users
+    (stats.icc_oneway): the between-user share of value variance,
+    with the unbalanced-design n0 correction."""
+    from hipipe_spark.operators.stats import icc_oneway
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return icc_oneway(e, "event_type", "user_id", "value")
+
+
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha over the user x event_type score grid
+    (evaluation.cronbach_alpha): internal consistency of per-type
+    value totals as five 'items' rating each user; complete
+    subjects only."""
+    from hipipe_spark.operators.evaluation import cronbach_alpha
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cronbach_alpha(e, "user_id", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
@@ -3882,8 +3933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions (hits, logrank, link_features, kcore, leakage_audit,
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
     conv_winnow, readability, ad_test, anova, levene, jarque_bera,
-    kruskal_wallis, cmh, tost, ols2, durbin_watson, calendar, ewma —
-    each green in this session's
+    kruskal_wallis, cmh, tost, ols2, durbin_watson, calendar, ewma,
+    influence, runs, grubbs, icc, cronbach — each green in this
+    session's
     replica runs).
 
     Every query outside the window is still verified each session by
@@ -3983,6 +4035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "durbin_watson": q_durbin_watson,
         "calendar": q_calendar,
         "ewma": q_ewma,
+        "influence": q_influence,
+        "runs": q_runs,
+        "grubbs": q_grubbs,
+        "icc": q_icc,
+        "cronbach": q_cronbach,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -8655,6 +8712,180 @@ def oracle_sql() -> dict[str, str]:
                   + (l5 IS NOT NULL)::INT + (l6 IS NOT NULL)::INT
                   + (l7 IS NOT NULL)::INT AS INT) AS ewma_n
       FROM l
+    """
+
+    d["influence"] = """
+      WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS y,
+                        CAST(hour(ts) AS DOUBLE) AS x1,
+                        CAST(dayofweek(ts) AS DOUBLE) AS x2
+                 FROM events),
+      mu AS (SELECT g, round(avg(y), 6) AS my, round(avg(x1), 6) AS m1,
+                    round(avg(x2), 6) AS m2
+             FROM e GROUP BY g),
+      c AS (SELECT e.g, y - my AS dy, x1 - m1 AS d1, x2 - m2 AS d2
+            FROM e JOIN mu ON e.g = mu.g),
+      a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                   sum(d1) AS u1, sum(d2) AS u2, sum(dy) AS uy,
+                   sum(d1*d1) AS p11, sum(d2*d2) AS p22,
+                   sum(d1*d2) AS p12,
+                   sum(d1*dy) AS p1y, sum(d2*dy) AS p2y,
+                   sum(dy*dy) AS pyy
+            FROM c GROUP BY g),
+      s AS (SELECT g, n, u1, u2, uy,
+                   p11 - u1*u1/n AS s11, p22 - u2*u2/n AS s22,
+                   p12 - u1*u2/n AS s12,
+                   p1y - u1*uy/n AS s1y, p2y - u2*uy/n AS s2y,
+                   pyy - uy*uy/n AS syy
+            FROM a),
+      k AS (SELECT *, s11*s22 - s12*s12 AS det FROM s
+            WHERE n >= 5 AND s11*s22 - s12*s12 > 0),
+      b AS (SELECT *, round((s22*s1y - s12*s2y)/det, 7) AS b1,
+                   round((s11*s2y - s12*s1y)/det, 7) AS b2
+            FROM k),
+      fit AS (SELECT g, n AS fn, b1, b2,
+                     uy/n AS cy0, u1/n AS c10, u2/n AS c20,
+                     round(s11, 6) AS fs11, round(s22, 6) AS fs22,
+                     round(s12, 6) AS fs12, round(det, 6) AS fdet,
+                     round((syy - b1*s1y - b2*s2y)/(n - 3), 9) AS sig2
+              FROM b),
+      rows_ AS (SELECT c.g,
+                       dy - cy0 - b1*(d1 - c10) - b2*(d2 - c20) AS e,
+                       1.0/fn + (fs22*(d1-c10)*(d1-c10)
+                                 - 2.0*fs12*(d1-c10)*(d2-c20)
+                                 + fs11*(d2-c20)*(d2-c20))/fdet AS h,
+                       sig2
+                FROM c JOIN fit ON c.g = fit.g),
+      scored AS (SELECT g, round(e, 6) AS resid, round(h, 6) AS leverage,
+                        round(e*e*h/(3.0*sig2*(1.0-h)*(1.0-h)), 9)
+                          AS cooks9
+                 FROM rows_),
+      rk AS (SELECT *, row_number() OVER (
+                 PARTITION BY g ORDER BY cooks9 DESC, resid DESC) AS rn
+             FROM scored)
+      SELECT g AS event_type, CAST(rn AS INT) AS rn, resid, leverage,
+             round(cooks9, 6) AS cooks_d
+      FROM rk WHERE rn <= 5
+    """
+    d["runs"] = """
+      WITH e AS (SELECT user_id, ts, event_id,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      med AS (SELECT user_id, round(quantile_cont(v, 0.5), 6) AS m
+              FROM e GROUP BY user_id),
+      d AS (SELECT e.user_id, ts, event_id, v > m AS up
+            FROM e JOIN med ON e.user_id = med.user_id
+            WHERE v <> m),
+      l AS (SELECT user_id, up,
+                   lag(up) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pu
+            FROM d),
+      a AS (SELECT user_id,
+                   CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS DOUBLE)
+                     AS n1,
+                   CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS DOUBLE)
+                     AS n2,
+                   CAST(sum(CASE WHEN pu IS NULL OR pu <> up
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM l GROUP BY user_id),
+      z AS (SELECT user_id, n1, n2, runs,
+                   CASE WHEN n1 + n2 >= 10 AND n1 > 0 AND n2 > 0
+                        AND 2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+                            / ((n1+n2)*(n1+n2)*(n1+n2-1.0)) > 0
+                   THEN (runs - (2.0*n1*n2/(n1+n2) + 1.0))
+                        / sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+                               / ((n1+n2)*(n1+n2)*(n1+n2-1.0))) END AS z
+            FROM a)
+      SELECT user_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             runs, round(z, 6) AS z,
+             round(2.0/(1.0 + exp(0.07056*pow(abs(z), 3)
+                                  + 1.5976*abs(z))), 6) AS p_value
+      FROM z
+    """
+    d["grubbs"] = """
+      WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+                 FROM events),
+      mu AS (SELECT event_type, round(avg(v), 6) AS m
+             FROM e GROUP BY event_type),
+      c AS (SELECT e.event_type, v - m AS d, m
+            FROM e JOIN mu USING (event_type)),
+      a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                   min(m) AS mean, sum(d) AS u, sum(d*d) AS q,
+                   max(d) AS dmax, min(d) AS dmin
+            FROM c GROUP BY event_type),
+      s AS (SELECT event_type, n, mean, u/n AS ctr,
+                   CASE WHEN n >= 3 AND (q - u*u/n)/(n-1) > 0
+                        THEN sqrt((q - u*u/n)/(n-1)) END AS sd,
+                   dmax, dmin
+            FROM a)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             round(mean, 6) AS mean, round(sd, 6) AS sd,
+             round(greatest(dmax - ctr, ctr - dmin) / sd, 6) AS g_stat
+      FROM s
+    """
+    d["icc"] = """
+      WITH e AS (SELECT event_type, user_id,
+                        CAST(value AS DOUBLE) AS v FROM events),
+      gm AS (SELECT event_type, round(avg(v), 6) AS gmu
+             FROM e GROUP BY event_type),
+      c AS (SELECT e.event_type, user_id, v - gmu AS d
+            FROM e JOIN gm USING (event_type)),
+      g AS (SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS ng,
+                   sum(d) AS sg, sum(d*d) AS qg
+            FROM c GROUP BY event_type, user_id),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   sum(ng) AS n, sum(ng*ng) AS n2, sum(sg) AS s,
+                   sum(sg*sg/ng) AS sb_raw,
+                   sum(qg - sg*sg/ng) AS ssw
+            FROM g GROUP BY event_type),
+      m AS (SELECT event_type, k, n,
+                   CASE WHEN k > 1 AND n - k > 0
+                        THEN (sb_raw - s*s/n)/(k - 1) END AS msb,
+                   CASE WHEN k > 1 AND n - k > 0
+                        THEN ssw/(n - k) END AS msw,
+                   CASE WHEN k > 1
+                        THEN (n - n2/n)/(k - 1) END AS n0
+            FROM a)
+      SELECT event_type, k, CAST(n AS BIGINT) AS n,
+             round(n0, 6) AS n0, round(msb, 6) AS msb,
+             round(msw, 6) AS msw,
+             round(CASE WHEN msb IS NOT NULL AND msw IS NOT NULL
+                        AND msb + (n0 - 1.0)*msw > 0
+                   THEN (msb - msw)/(msb + (n0 - 1.0)*msw) END, 6)
+               AS icc1
+      FROM m
+    """
+    d["cronbach"] = """
+      WITH grid AS (SELECT user_id AS s, event_type AS i,
+                           sum(CAST(value AS DOUBLE)) AS score
+                    FROM events GROUP BY user_id, event_type),
+      kk AS (SELECT count(DISTINCT i) AS k FROM grid),
+      cnt AS (SELECT s, count(*) AS c FROM grid GROUP BY s),
+      comp AS (SELECT s FROM cnt, kk WHERE c = k),
+      g2 AS (SELECT grid.s, grid.i, grid.score
+             FROM grid JOIN comp ON grid.s = comp.s),
+      imu AS (SELECT i, round(avg(score), 6) AS im FROM g2 GROUP BY i),
+      ic AS (SELECT g2.i, score - im AS d
+             FROM g2 JOIN imu ON g2.i = imu.i),
+      ia AS (SELECT i, CAST(count(*) AS DOUBLE) AS ni,
+                    sum(d) AS u, sum(d*d) AS q
+             FROM ic GROUP BY i),
+      siv AS (SELECT sum((q - u*u/ni)/(ni - 1)) AS sum_item_var
+              FROM ia),
+      tot AS (SELECT s, sum(score) AS tot FROM g2 GROUP BY s),
+      tmu AS (SELECT round(avg(tot), 6) AS tm FROM tot),
+      tc AS (SELECT tot - tm AS d FROM tot, tmu),
+      tv AS (SELECT CAST(count(*) AS DOUBLE) AS ns, sum(d) AS u,
+                    sum(d*d) AS q
+             FROM tc),
+      fin AS (SELECT kk.k, tv.ns, siv.sum_item_var,
+                     (tv.q - tv.u*tv.u/tv.ns)/(tv.ns - 1) AS tvv
+              FROM kk, tv, siv)
+      SELECT CAST(k AS BIGINT) AS k, CAST(ns AS BIGINT) AS n_subjects,
+             round(sum_item_var, 6) AS sum_item_var,
+             round(tvv, 6) AS total_var,
+             round(CASE WHEN k > 1 AND ns > 1 AND tvv > 0
+                   THEN k/(k - 1.0)*(1.0 - sum_item_var/tvv) END, 6)
+               AS alpha
+      FROM fin
     """
 
     return d

@@ -755,3 +755,70 @@ def conformal_intervals(df: DataFrame, group: str, value: str,
                     F.coalesce("n_cal", F.lit(0)).alias("n_cal"),
                     F.coalesce("n_test", F.lit(0)).alias("n_test"),
                     "yhat", "q_conf", "coverage"))
+
+
+def cronbach_alpha(df: DataFrame, subject: str, item: str, value: str,
+                   ndigits: int = 6) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient over a
+    (subject × item) score grid — the reliability gate for any
+    multi-item measurement (rubric dimensions, eval sub-scores,
+    quality sub-signals): ONE row ``(k, n_subjects, sum_item_var,
+    total_var, alpha)`` with::
+
+        α = k/(k−1) · (1 − Σ_i Var(item_i) / Var(subject totals))
+
+    Only COMPLETE subjects (all ``k`` items present) enter — alpha
+    over ragged grids silently mixes missingness into the variance,
+    so incompleteness is excluded rather than imputed. Sample
+    (n−1) variances on both axes.
+
+    Plan: one aggregate to the (subject, item) grid, a complete-case
+    filter off a subject-dimension count, then two parallel
+    dimension-sized aggregates (per-item variance over subjects,
+    per-subject totals) — the grid is the only fact-scale exchange.
+    Joins the fleiss/krippendorff/kappa rater-QA family.
+    """
+    from .core import register_cached
+
+    x = F.col(value).cast("double")
+    # the (subject x item) grid feeds four downstream aggregates; persist
+    # it ONCE so the raw fact table is scanned exactly once (caller frees
+    # via release_cached)
+    base = df.groupBy(subject, item).agg(F.sum(x).alias("score")).persist()
+    k_items = base.select(item).distinct().count()
+    counts = base.groupBy(subject).agg(F.count(F.lit(1)).alias("__k"))
+    complete = counts.where(F.col("__k") == k_items).select(subject)
+    grid = base.join(F.broadcast(complete), subject)
+    # per-item variance across complete subjects (centered handoff)
+    imu = grid.groupBy(item).agg(F.round(F.avg("score"), 6).alias("__im"))
+    ic = grid.join(F.broadcast(imu), item) \
+             .select(item, (F.col("score") - F.col("__im")).alias("d"))
+    ivar = (ic.groupBy(item)
+              .agg(F.count(F.lit(1)).cast("double").alias("ni"),
+                   F.sum("d").alias("u"), F.sum(F.col("d") * F.col("d"))
+                    .alias("q"))
+              .select(((F.col("q") - F.col("u") * F.col("u")
+                        / F.col("ni")) / (F.col("ni") - 1)).alias("v")))
+    item_var = ivar.agg(F.sum("v").alias("sum_item_var"))
+    totals = grid.groupBy(subject).agg(F.sum("score").alias("tot"))
+    tmu = totals.agg(F.round(F.avg("tot"), 6).alias("__tm"))
+    tc = totals.crossJoin(F.broadcast(tmu)) \
+               .select((F.col("tot") - F.col("__tm")).alias("d"))
+    tot_var = tc.agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.sum("d").alias("u"),
+        F.sum(F.col("d") * F.col("d")).alias("q")).select(
+        F.col("ns"),
+        ((F.col("q") - F.col("u") * F.col("u") / F.col("ns"))
+         / (F.col("ns") - 1)).alias("tv"))
+    out = item_var.crossJoin(tot_var)
+    alpha = F.when(
+        (F.lit(k_items) > 1) & (F.col("ns") > 1) & (F.col("tv") > 0),
+        k_items / (k_items - 1.0)
+        * (1.0 - F.col("sum_item_var") / F.col("tv")))
+    return register_cached(out.select(
+        F.lit(k_items).cast("bigint").alias("k"),
+        F.col("ns").cast("bigint").alias("n_subjects"),
+        F.round("sum_item_var", ndigits).alias("sum_item_var"),
+        F.round("tv", ndigits).alias("total_var"),
+        F.round(alpha, ndigits).alias("alpha")), base)

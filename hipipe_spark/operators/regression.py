@@ -150,3 +150,96 @@ def durbin_watson(df: DataFrame, key: str, order: list[str],
         F.round(dw, ndigits).alias("dw"),
         F.round(F.when(dw.isNotNull(), 1.0 - dw / 2.0), ndigits)
          .alias("rho1"))
+
+
+def ols2_influence(df: DataFrame, group: str, y: str, x1: str, x2: str,
+                   top_k: int = 5, ndigits: int = 6) -> DataFrame:
+    """Per-row influence diagnostics for the :func:`ols2` fit,
+    reporting the ``top_k`` highest-Cook's-distance rows per group:
+    ``(group, rn, resid, leverage, cooks_d)`` with ``rn`` the
+    influence rank. The pieces are all closed-form in the SAME
+    centered moments the fit uses::
+
+        h_i  = 1/n + [d1 d2]·S⁻¹·[d1 d2]ᵀ
+             = 1/n + (S22·d1² − 2·S12·d1·d2 + S11·d2²)/det
+        D_i  = e_i²·h_i / (p·σ̂²·(1−h_i)²),  p = 3
+
+    so influence is ONE more broadcast join of the group-dimension
+    fit table followed by per-row JVM arithmetic and a per-group
+    top-k window — the group exchange is the only shuffle of raw
+    rows, and it carries just the k survivors' worth of ordering
+    work (rank, not global sort). Rows in singular groups are
+    dropped (no fit → no influence).
+
+    All handoffs (slopes, moments) are rounded exactly as in
+    :func:`ols2` so the oracle can reproduce ``cooks_d``
+    bit-for-bit; ``resid`` uses the 7-dp slopes.
+    """
+    cy = F.col(y).cast("double")
+    c1 = F.col(x1).cast("double")
+    c2 = F.col(x2).cast("double")
+    mu = df.groupBy(group).agg(
+        F.round(F.avg(cy), 6).alias("__my"),
+        F.round(F.avg(c1), 6).alias("__m1"),
+        F.round(F.avg(c2), 6).alias("__m2"))
+    d = (df.join(F.broadcast(mu), group)
+           .select(group,
+                   (cy - F.col("__my")).alias("dy"),
+                   (c1 - F.col("__m1")).alias("d1"),
+                   (c2 - F.col("__m2")).alias("d2")))
+    dy, d1, d2 = F.col("dy"), F.col("d1"), F.col("d2")
+    agg = d.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d1).alias("u1"), F.sum(d2).alias("u2"),
+        F.sum(dy).alias("uy"),
+        F.sum(d1 * d1).alias("p11"), F.sum(d2 * d2).alias("p22"),
+        F.sum(d1 * d2).alias("p12"),
+        F.sum(d1 * dy).alias("p1y"), F.sum(d2 * dy).alias("p2y"),
+        F.sum(dy * dy).alias("pyy"))
+    n = F.col("n")
+    s11 = F.col("p11") - F.col("u1") * F.col("u1") / n
+    s22 = F.col("p22") - F.col("u2") * F.col("u2") / n
+    s12 = F.col("p12") - F.col("u1") * F.col("u2") / n
+    s1y = F.col("p1y") - F.col("u1") * F.col("uy") / n
+    s2y = F.col("p2y") - F.col("u2") * F.col("uy") / n
+    syy = F.col("pyy") - F.col("uy") * F.col("uy") / n
+    det = s11 * s22 - s12 * s12
+    ok = (n >= 5) & (det > 0)
+    b1 = F.round(F.when(ok, (s22 * s1y - s12 * s2y) / det), 7)
+    b2 = F.round(F.when(ok, (s11 * s2y - s12 * s1y) / det), 7)
+    sse = syy - b1 * s1y - b2 * s2y
+    fit = agg.where(ok).select(
+        group, n.alias("__n"),
+        b1.alias("__b1"), b2.alias("__b2"),
+        (F.col("uy") / n).alias("__cy0"),
+        (F.col("u1") / n).alias("__c10"),
+        (F.col("u2") / n).alias("__c20"),
+        F.round(s11, 6).alias("__s11"), F.round(s22, 6).alias("__s22"),
+        F.round(s12, 6).alias("__s12"),
+        F.round(det, 6).alias("__det"),
+        F.round(F.when(n > 3, sse / (n - 3)), 9).alias("__sig2"))
+    rows = d.join(F.broadcast(fit), group)
+    # residual of the centered fit (centered intercept = means of
+    # the centered frame, non-zero only through the rounded handoff)
+    e = (dy - F.col("__cy0")
+         - F.col("__b1") * (d1 - F.col("__c10"))
+         - F.col("__b2") * (d2 - F.col("__c20")))
+    e1 = d1 - F.col("__c10")
+    e2 = d2 - F.col("__c20")
+    h = (1.0 / F.col("__n")
+         + (F.col("__s22") * e1 * e1
+            - 2.0 * F.col("__s12") * e1 * e2
+            + F.col("__s11") * e2 * e2) / F.col("__det"))
+    cooks = F.round(
+        e * e * h / (3.0 * F.col("__sig2") * (1.0 - h) * (1.0 - h)), 9)
+    scored = rows.select(
+        group, F.round(e, ndigits).alias("resid"),
+        F.round(h, ndigits).alias("leverage"),
+        cooks.alias("cooks_d"))
+    w = Window.partitionBy(group).orderBy(
+        F.col("cooks_d").desc(), F.col("resid").desc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") <= top_k)
+                  .select(group, "rn", "resid", "leverage",
+                          F.round(F.col("cooks_d"), ndigits)
+                           .alias("cooks_d")))

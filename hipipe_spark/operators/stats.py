@@ -1342,3 +1342,138 @@ def tost_equiv(df: DataFrame, segment: str, value: str, arm: str,
         F.round(zu, ndigits).alias("z_upper"),
         F.round(p_tost, ndigits).alias("p_tost"),
         equiv.alias("equivalent"))
+
+
+def runs_test(df: DataFrame, key: str, order: Sequence[str], value: str,
+              min_rows: int = 10, ndigits: int = 6) -> DataFrame:
+    """Per-``key`` Wald–Wolfowitz runs test for randomness of the
+    median-split sign sequence in ``order``: ``n1, n2, runs, z,
+    p_value`` where a "run" is a maximal block of consecutive
+    same-side values, values EQUAL to the key median are dropped
+    (the standard treatment), and::
+
+        E[R] = 2·n1·n2/N + 1
+        Var  = 2·n1·n2·(2·n1·n2 − N) / (N²·(N−1))
+
+    with the module's logistic-Φ two-sided p. The trend/oscillation
+    complement to :func:`~hipipe_spark.operators.regression.
+    durbin_watson`: DW measures lag-1 magnitude correlation, runs
+    count sign persistence.
+
+    Plan: rounded-handoff key medians broadcast back, one key-window
+    ``lag`` to flag run boundaries, one aggregate. Keys with fewer
+    than ``min_rows`` surviving rows keep their row with null ``z``.
+    """
+    x = F.col(value).cast("double")
+    med = df.groupBy(key).agg(
+        F.round(F.expr(f"percentile(CAST({value} AS DOUBLE), 0.5)"), 6)
+         .alias("__med"))
+    d = (df.join(F.broadcast(med), key)
+           .where(x != F.col("__med"))
+           .select(key, *order, (x > F.col("__med")).alias("__up")))
+    w = Window.partitionBy(key).orderBy(*order)
+    d = d.withColumn("__new",
+                     F.when(F.lag("__up").over(w).isNull()
+                            | (F.lag("__up").over(w) != F.col("__up")),
+                            1).otherwise(0))
+    agg = d.groupBy(key).agg(
+        F.sum(F.when(F.col("__up"), 1).otherwise(0))
+         .cast("double").alias("n1"),
+        F.sum(F.when(F.col("__up"), 0).otherwise(1))
+         .cast("double").alias("n2"),
+        F.sum("__new").cast("bigint").alias("runs"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    nn = n1 + n2
+    er = 2.0 * n1 * n2 / nn + 1.0
+    vr = (2.0 * n1 * n2 * (2.0 * n1 * n2 - nn)
+          / (nn * nn * (nn - 1.0)))
+    z = F.when((nn >= min_rows) & (n1 > 0) & (n2 > 0) & (vr > 0),
+               (F.col("runs") - er) / F.sqrt(vr))
+    return agg.select(
+        key, n1.cast("bigint").alias("n1"), n2.cast("bigint").alias("n2"),
+        F.col("runs"),
+        F.round(z, ndigits).alias("z"),
+        F.round(norm_sf2(z), ndigits).alias("p_value"))
+
+
+def grubbs_stat(df: DataFrame, group: str, value: str,
+                ndigits: int = 6) -> DataFrame:
+    """Per-``group`` Grubbs outlier statistic ``G = max|x − x̄| / s``
+    (``n, mean, sd, g_stat`` per group; null when n < 3 or s = 0) —
+    the single-outlier screen that complements HBOS/MAD: G near
+    ``(n−1)/√n`` means one point carries essentially all the spread.
+
+    The max deviation folds into the same centered one-pass
+    aggregate as everything else in this module: with d = x − μ̂
+    (rounded-handoff mean) and the exact residual center c = Σd/n,
+    ``max|x − x̄| = max(max(d) − c, c − min(d))`` — no second scan,
+    no per-row ranking.
+    """
+    x = F.col(value).cast("double")
+    mu = df.groupBy(group).agg(F.round(F.avg(x), 6).alias("__mu"))
+    d = (df.join(F.broadcast(mu), group)
+           .select(group, (x - F.col("__mu")).alias("__d"), "__mu"))
+    dd = F.col("__d")
+    agg = d.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.first("__mu").alias("mean"),
+        F.sum(dd).alias("u"), F.sum(dd * dd).alias("q"),
+        F.max(dd).alias("dmax"), F.min(dd).alias("dmin"))
+    n = F.col("n")
+    c = F.col("u") / n
+    var = (F.col("q") - F.col("u") * F.col("u") / n) / (n - 1)
+    sd = F.when((n >= 3) & (var > 0), F.sqrt(var))
+    g = F.greatest(F.col("dmax") - c, c - F.col("dmin")) / sd
+    return agg.select(
+        group, n.cast("bigint").alias("n"),
+        F.round("mean", ndigits).alias("mean"),
+        F.round(sd, ndigits).alias("sd"),
+        F.round(g, ndigits).alias("g_stat"))
+
+
+def icc_oneway(df: DataFrame, segment: str, group: str, value: str,
+               ndigits: int = 6) -> DataFrame:
+    """Per-``segment`` one-way random-effects intraclass correlation
+    ICC(1) across the levels of ``group`` — how much of the metric
+    variance is BETWEEN groups (conversations, raters, users)::
+
+        n0     = (N − Σ n_g²/N) / (k − 1)      (unbalanced-design size)
+        ICC(1) = (MSB − MSW) / (MSB + (n0 − 1)·MSW)
+
+    ``k, n, n0, msb, msw, icc1`` per segment. Same centered
+    one-aggregate plan as :func:`anova_oneway` with one extra
+    sufficient statistic (Σn_g²); negative estimates are reported
+    as-is (the standard convention — truncation hides degenerate
+    designs).
+    """
+    xr = F.col(value).cast("double")
+    gm = df.groupBy(segment).agg(F.round(F.avg(xr), 6).alias("__gm"))
+    d = (df.join(F.broadcast(gm), segment)
+           .withColumn("__cx", xr - F.col("__gm")))
+    x = F.col("__cx")
+    g = d.groupBy(segment, group).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(x).alias("sg"), F.sum(x * x).alias("qg"))
+    agg = g.groupBy(segment).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(F.col("ng") * F.col("ng")).alias("n2"),
+        F.sum("sg").alias("s"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sb_raw"),
+        F.sum(F.col("qg") - F.col("sg") * F.col("sg") / F.col("ng"))
+         .alias("ssw"))
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sb_raw") - F.col("s") * F.col("s") / n
+    ok = (k > 1) & (n - k > 0)
+    msb = F.when(ok, ssb / (k - 1))
+    msw = F.when(ok, F.col("ssw") / (n - k))
+    n0 = F.when(k > 1, (n - F.col("n2") / n) / (k - 1).cast("double"))
+    icc = F.when(ok & (msw.isNotNull())
+                 & ((msb + (n0 - 1.0) * msw) > 0),
+                 (msb - msw) / (msb + (n0 - 1.0) * msw))
+    return agg.select(
+        segment, k, n.cast("bigint").alias("n"),
+        F.round(n0, ndigits).alias("n0"),
+        F.round(msb, ndigits).alias("msb"),
+        F.round(msw, ndigits).alias("msw"),
+        F.round(icc, ndigits).alias("icc1"))
