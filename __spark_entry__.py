@@ -3898,6 +3898,55 @@ def q_cronbach(spark, sf_dir):
     return cronbach_alpha(e, "user_id", "event_type", "value")
 
 
+def q_partial_corr(spark, sf_dir):
+    """First-order partial correlation per return flag
+    (features.partial_corr): quantity vs revenue CONTROLLING for
+    discount — the confounder screen feature_corr cannot answer;
+    one centered aggregate of six pairwise moments."""
+    from hipipe_spark.operators.features import partial_corr
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount")))
+         .alias("y"),
+        F.col("l_discount").alias("z"))
+    return partial_corr(li, "l_returnflag", "x", "y", "z")
+
+
+def q_overdispersion(spark, sf_dir):
+    """Poisson overdispersion gate per event_type over per-user
+    counts (stats.overdispersion): index-of-dispersion chi-square
+    via Wilson-Hilferty plus the negative-binomial moment fit for
+    groups that fail it."""
+    from hipipe_spark.operators.stats import overdispersion
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return overdispersion(e, "event_type", "user_id")
+
+
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation to lag 6 over the hourly event-count
+    series (temporal.pacf_table): Durbin-Levinson unrolled on the
+    one-row rounded-ACF frame, every phi a 9-dp rounded handoff so
+    the oracle replays the identical recursion bit-for-bit."""
+    from hipipe_spark.operators.temporal import pacf_table
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = (e.groupBy(
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+         .cast("bigint").alias("hour"))
+        .agg(F.count("*").cast("double").alias("cnt")))
+    return pacf_table(hours, "hour", "cnt", max_lag=6)
+
+
+def q_event_runs(spark, sf_dir):
+    """Run-length mining per user over the event-type sequence
+    (temporal.event_runs): retry-loop detection — longest identical
+    run, deterministic top category, share of rows inside runs of
+    three or more."""
+    from hipipe_spark.operators.temporal import event_runs
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_runs(e, "user_id", ["ts", "event_id"], "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
@@ -3934,9 +3983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     winnow_dedup, t_closeness, random_projection, hbos, modularity,
     conv_winnow, readability, ad_test, anova, levene, jarque_bera,
     kruskal_wallis, cmh, tost, ols2, durbin_watson, calendar, ewma,
-    influence, runs, grubbs, icc, cronbach — each green in this
-    session's
-    replica runs).
+    influence, runs, grubbs, icc, cronbach, partial_corr,
+    overdispersion, pacf, event_runs — each green in this session's
+    replica runs; the full 284-query sweep of the pre-existing
+    registry also ran green this session).
 
     Every query outside the window is still verified each session by
     ``tools/check_oracles.py`` (the driver-gate replica: same compare -
@@ -4040,6 +4090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs": q_grubbs,
         "icc": q_icc,
         "cronbach": q_cronbach,
+        "partial_corr": q_partial_corr,
+        "overdispersion": q_overdispersion,
+        "pacf": q_pacf,
+        "event_runs": q_event_runs,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -8886,6 +8940,149 @@ def oracle_sql() -> dict[str, str]:
                    THEN k/(k - 1.0)*(1.0 - sum_item_var/tvv) END, 6)
                AS alpha
       FROM fin
+    """
+
+    d["partial_corr"] = """
+      WITH li AS (SELECT l_returnflag AS g,
+                         CAST(l_quantity AS DOUBLE) AS x,
+                         CAST(l_extendedprice AS DOUBLE)
+                           * (1.0 - CAST(l_discount AS DOUBLE)) AS y,
+                         CAST(l_discount AS DOUBLE) AS z
+                  FROM lineitem),
+      mu AS (SELECT g, round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+                    round(avg(z), 6) AS mz
+             FROM li GROUP BY g),
+      c AS (SELECT li.g, x - mx AS dx, y - my AS dy, z - mz AS dz
+            FROM li JOIN mu ON li.g = mu.g),
+      a AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+                   sum(dx) AS ux, sum(dy) AS uy, sum(dz) AS uz,
+                   sum(dx*dx) AS pxx, sum(dy*dy) AS pyy,
+                   sum(dz*dz) AS pzz,
+                   sum(dx*dy) AS pxy, sum(dx*dz) AS pxz,
+                   sum(dy*dz) AS pyz
+            FROM c GROUP BY g),
+      s AS (SELECT g, n,
+                   pxx - ux*ux/n AS sxx, pyy - uy*uy/n AS syy,
+                   pzz - uz*uz/n AS szz,
+                   pxy - ux*uy/n AS sxy, pxz - ux*uz/n AS sxz,
+                   pyz - uy*uz/n AS syz
+            FROM a),
+      r AS (SELECT g, n,
+                   round(CASE WHEN n >= 3 AND sxx > 0 AND syy > 0
+                         AND szz > 0 THEN sxy/sqrt(sxx*syy) END, 9)
+                     AS rxy,
+                   round(CASE WHEN n >= 3 AND sxx > 0 AND syy > 0
+                         AND szz > 0 THEN sxz/sqrt(sxx*szz) END, 9)
+                     AS rxz,
+                   round(CASE WHEN n >= 3 AND sxx > 0 AND syy > 0
+                         AND szz > 0 THEN syz/sqrt(syy*szz) END, 9)
+                     AS ryz
+            FROM s)
+      SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+             round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+             round(ryz, 6) AS r_yz,
+             round(CASE WHEN (1.0 - rxz*rxz)*(1.0 - ryz*ryz) > 0
+                   THEN (rxy - rxz*ryz)
+                        / sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz)) END, 6)
+               AS r_xy_z
+      FROM r
+    """
+    d["overdispersion"] = """
+      WITH grid AS (SELECT event_type, user_id,
+                           CAST(count(*) AS DOUBLE) AS c
+                    FROM events GROUP BY event_type, user_id),
+      mu AS (SELECT event_type, round(avg(c), 6) AS m
+             FROM grid GROUP BY event_type),
+      d AS (SELECT grid.event_type, c - m AS d, m
+            FROM grid JOIN mu USING (event_type)),
+      a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                   min(m) AS m0, sum(d) AS u, sum(d*d) AS q
+            FROM d GROUP BY event_type),
+      s AS (SELECT event_type, n, m0 + u/n AS mean,
+                   (q - u*u/n)/(n - 1) AS var
+            FROM a),
+      t AS (SELECT event_type, n, mean, var,
+                   CASE WHEN n >= 2 AND mean > 0
+                        THEN var/mean END AS disp,
+                   CASE WHEN n >= 2 AND mean > 0
+                        THEN (n - 1)*var/mean END AS dstat
+            FROM s),
+      z AS (SELECT *, CASE WHEN dstat >= 0 THEN
+                   (pow(dstat/(n - 1.0), 1.0/3.0)
+                    - (1.0 - 2.0/(9.0*(n - 1.0))))
+                   / sqrt(2.0/(9.0*(n - 1.0))) END AS zz
+            FROM t)
+      SELECT event_type, CAST(n AS BIGINT) AS n_entities,
+             round(mean, 6) AS mean, round(var, 6) AS var,
+             round(disp, 6) AS dispersion,
+             round(zz, 6) AS z,
+             round(CASE WHEN zz IS NOT NULL THEN
+                   1.0/(1.0 + exp(0.07056*zz*zz*zz + 1.5976*zz)) END, 6)
+               AS p_value,
+             round(CASE WHEN n >= 2 AND mean > 0 AND var > mean
+                   THEN mean*mean/(var - mean) END, 6) AS nb_r,
+             round(CASE WHEN n >= 2 AND mean > 0 AND var > mean
+                   THEN mean/var END, 6) AS nb_p
+      FROM z
+    """
+    d["event_runs"] = """
+      WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+      f AS (SELECT user_id, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                   THEN 1 ELSE 0 END AS nw,
+                   ts, event_id
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      rid AS (SELECT user_id, event_type,
+                     sum(nw) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS rid
+              FROM f),
+      runs AS (SELECT user_id, rid, event_type,
+                      CAST(count(*) AS BIGINT) AS len
+               FROM rid GROUP BY user_id, rid, event_type),
+      mx AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS m
+             FROM runs)
+      SELECT user_id,
+             CAST(sum(len) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_runs,
+             max(len) AS max_run,
+             min(CASE WHEN len = m THEN event_type END) AS top_cat,
+             CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loops,
+             round(CAST(sum(CASE WHEN len >= 3 THEN len ELSE 0 END)
+                        AS DOUBLE) / sum(len), 6) AS loop_frac
+      FROM mx GROUP BY user_id
+    """
+    d["pacf"] = """
+      WITH hrs AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            AS hour,
+                          CAST(count(*) AS DOUBLE) AS cnt
+                   FROM events GROUP BY 1),
+      mu AS (SELECT round(avg(cnt), 6) AS mu FROM hrs),
+      b AS (SELECT hour, cnt - mu AS d FROM hrs, mu),
+      l AS (SELECT d, lag(d, 1) OVER win AS l1, lag(d, 2) OVER win AS l2, lag(d, 3) OVER win AS l3, lag(d, 4) OVER win AS l4, lag(d, 5) OVER win AS l5, lag(d, 6) OVER win AS l6
+            FROM b WINDOW win AS (ORDER BY hour)),
+      a AS (SELECT sum(d * d) AS den, sum(d * l1) AS num1, sum(d * l2) AS num2, sum(d * l3) AS num3, sum(d * l4) AS num4, sum(d * l5) AS num5, sum(d * l6) AS num6 FROM l),
+      base AS (SELECT round(num1 / den, 6) AS r1, round(num2 / den, 6) AS r2, round(num3 / den, 6) AS r3, round(num4 / den, 6) AS r4, round(num5 / den, 6) AS r5, round(num6 / den, 6) AS r6 FROM a),
+      s1 AS (SELECT *, round(r1, 9) AS phi_1_1 FROM base),
+      s2 AS (SELECT *, round(CASE WHEN (1.0 - phi_1_1*r1) <> 0 THEN (r2 - phi_1_1*r1) / (1.0 - phi_1_1*r1) END, 9) AS phi_2_2 FROM s1),
+      s2b AS (SELECT *, round(phi_1_1 - phi_2_2*phi_1_1, 9) AS phi_2_1 FROM s2),
+      s3 AS (SELECT *, round(CASE WHEN (1.0 - phi_2_1*r1 - phi_2_2*r2) <> 0 THEN (r3 - phi_2_1*r2 - phi_2_2*r1) / (1.0 - phi_2_1*r1 - phi_2_2*r2) END, 9) AS phi_3_3 FROM s2b),
+      s3b AS (SELECT *, round(phi_2_1 - phi_3_3*phi_2_2, 9) AS phi_3_1, round(phi_2_2 - phi_3_3*phi_2_1, 9) AS phi_3_2 FROM s3),
+      s4 AS (SELECT *, round(CASE WHEN (1.0 - phi_3_1*r1 - phi_3_2*r2 - phi_3_3*r3) <> 0 THEN (r4 - phi_3_1*r3 - phi_3_2*r2 - phi_3_3*r1) / (1.0 - phi_3_1*r1 - phi_3_2*r2 - phi_3_3*r3) END, 9) AS phi_4_4 FROM s3b),
+      s4b AS (SELECT *, round(phi_3_1 - phi_4_4*phi_3_3, 9) AS phi_4_1, round(phi_3_2 - phi_4_4*phi_3_2, 9) AS phi_4_2, round(phi_3_3 - phi_4_4*phi_3_1, 9) AS phi_4_3 FROM s4),
+      s5 AS (SELECT *, round(CASE WHEN (1.0 - phi_4_1*r1 - phi_4_2*r2 - phi_4_3*r3 - phi_4_4*r4) <> 0 THEN (r5 - phi_4_1*r4 - phi_4_2*r3 - phi_4_3*r2 - phi_4_4*r1) / (1.0 - phi_4_1*r1 - phi_4_2*r2 - phi_4_3*r3 - phi_4_4*r4) END, 9) AS phi_5_5 FROM s4b),
+      s5b AS (SELECT *, round(phi_4_1 - phi_5_5*phi_4_4, 9) AS phi_5_1, round(phi_4_2 - phi_5_5*phi_4_3, 9) AS phi_5_2, round(phi_4_3 - phi_5_5*phi_4_2, 9) AS phi_5_3, round(phi_4_4 - phi_5_5*phi_4_1, 9) AS phi_5_4 FROM s5),
+      s6 AS (SELECT *, round(CASE WHEN (1.0 - phi_5_1*r1 - phi_5_2*r2 - phi_5_3*r3 - phi_5_4*r4 - phi_5_5*r5) <> 0 THEN (r6 - phi_5_1*r5 - phi_5_2*r4 - phi_5_3*r3 - phi_5_4*r2 - phi_5_5*r1) / (1.0 - phi_5_1*r1 - phi_5_2*r2 - phi_5_3*r3 - phi_5_4*r4 - phi_5_5*r5) END, 9) AS phi_6_6 FROM s5b)
+      SELECT CAST(1 AS INT) AS lag, r1 AS r, round(phi_1_1, 6) AS pacf FROM s6
+      UNION ALL SELECT CAST(2 AS INT) AS lag, r2 AS r, round(phi_2_2, 6) AS pacf FROM s6
+      UNION ALL SELECT CAST(3 AS INT) AS lag, r3 AS r, round(phi_3_3, 6) AS pacf FROM s6
+      UNION ALL SELECT CAST(4 AS INT) AS lag, r4 AS r, round(phi_4_4, 6) AS pacf FROM s6
+      UNION ALL SELECT CAST(5 AS INT) AS lag, r5 AS r, round(phi_5_5, 6) AS pacf FROM s6
+      UNION ALL SELECT CAST(6 AS INT) AS lag, r6 AS r, round(phi_6_6, 6) AS pacf FROM s6
     """
 
     return d

@@ -649,3 +649,62 @@ def calendar_features(df: DataFrame, ts_col: str = "ts",
         *pair(month, 12.0, "month"),
         *pair(mod, 1440.0, "mod"),
         ((dow == 0.0) | (dow == 6.0)).alias("is_weekend"))
+
+
+def partial_corr(df: DataFrame, group: str, x: str, y: str, z: str,
+                 ndigits: int = 6) -> DataFrame:
+    """Per-``group`` first-order partial correlation of ``x`` and
+    ``y`` CONTROLLING for ``z``::
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    — the "is this feature pair really related, or do both just
+    track the confounder?" screen that raw :func:`feature_corr`
+    cannot answer. One row per group: ``n, r_xy, r_xz, r_yz,
+    r_xy_z`` (null when any marginal is degenerate or either
+    controlling correlation is ±1).
+
+    Plan: rounded-handoff centering then ONE aggregate of the six
+    pairwise moments (the ols2 pattern); all arithmetic on the
+    group-dimension frame.
+    """
+    cx = F.col(x).cast("double")
+    cy = F.col(y).cast("double")
+    cz = F.col(z).cast("double")
+    mu = df.groupBy(group).agg(
+        F.round(F.avg(cx), 6).alias("__mx"),
+        F.round(F.avg(cy), 6).alias("__my"),
+        F.round(F.avg(cz), 6).alias("__mz"))
+    d = (df.join(F.broadcast(mu), group)
+           .select(group,
+                   (cx - F.col("__mx")).alias("dx"),
+                   (cy - F.col("__my")).alias("dy"),
+                   (cz - F.col("__mz")).alias("dz")))
+    dx, dy, dz = F.col("dx"), F.col("dy"), F.col("dz")
+    agg = d.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).alias("ux"), F.sum(dy).alias("uy"),
+        F.sum(dz).alias("uz"),
+        F.sum(dx * dx).alias("pxx"), F.sum(dy * dy).alias("pyy"),
+        F.sum(dz * dz).alias("pzz"),
+        F.sum(dx * dy).alias("pxy"), F.sum(dx * dz).alias("pxz"),
+        F.sum(dy * dz).alias("pyz"))
+    n = F.col("n")
+    sxx = F.col("pxx") - F.col("ux") * F.col("ux") / n
+    syy = F.col("pyy") - F.col("uy") * F.col("uy") / n
+    szz = F.col("pzz") - F.col("uz") * F.col("uz") / n
+    sxy = F.col("pxy") - F.col("ux") * F.col("uy") / n
+    sxz = F.col("pxz") - F.col("ux") * F.col("uz") / n
+    syz = F.col("pyz") - F.col("uy") * F.col("uz") / n
+    ok = (n >= 3) & (sxx > 0) & (syy > 0) & (szz > 0)
+    rxy = F.round(F.when(ok, sxy / F.sqrt(sxx * syy)), 9)
+    rxz = F.round(F.when(ok, sxz / F.sqrt(sxx * szz)), 9)
+    ryz = F.round(F.when(ok, syz / F.sqrt(syy * szz)), 9)
+    den = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    pc = F.when(den > 0, (rxy - rxz * ryz) / F.sqrt(den))
+    return agg.select(
+        group, n.cast("bigint").alias("n"),
+        F.round(rxy, ndigits).alias("r_xy"),
+        F.round(rxz, ndigits).alias("r_xz"),
+        F.round(ryz, ndigits).alias("r_yz"),
+        F.round(pc, ndigits).alias("r_xy_z"))

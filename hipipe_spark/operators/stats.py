@@ -1477,3 +1477,59 @@ def icc_oneway(df: DataFrame, segment: str, group: str, value: str,
         F.round(msb, ndigits).alias("msb"),
         F.round(msw, ndigits).alias("msw"),
         F.round(icc, ndigits).alias("icc1"))
+
+
+def overdispersion(df: DataFrame, group: str, entity: str,
+                   ndigits: int = 6) -> DataFrame:
+    """Per-``group`` Poisson overdispersion test over per-``entity``
+    event counts, with a negative-binomial moment fit for the groups
+    that fail it: ``n_entities, mean, var, dispersion, z, p_value,
+    nb_r, nb_p`` where dispersion = var/mean (1 under Poisson), the
+    test is the index-of-dispersion statistic ``D = (n−1)·var/mean ~
+    χ²(n−1)`` via the Wilson–Hilferty transform, and the NB moment
+    estimates ``r = mean²/(var−mean)``, ``p = mean/var`` are null
+    when var ≤ mean (no overdispersion to model).
+
+    The modeling gate for count features (events per user, turns per
+    conversation): a Poisson rate column is the wrong feature when
+    dispersion ≫ 1 — burstiness/heterogeneity must be modeled.
+
+    Plan: one aggregate to the (group, entity) count grid, rounded-
+    handoff centering, one aggregate per group — the grid exchange
+    is the only fact-scale shuffle.
+    """
+    grid = df.groupBy(group, entity).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    mu = grid.groupBy(group).agg(F.round(F.avg("__c"), 6).alias("__mu"))
+    c = (grid.join(F.broadcast(mu), group)
+             .select(group, (F.col("__c") - F.col("__mu")).alias("d"),
+                     "__mu"))
+    dd = F.col("d")
+    agg = c.groupBy(group).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.first("__mu").alias("mean"),
+        F.sum(dd).alias("u"), F.sum(dd * dd).alias("q"))
+    n = F.col("n")
+    mean = F.col("mean") + F.col("u") / n       # exact grid mean
+    var = (F.col("q") - F.col("u") * F.col("u") / n) / (n - 1)
+    ok = (n >= 2) & (mean > 0)
+    disp = F.when(ok, var / mean)
+    dstat = F.when(ok, (n - 1) * var / mean)
+    v = n - 1
+    z = F.when(ok & (dstat >= 0),
+               (F.pow(dstat / v, F.lit(1.0 / 3.0))
+                - (1.0 - 2.0 / (9.0 * v))) / F.sqrt(2.0 / (9.0 * v)))
+    p = F.when(z.isNotNull(),
+               1.0 / (1.0 + F.exp(0.07056 * z * z * z + 1.5976 * z)))
+    over = ok & (var > mean)
+    nb_r = F.when(over, mean * mean / (var - mean))
+    nb_p = F.when(over, mean / var)
+    return agg.select(
+        group, n.cast("bigint").alias("n_entities"),
+        F.round(mean, ndigits).alias("mean"),
+        F.round(var, ndigits).alias("var"),
+        F.round(disp, ndigits).alias("dispersion"),
+        F.round(z, ndigits).alias("z"),
+        F.round(p, ndigits).alias("p_value"),
+        F.round(nb_r, ndigits).alias("nb_r"),
+        F.round(nb_p, ndigits).alias("nb_p"))

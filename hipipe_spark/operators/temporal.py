@@ -1157,3 +1157,114 @@ def ewma_bounded(df: DataFrame, key: str, order: list[str],
         cnt = cnt + F.when(lj.isNotNull(), 1).otherwise(0)
     return (df.withColumn(out_col, F.round(num / den, ndigits))
               .withColumn(f"{out_col}_n", cnt.cast("int")))
+
+
+def pacf_table(df: DataFrame, t_col: str, value: str,
+               max_lag: int = 5, ndigits: int = 6) -> DataFrame:
+    """Partial autocorrelation function to ``max_lag`` via the
+    Durbin–Levinson recursion UNROLLED into column expressions —
+    the AR-order-selection companion of :func:`acf_ljung_box` (the
+    PACF cuts off after lag p for an AR(p) process; the ACF only
+    decays). Output ``lag, r, pacf`` ordered by lag.
+
+    The recursion runs on the ONE-ROW frame of rounded ACF values::
+
+        φ_{1,1} = r_1
+        φ_{k,k} = (r_k − Σ_{j<k} φ_{k−1,j}·r_{k−j})
+                  / (1 − Σ_{j<k} φ_{k−1,j}·r_j)
+        φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    with every φ ROUNDED to 9 dp as it is assigned (the rounded-
+    handoff rule made recursive: identical rounded inputs + identical
+    IEEE operation order ⇒ bit-identical φ on any engine, which is
+    what lets the oracle replay the same unrolled steps). A zero
+    Levinson denominator (perfectly predictable series) yields null
+    from that k on. Each step materializes as a named column via a
+    ``select`` so expression trees stay linear in ``max_lag``.
+
+    Plan: the ACF machinery's single sort window over the
+    dimension-sized series, one aggregate, then scalar arithmetic on
+    one row — the recursion costs nothing at any corpus size.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    acf = acf_ljung_box(df, t_col, value, max_lag)
+    row = acf.groupBy().agg(*[
+        F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+        for k in range(1, max_lag + 1)])
+    # Durbin-Levinson, one select per assignment wave
+    row = row.select("*", F.round(F.col("r1"), 9).alias("phi_1_1"))
+    for k in range(2, max_lag + 1):
+        num = F.col(f"r{k}")
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - F.col(f"phi_{k-1}_{j}") * F.col(f"r{k-j}")
+            den = den - F.col(f"phi_{k-1}_{j}") * F.col(f"r{j}")
+        row = row.select(
+            "*", F.round(F.when(den != 0, num / den), 9)
+                  .alias(f"phi_{k}_{k}"))
+        if k < max_lag:
+            row = row.select("*", *[
+                F.round(F.col(f"phi_{k-1}_{j}")
+                        - F.col(f"phi_{k}_{k}") * F.col(f"phi_{k-1}_{k-j}"),
+                        9).alias(f"phi_{k}_{j}")
+                for j in range(1, k)])
+    out = row.select(F.explode(F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.col(f"r{k}").alias("r"),
+                 F.round(F.col(f"phi_{k}_{k}"), ndigits).alias("pacf"))
+        for k in range(1, max_lag + 1)])).alias("x"))
+    return (out.select(F.col("x.lag").alias("lag"),
+                       F.col("x.r").alias("r"),
+                       F.col("x.pacf").alias("pacf"))
+               .orderBy("lag"))
+
+
+def event_runs(df: DataFrame, key: str, order: list[str], cat: str,
+               loop_min: int = 3, ndigits: int = 6) -> DataFrame:
+    """Per-``key`` run-length mining over a categorical sequence —
+    the retry-loop / stuck-state detector for agent transcripts
+    (consecutive identical tool calls) and event streams
+    (repeated same-type events): ``n_rows, n_runs, max_run,
+    top_cat, n_loops, loop_frac`` where a "run" is a maximal block
+    of consecutive equal ``cat`` values in ``order``, ``top_cat`` is
+    the category of the longest run (ties broken by MIN category —
+    deterministic on any engine, unlike arg_max), ``n_loops`` counts
+    runs of length ≥ ``loop_min`` and ``loop_frac`` is the fraction
+    of rows inside such runs.
+
+    Plan: one key-window ``lag`` flags run starts, a running sum
+    over the same window assigns run ids (no second exchange — same
+    partitioning), one aggregate to runs, one window + aggregate on
+    the runs frame (bounded by run count ≤ row count; same key
+    partitioning again).
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = df.select(
+        key, F.col(cat).alias("__cat"),
+        F.when(F.lag(cat).over(w).isNull()
+               | (F.lag(cat).over(w) != F.col(cat)), 1)
+         .otherwise(0).alias("__new"),
+        *order)
+    flagged = flagged.withColumn(
+        "__rid", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = flagged.groupBy(key, "__rid", "__cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__len"))
+    wk = Window.partitionBy(key)
+    runs = runs.withColumn("__mx", F.max("__len").over(wk))
+    agg = runs.groupBy(key).agg(
+        F.sum("__len").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("__len").alias("max_run"),
+        F.min(F.when(F.col("__len") == F.col("__mx"), F.col("__cat")))
+         .alias("top_cat"),
+        F.sum(F.when(F.col("__len") >= loop_min, 1).otherwise(0))
+         .cast("bigint").alias("n_loops"),
+        F.sum(F.when(F.col("__len") >= loop_min, F.col("__len"))
+               .otherwise(F.lit(0))).alias("__loop_rows"))
+    return agg.select(
+        key, F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_runs", "max_run", "top_cat", "n_loops",
+        F.round(F.col("__loop_rows").cast("double") / F.col("n_rows"),
+                ndigits).alias("loop_frac"))
