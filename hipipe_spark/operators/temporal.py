@@ -1268,3 +1268,93 @@ def event_runs(df: DataFrame, key: str, order: list[str], cat: str,
         "n_runs", "max_run", "top_cat", "n_loops",
         F.round(F.col("__loop_rows").cast("double") / F.col("n_rows"),
                 ndigits).alias("loop_frac"))
+
+
+def hurst_rs(df: DataFrame, key: str, order: list[str], value: str,
+             block_sizes: tuple[int, ...] = (8, 16, 32, 64),
+             ndigits: int = 6) -> DataFrame:
+    """Per-``key`` Hurst exponent by classical rescaled-range (R/S)
+    analysis — the long-memory summary of a metric stream (H ≈ 0.5
+    random walk increments, H > 0.5 persistent/trending, H < 0.5
+    anti-persistent/mean-reverting)::
+
+        per block of size m:  R = max−min of the cumulative
+        deviations from the block mean,  S = population std,
+        (R/S)_m = mean over complete blocks
+        H = slope of log2(R/S) on log2(m)
+
+    Output: ``key, n, h, r2`` plus one (``m``, ``rs``) diagnostic
+    row per block size via ``m``/``rs`` columns (long format:
+    ``kind`` = 'fit' row carries h/r2 with null m/rs; 'block' rows
+    carry the curve) — one frame serves both the estimate and its
+    diagnostic plot.
+
+    Plan: ONE row_number window per key establishes the sequence
+    (the key exchange); for each block size the block statistics
+    reuse that frame with (key, block) windows — no further raw-row
+    shuffle beyond the per-size (key, block) exchanges, each over
+    the same narrow 3-column projection. The log-log slope is
+    closed-form OLS on a ≤len(block_sizes)-row frame per key. All
+    handoffs rounded (block R/S at 9 dp) so the oracle replays the
+    identical arithmetic.
+    """
+    x = F.col(value).cast("double")
+    w = Window.partitionBy(key).orderBy(*order)
+    base = df.select(key, x.alias("__x"),
+                     F.row_number().over(w).alias("__rn"))
+    per_size = []
+    for m in block_sizes:
+        wb = Window.partitionBy(key, "__bid")
+        wc = Window.partitionBy(key, "__bid").orderBy("__rn")
+        blk = (base
+               .withColumn("__bid", ((F.col("__rn") - 1) / m)
+                           .cast("bigint"))
+               .withColumn("__bm", F.avg("__x").over(wb))
+               .withColumn("__cum",
+                           F.sum(F.col("__x") - F.col("__bm")).over(
+                               wc.rowsBetween(Window.unboundedPreceding,
+                                              0))))
+        stats = blk.groupBy(key, "__bid").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            (F.max("__cum") - F.min("__cum")).alias("__r"),
+            F.stddev_pop("__x").alias("__s"))
+        rs = (stats.where((F.col("__cnt") == m) & (F.col("__s") > 0))
+              .groupBy(key)
+              .agg(F.round(F.avg(F.col("__r") / F.col("__s")), 9)
+                    .alias("rs"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+              .withColumn("m", F.lit(m).cast("int")))
+        per_size.append(rs)
+    curve = per_size[0]
+    for p in per_size[1:]:
+        curve = curve.unionByName(p)
+    lx = F.log2(F.col("m").cast("double"))
+    ly = F.log2(F.col("rs"))
+    pts = curve.where(F.col("rs") > 0).select(
+        key, "m", "rs", "n_blocks", lx.alias("__lx"), ly.alias("__ly"))
+    fit = pts.groupBy(key).agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum("__lx").alias("__sx"), F.sum("__ly").alias("__sy"),
+        F.sum(F.col("__lx") * F.col("__lx")).alias("__sxx"),
+        F.sum(F.col("__lx") * F.col("__ly")).alias("__sxy"),
+        F.sum(F.col("__ly") * F.col("__ly")).alias("__syy"))
+    kk = F.col("__k")
+    sxx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / kk
+    sxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / kk
+    syy = F.col("__syy") - F.col("__sy") * F.col("__sy") / kk
+    h = F.when((kk >= 2) & (sxx > 0), sxy / sxx)
+    r2 = F.when((kk >= 2) & (sxx > 0) & (syy > 0),
+                sxy * sxy / (sxx * syy))
+    fit_rows = fit.select(
+        key, F.lit("fit").alias("kind"),
+        F.lit(None).cast("int").alias("m"),
+        F.lit(None).cast("double").alias("rs"),
+        F.lit(None).cast("bigint").alias("n_blocks"),
+        F.round(h, ndigits).alias("h"),
+        F.round(r2, ndigits).alias("r2"))
+    blk_rows = pts.select(
+        key, F.lit("block").alias("kind"), "m",
+        F.round(F.col("rs"), ndigits).alias("rs"), "n_blocks",
+        F.lit(None).cast("double").alias("h"),
+        F.lit(None).cast("double").alias("r2"))
+    return fit_rows.unionByName(blk_rows)
