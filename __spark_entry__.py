@@ -3992,6 +3992,38 @@ def q_hurst(spark, sf_dir):
                     block_sizes=(8, 16, 32))
 
 
+def q_theil_u(spark, sf_dir):
+    """Theil's uncertainty coefficient both ways between event_type
+    and user cohort (drift.theil_u): the asymmetric does-X-predict-Y
+    companion of cramers_v/mutual_info, from the same one-aggregate
+    contingency cell table."""
+    from hipipe_spark.operators.drift import theil_u
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", (F.col("user_id") % 10).cast("int").alias("cohort"))
+    return theil_u(e, "event_type", "cohort")
+
+
+def q_srm(spark, sf_dir):
+    """Sample-ratio-mismatch gate per event_type (drift.srm_check):
+    parity-arm counts against the intended 50/50 split, Pearson
+    chi-square with Wilson-Hilferty tail, alpha=0.001 alarm."""
+    from hipipe_spark.operators.drift import srm_check
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("arm"))
+    return srm_check(e, "event_type", "arm", {"a": 0.5, "b": 0.5})
+
+
+def q_vocab_richness(spark, sf_dir):
+    """Chao1 + Good-Turing vocabulary projection over documents
+    (retrieval.vocab_richness): frequency-of-frequencies reduce on
+    the vocab table - the asymptote bound and unseen-mass price next
+    to Heaps-law vocab_growth."""
+    from hipipe_spark.operators.retrieval import vocab_richness
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_richness(docs, "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver records correctness rows
     for the FIRST 50 entries only (rounds 1-3 each confirmed: the 50
@@ -4029,8 +4061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     conv_winnow, readability, ad_test, anova, levene, jarque_bera,
     kruskal_wallis, cmh, tost, ols2, durbin_watson, calendar, ewma,
     influence, runs, grubbs, icc, cronbach, partial_corr,
-    overdispersion, pacf, event_runs, unigram_roundtrip, hurst —
-    each green in this session's
+    overdispersion, pacf, event_runs, unigram_roundtrip, hurst,
+    theil_u, srm, vocab_richness — each green in this session's
     replica runs; the full 284-query sweep of the pre-existing
     registry also ran green this session).
 
@@ -4142,6 +4174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_runs": q_event_runs,
         "unigram_roundtrip": q_unigram_roundtrip,
         "hurst": q_hurst,
+        "theil_u": q_theil_u,
+        "srm": q_srm,
+        "vocab_richness": q_vocab_richness,
         # -- 51+: driver-green in rounds 1-3 (or rows-only/no-oracle),
         #    re-checked every session by tools/check_oracles.py
         "flagship": q_flagship,
@@ -9252,6 +9287,87 @@ def oracle_sql() -> dict[str, str]:
       SELECT user_id, 'block' AS kind, m, round(rs, 6) AS rs, n_blocks,
              CAST(NULL AS DOUBLE) AS h, CAST(NULL AS DOUBLE) AS r2
       FROM pts
+    """
+
+    d["theil_u"] = """
+      WITH e AS (SELECT event_type AS x,
+                        CAST(user_id % 10 AS INT) AS y FROM events),
+      cells AS (SELECT x, y, CAST(count(*) AS DOUBLE) AS c
+                FROM e GROUP BY x, y),
+      n AS (SELECT sum(c) AS n FROM cells),
+      hx AS (SELECT ln(min(n.n)) - sum(cx * ln(cx)) / min(n.n) AS h_x
+             FROM (SELECT x, sum(c) AS cx FROM cells GROUP BY x), n),
+      hy AS (SELECT ln(min(n.n)) - sum(cy * ln(cy)) / min(n.n) AS h_y
+             FROM (SELECT y, sum(c) AS cy FROM cells GROUP BY y), n),
+      hxy AS (SELECT min(n.n) AS nn,
+                     ln(min(n.n)) - sum(c * ln(c)) / min(n.n) AS h_xy
+              FROM cells, n)
+      SELECT CAST(nn AS BIGINT) AS n,
+             round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+             round(h_x + h_y - h_xy, 6) AS mi,
+             round(CASE WHEN h_y > 0
+                   THEN (h_x + h_y - h_xy) / h_y END, 6)
+               AS u_y_given_x,
+             round(CASE WHEN h_x > 0
+                   THEN (h_x + h_y - h_xy) / h_x END, 6)
+               AS u_x_given_y
+      FROM hxy, hx, hy
+    """
+    d["srm"] = """
+      WITH e AS (SELECT event_type,
+                        CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                          AS arm
+                 FROM events),
+      a AS (SELECT event_type,
+                   CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS o0,
+                   CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS o1
+            FROM e GROUP BY event_type),
+      c AS (SELECT event_type, o0 + o1 AS n,
+                   (o0 - (o0 + o1) * 0.5) * (o0 - (o0 + o1) * 0.5)
+                     / ((o0 + o1) * 0.5)
+                   + (o1 - (o0 + o1) * 0.5) * (o1 - (o0 + o1) * 0.5)
+                     / ((o0 + o1) * 0.5) AS chi2
+            FROM a),
+      z AS (SELECT event_type, n, chi2,
+                   CASE WHEN n > 0 THEN
+                     (pow(chi2 / 1.0, 1.0/3.0) - (1.0 - 2.0/9.0))
+                     / sqrt(2.0/9.0) END AS zz
+            FROM c)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             round(chi2, 6) AS chi2, CAST(1 AS INT) AS dof,
+             round(CASE WHEN zz IS NOT NULL THEN
+                   1.0/(1.0 + exp(0.07056*zz*zz*zz + 1.5976*zz)) END, 6)
+               AS p_value,
+             CASE WHEN zz IS NOT NULL THEN
+               1.0/(1.0 + exp(0.07056*zz*zz*zz + 1.5976*zz)) < 0.001
+             END AS srm
+      FROM z
+    """
+    d["vocab_richness"] = """
+      WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                  '\\s+')) AS w
+                 FROM documents WHERE trim(text) <> ''),
+      wc AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY w),
+      a AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+                   CAST(count(*) AS DOUBLE) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS f1,
+                   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS f2
+            FROM wc)
+      SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(n_types AS BIGINT) AS n_types,
+             CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             round(CASE WHEN f2 > 0 THEN n_types + f1*f1/(2.0*f2)
+                   ELSE n_types + f1*(f1 - 1.0)/(2.0*(f2 + 1.0)) END, 6)
+               AS chao1,
+             round(CASE WHEN n_tokens > 0 THEN f1/n_tokens END, 6)
+               AS gt_unseen,
+             round(1.0 - CASE WHEN n_tokens > 0
+                         THEN f1/n_tokens END, 6) AS coverage
+      FROM a
     """
 
     return d

@@ -444,3 +444,108 @@ def ad_table(df_a: DataFrame, df_b: DataFrame,
         "value", "n_a", "n_b",
         F.round("contrib", round_to).alias("contrib"),
         a2.alias("a2"))
+
+
+def theil_u(df: DataFrame, col_x: str, col_y: str,
+            ndigits: int = 6) -> DataFrame:
+    """Theil's uncertainty coefficient U(Y|X) — the ASYMMETRIC
+    categorical association: what fraction of Y's entropy does
+    knowing X remove? ``U(Y|X) = (H(Y) − H(Y|X)) / H(Y)`` in [0, 1].
+    Unlike Cramér's V (symmetric), U answers the directional
+    feature-selection question "does X predict Y" and its converse
+    separately; one row with both directions::
+
+        n, h_x, h_y, mi, u_y_given_x, u_x_given_y
+
+    (natural-log entropies; ``mi = H(X) + H(Y) − H(X,Y)``; U null
+    when the target entropy is 0 — a constant column predicts
+    nothing and is perfectly predicted).
+
+    Plan: ONE aggregate to the (x, y) contingency cells, entropies
+    from three dimension-sized reduces over it — identical shape to
+    ``mutual_information``, sharing its cell table contract.
+    """
+    from .core import register_cached
+
+    # the cell table feeds four reduces (both marginals, the joint
+    # entropy, the total); persist it ONCE so the fact table is
+    # scanned exactly once (caller frees via release_cached)
+    cells = (df.groupBy(F.col(col_x).alias("__x"),
+                        F.col(col_y).alias("__y"))
+               .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+               .persist())
+    xm = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    ym = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    n_tot = cells.agg(F.sum("__c").alias("__n"))
+    hx = (xm.crossJoin(F.broadcast(n_tot))
+            .agg((F.log(F.first("__n"))
+                  - F.sum(F.col("__cx") * F.log("__cx"))
+                  / F.first("__n")).alias("h_x")))
+    hy = (ym.crossJoin(F.broadcast(n_tot))
+            .agg((F.log(F.first("__n"))
+                  - F.sum(F.col("__cy") * F.log("__cy"))
+                  / F.first("__n")).alias("h_y")))
+    hxy = (cells.crossJoin(F.broadcast(n_tot))
+                .agg(F.first("__n").alias("n"),
+                     (F.log(F.first("__n"))
+                      - F.sum(F.col("__c") * F.log("__c"))
+                      / F.first("__n")).alias("h_xy")))
+    j = hxy.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    mi = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+    uyx = F.when(F.col("h_y") > 0, mi / F.col("h_y"))
+    uxy = F.when(F.col("h_x") > 0, mi / F.col("h_x"))
+    return register_cached(j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("h_x", ndigits).alias("h_x"),
+        F.round("h_y", ndigits).alias("h_y"),
+        F.round(mi, ndigits).alias("mi"),
+        F.round(uyx, ndigits).alias("u_y_given_x"),
+        F.round(uxy, ndigits).alias("u_x_given_y")), cells)
+
+
+def srm_check(df: DataFrame, segment: str, arm: str,
+              expected: dict[str, float],
+              ndigits: int = 6) -> DataFrame:
+    """Sample-ratio-mismatch gate per ``segment`` — the first thing a
+    trustworthy experiment pipeline checks: do the observed arm
+    counts match the intended allocation? Pearson chi-square against
+    the ``expected`` proportions (e.g. ``{"a": 0.5, "b": 0.5}``)
+    with the Wilson–Hilferty tail through the shared logistic Φ.
+    One row per segment: ``n, chi2, dof, p_value, srm`` (the α=0.001
+    verdict — SRM alarms use a conservative threshold because a true
+    mismatch invalidates the whole experiment).
+
+    Plan: one conditional-count aggregate per segment; arithmetic on
+    the segment-dimension frame. Arms not in ``expected`` are
+    ignored (pre-filter upstream if that is an error).
+    """
+    if abs(sum(expected.values()) - 1.0) > 1e-9:
+        raise ValueError("expected proportions must sum to 1")
+    arms = sorted(expected)
+    agg = (df.filter(F.col(arm).isin(arms))
+             .groupBy(segment)
+             .agg(*[F.sum(F.when(F.col(arm) == a, 1).otherwise(0))
+                    .cast("double").alias(f"__o_{i}")
+                    for i, a in enumerate(arms)]))
+    n = None
+    for i in range(len(arms)):
+        n = F.col(f"__o_{i}") if n is None else n + F.col(f"__o_{i}")
+    chi2 = None
+    for i, a in enumerate(arms):
+        e = n * float(expected[a])
+        term = (F.col(f"__o_{i}") - e) * (F.col(f"__o_{i}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    dof = float(len(arms) - 1)
+    import math
+    z = F.when(n > 0,
+               (F.pow(chi2 / dof, F.lit(1.0 / 3.0))
+                - (1.0 - 2.0 / (9.0 * dof)))
+               / math.sqrt(2.0 / (9.0 * dof)))
+    p = F.when(z.isNotNull(),
+               1.0 / (1.0 + F.exp(0.07056 * z * z * z + 1.5976 * z)))
+    return agg.select(
+        segment, n.cast("bigint").alias("n"),
+        F.round(chi2, ndigits).alias("chi2"),
+        F.lit(int(dof)).cast("int").alias("dof"),
+        F.round(p, ndigits).alias("p_value"),
+        (p < 0.001).alias("srm"))

@@ -609,3 +609,54 @@ def log_odds_terms(df_a: DataFrame, df_b: DataFrame, text_col: str,
              .where(F.col("__r") <= top_k).drop("__r")
              .withColumn("side", F.lit("b")))
     return top_a.unionByName(top_b)
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text",
+                   lowercase: bool = True,
+                   ndigits: int = 6) -> DataFrame:
+    """Vocabulary-richness projection from the frequency-of-
+    frequencies spectrum — "how many word types does the full corpus
+    have that this sample never saw?": ONE row with::
+
+        n_tokens, n_types, f1, f2,
+        chao1      = n_types + f1²/(2·f2)       (Chao 1984 lower bound;
+                     the bias-corrected f1(f1−1)/(2(f2+1)) form when
+                     f2 = 0)
+        gt_unseen  = f1/n_tokens                (Good–Turing mass of
+                     unseen types)
+        coverage   = 1 − gt_unseen              (Good's sample coverage)
+
+    the corpus-planning companion to Heaps-law ``vocab_growth``:
+    Heaps extrapolates growth, Chao1 bounds the asymptote, Good–
+    Turing prices the next token being novel.
+
+    Plan: tokenize + word count (one corpus shuffle), then the
+    frequency-of-frequencies reduce over the vocab-sized table —
+    f1/f2 are two conditional sums, no second corpus pass.
+    """
+    from hipipe_spark.functions.text import tokens
+
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    wc = (df.select(F.explode(tokens(txt)).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    agg = wc.agg(
+        F.sum("c").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+         .cast("double").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+         .cast("double").alias("f2"))
+    f1, f2 = F.col("f1"), F.col("f2")
+    types = F.col("n_types")
+    chao = F.when(f2 > 0, types + f1 * f1 / (2.0 * f2)) \
+            .otherwise(types + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)))
+    gt = F.when(F.col("n_tokens") > 0, f1 / F.col("n_tokens"))
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        types.cast("bigint").alias("n_types"),
+        f1.cast("bigint").alias("f1"),
+        f2.cast("bigint").alias("f2"),
+        F.round(chao, ndigits).alias("chao1"),
+        F.round(gt, ndigits).alias("gt_unseen"),
+        F.round(1.0 - gt, ndigits).alias("coverage"))
