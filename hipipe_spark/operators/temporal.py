@@ -1358,3 +1358,45 @@ def hurst_rs(df: DataFrame, key: str, order: list[str], value: str,
         F.lit(None).cast("double").alias("h"),
         F.lit(None).cast("double").alias("r2"))
     return fit_rows.unionByName(blk_rows)
+
+
+class Ewma(Stage):
+    """Pipeline stage for :func:`ewma_bounded`: exponentially
+    weighted smoothing of one or more metric columns over the stable
+    per-conversation order, as ``{col}_ewma``. PAST-ONLY by
+    construction (current row + preceding lags), so it is
+    leakage-safe as a feature; shares the pipeline's one
+    (key, order) window — composing it after LagLead/RollingAgg adds
+    ZERO exchanges (pytest-pinned in test_pipeline_stages.py)."""
+
+    def __init__(self, cols: str | Sequence[str], alpha: float = 0.5,
+                 window: int = 8, key: str = DEFAULT_KEY,
+                 order: Sequence[str] = DEFAULT_ORDER):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+        super().__init__(f"ewma({','.join(self.cols)})")
+        self.alpha, self.window = alpha, window
+        self.key, self.order = key, order
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for c in self.cols:
+            df = ewma_bounded(df, self.key, list(self.order), c,
+                              alpha=self.alpha, window=self.window,
+                              out_col=f"{c}_ewma")
+            df = df.drop(f"{c}_ewma_n")
+        return df
+
+
+class Calendar(Stage):
+    """Pipeline stage for
+    :func:`~hipipe_spark.operators.features.calendar_features`:
+    cyclical clock/calendar encodings of the turn timestamp — pure
+    row-local expressions, zero exchanges, trivially leakage-safe
+    (reads only the row's own ts)."""
+
+    def __init__(self, ts_col: str = "ts"):
+        super().__init__("calendar")
+        self.ts_col = ts_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from hipipe_spark.operators.features import calendar_features
+        return calendar_features(df, self.ts_col)
