@@ -719,8 +719,12 @@ def q_bigram_pmi(spark, sf_dir):
     from hipipe_spark.operators.retrieval import bigram_pmi
     d = _docs(spark, sf_dir)
     out = bigram_pmi(d, min_count=5)
+    # round_norm: PMI of an exactly-independent pair rounds to zero
+    # from below in DuckDB (-0.0) but +0.0 in Spark (r4 driver red on
+    # exactly one such cell) — functions/rounding.py.
+    from hipipe_spark.functions.rounding import round_norm
     return out.select("tok_a", "tok_b", "n_ab",
-                      F.round("pmi", 5).alias("pmi"))
+                      round_norm("pmi", 5).alias("pmi"))
 
 
 def q_hash_features(spark, sf_dir):
@@ -729,8 +733,11 @@ def q_hash_features(spark, sf_dir):
     the per-token string hash is O(len) on the DuckDB side)."""
     from hipipe_spark.functions.text import hashed_count_vector
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    # to_json: raw array output columns break the driver canonicalizer
+    # (functions/rounding.py); integer JSON renders identically.
     return d.select(
-        "doc_id", hashed_count_vector(F.col("text"), dim=16).alias("fv"))
+        "doc_id",
+        F.to_json(hashed_count_vector(F.col("text"), dim=16)).alias("fv"))
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -752,9 +759,13 @@ def q_embedding_pool(spark, sf_dir):
     em = _embs(spark, sf_dir).withColumn(
         "g", F.pmod(F.col("vec_id"), F.lit(50)))
     out = mean_pool(em, "g")
+    # json_units: the driver's value-hash canonicalizer refuses raw
+    # array columns, and float JSON rendering diverges across engines
+    # -> integer micro-unit JSON (functions/rounding.py).
+    from hipipe_spark.functions.rounding import json_units
     return out.select(
         "g",
-        F.transform("pooled", lambda x: F.round(x, 6)).alias("pooled"),
+        json_units("pooled", 6).alias("pooled"),
         "n_vecs")
 
 
@@ -1762,8 +1773,11 @@ def q_onehot_encode(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     fit = docs.filter(F.col("doc_id") % 2 == 0)
     vocab = fit_onehot(fit, "lang", min_count=50)
+    # to_json: raw array output columns break the driver canonicalizer
+    # (functions/rounding.py); integer JSON renders identically.
     return apply_onehot(docs, vocab, "lang", dense=True).select(
-        "doc_id", "lang", "lang_idx", "lang_vec")
+        "doc_id", "lang", "lang_idx",
+        F.to_json("lang_vec").alias("lang_vec"))
 
 
 def q_lift_report(spark, sf_dir):
@@ -2138,10 +2152,16 @@ def q_feature_hash(spark, sf_dir):
     narrow map, no fit pass, no vocab."""
     from hipipe_spark.operators.encoders import hash_features
     d = _docs(spark, sf_dir)
+    # to_json: raw array output columns break the driver canonicalizer
+    # (functions/rounding.py). fh_val is integral by construction (sums
+    # of +-1.0 signs) -> BIGINT elements render identically in both
+    # engines' JSON where raw doubles would not.
     return hash_features(
         d, ["lang", "source", ("lang", "source")],
         n_buckets=64, seed=7).select(
-        "doc_id", "fh_idx", "fh_val")
+        "doc_id", F.to_json("fh_idx").alias("fh_idx"),
+        F.to_json(F.transform("fh_val", lambda x: x.cast("bigint")))
+        .alias("fh_val"))
 
 
 def q_rolling_quantile(spark, sf_dir):
@@ -5168,7 +5188,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
              round(ln((CAST(n_ab AS DOUBLE) / tb)
                       / ((CAST(a.n_tok AS DOUBLE) / tu)
-                         * (CAST(b.n_tok AS DOUBLE) / tu))), 5) AS pmi
+                         * (CAST(b.n_tok AS DOUBLE) / tu))), 5) + 0.0 AS pmi
       FROM bc JOIN uc a ON bc.tok_a = a.tok
               JOIN uc b ON bc.tok_b = b.tok
               CROSS JOIN tot
@@ -5182,8 +5202,9 @@ def oracle_sql() -> dict[str, str]:
                      t -> CAST(({_dhs2('t', 0)}) % 16 AS INTEGER)) AS bk
             FROM d)
       SELECT doc_id,
-             list_transform(range(0, 16),
-               bb -> CAST(len(list_filter(bk, x -> x = bb)) AS INTEGER)) AS fv
+             to_json(list_transform(range(0, 16),
+               bb -> CAST(len(list_filter(bk, x -> x = bb)) AS INTEGER)))
+               AS fv
       FROM b
     """
     d["unigram_logprob"] = f"""
@@ -5208,7 +5229,8 @@ def oracle_sql() -> dict[str, str]:
       x AS (SELECT g, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
       m AS (SELECT g, pos, avg(x) AS m, count(*) AS n FROM x GROUP BY g, pos)
       SELECT CAST(g AS BIGINT) AS g,
-             list(round(m, 6) ORDER BY pos) AS pooled,
+             to_json(list(CAST(round(m * 1000000.0, 0) AS BIGINT)
+                          ORDER BY pos)) AS pooled,
              CAST(max(n) AS BIGINT) AS n_vecs
       FROM m GROUP BY g
     """
@@ -5313,8 +5335,8 @@ def oracle_sql() -> dict[str, str]:
       n AS (SELECT COUNT(*) AS dim FROM v)
       SELECT d.doc_id, d.lang,
              CAST(COALESCE(v.pos, -1) AS INTEGER) AS lang_idx,
-             list_transform(range(0, n.dim),
-               i -> CASE WHEN i = v.pos THEN 1 ELSE 0 END) AS lang_vec
+             to_json(list_transform(range(0, n.dim),
+               i -> CASE WHEN i = v.pos THEN 1 ELSE 0 END)) AS lang_vec
       FROM documents d LEFT JOIN v USING (lang) CROSS JOIN n
     """
     d["lift_report"] = """
@@ -6027,11 +6049,11 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list_distinct(
                      list_transform(es, x -> x.b))) AS fh_idx
             FROM e)
-      SELECT doc_id, fh_idx,
-             list_transform(fh_idx,
-               bb -> list_sum(list_transform(es,
-                 x -> CASE WHEN x.b = bb THEN x.s ELSE 0.0 END)))
-               AS fh_val
+      SELECT doc_id, to_json(fh_idx) AS fh_idx,
+             to_json(list_transform(fh_idx,
+               bb -> CAST(list_sum(list_transform(es,
+                 x -> CASE WHEN x.b = bb THEN x.s ELSE 0.0 END))
+                 AS BIGINT))) AS fh_val
       FROM i
     """
     d["rolling_quantile"] = f"""
@@ -6652,23 +6674,24 @@ def oracle_sql() -> dict[str, str]:
            agg AS (SELECT
              count(*) AS n,
              sum(CASE WHEN src_b IS NOT NULL THEN 1 ELSE 0 END) AS m1,
-             sum(CASE WHEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 > 0
+             sum(CASE WHEN (epoch_us(src_b) - epoch_us(ts)) / 1000000.0 > 0
                       THEN 1 ELSE 0 END) AS l1,
-             max(CASE WHEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 > 0
-                      THEN (epoch_ms(src_b) - epoch_ms(ts)) / 1000.0 END) AS x1,
+             max(CASE WHEN (epoch_us(src_b) - epoch_us(ts)) / 1000000.0 > 0
+                      THEN (epoch_us(src_b) - epoch_us(ts)) / 1000000.0 END) AS x1,
              sum(CASE WHEN src_f IS NOT NULL THEN 1 ELSE 0 END) AS m2,
-             sum(CASE WHEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 > 0
+             sum(CASE WHEN (epoch_us(src_f) - epoch_us(ts)) / 1000000.0 > 0
                       THEN 1 ELSE 0 END) AS l2,
-             max(CASE WHEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 > 0
-                      THEN (epoch_ms(src_f) - epoch_ms(ts)) / 1000.0 END) AS x2
+             max(CASE WHEN (epoch_us(src_f) - epoch_us(ts)) / 1000000.0 > 0
+                      THEN (epoch_us(src_f) - epoch_us(ts)) / 1000000.0 END) AS x2
              FROM j)
       SELECT 1 AS src_no, 'src_ts_feature' AS source,
-             n AS n_rows, m1 AS n_matched, l1 AS n_leaks,
+             n AS n_rows, CAST(m1 AS BIGINT) AS n_matched,
+             CAST(l1 AS BIGINT) AS n_leaks,
              round(x1, 6) AS max_lead_s,
              round(l1 * 1.0 / n, 6) AS leak_rate, l1 = 0 AS ok FROM agg
       UNION ALL
-      SELECT 2, 'src_ts_label', n, m2, l2, round(x2, 6),
-             round(l2 * 1.0 / n, 6), l2 = 0 FROM agg
+      SELECT 2, 'src_ts_label', n, CAST(m2 AS BIGINT), CAST(l2 AS BIGINT),
+             round(x2, 6), round(l2 * 1.0 / n, 6), l2 = 0 FROM agg
     """
     d["pagerank"] = pagerank_oracle_sql(
         """SELECT prev AS src, event_type AS dst, 1.0 AS w FROM (
@@ -7358,7 +7381,7 @@ def oracle_sql() -> dict[str, str]:
             FROM adj GROUP BY 1, 2)
       SELECT l_returnflag, n, mean_raw, mean_cuped, theta,
              round(vr, 2) AS var_raw, round(va, 2) AS var_cuped,
-             round(100*(1 - va/vr), 2) AS var_reduction_pct
+             round(100*(1 - va/vr), 2) + 0.0 AS var_reduction_pct
       FROM o
     """
     d["cusum"] = """
@@ -8804,14 +8827,14 @@ def oracle_sql() -> dict[str, str]:
                         CAST(hour(ts)*60 + minute(ts) AS DOUBLE) AS md
                  FROM events)
       SELECT event_id,
-             round(sin(h/24.0*2.0*pi()), 6) AS hour_sin,
-             round(cos(h/24.0*2.0*pi()), 6) AS hour_cos,
-             round(sin(dw/7.0*2.0*pi()), 6) AS dow_sin,
-             round(cos(dw/7.0*2.0*pi()), 6) AS dow_cos,
-             round(sin(mo/12.0*2.0*pi()), 6) AS month_sin,
-             round(cos(mo/12.0*2.0*pi()), 6) AS month_cos,
-             round(sin(md/1440.0*2.0*pi()), 6) AS mod_sin,
-             round(cos(md/1440.0*2.0*pi()), 6) AS mod_cos,
+             round(sin(h/24.0*2.0*pi()), 6) + 0.0 AS hour_sin,
+             round(cos(h/24.0*2.0*pi()), 6) + 0.0 AS hour_cos,
+             round(sin(dw/7.0*2.0*pi()), 6) + 0.0 AS dow_sin,
+             round(cos(dw/7.0*2.0*pi()), 6) + 0.0 AS dow_cos,
+             round(sin(mo/12.0*2.0*pi()), 6) + 0.0 AS month_sin,
+             round(cos(mo/12.0*2.0*pi()), 6) + 0.0 AS month_cos,
+             round(sin(md/1440.0*2.0*pi()), 6) + 0.0 AS mod_sin,
+             round(cos(md/1440.0*2.0*pi()), 6) + 0.0 AS mod_cos,
              dw = 0.0 OR dw = 6.0 AS is_weekend
       FROM e
     """

@@ -1,3 +1,3 @@
-from hipipe_spark.functions import casts, hashing, text
+from hipipe_spark.functions import casts, hashing, rounding, text
 
-__all__ = ["casts", "hashing", "text"]
+__all__ = ["casts", "hashing", "rounding", "text"]

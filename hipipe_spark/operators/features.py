@@ -627,9 +627,13 @@ def calendar_features(df: DataFrame, ts_col: str = "ts",
     Pure JVM column expressions over the existing rows — no shuffle,
     no UDF, survives any scale by construction. The 2π factors use
     the double literal of π so the oracle's ``pi()`` arithmetic is
-    identical.
+    identical; outputs go through :func:`~hipipe_spark.functions.
+    rounding.round_norm` because ``cos(3π/2)`` ≈ ``-1.8e-16`` rounds
+    to ``-0.0`` under libm but ``+0.0`` under BigDecimal HALF_UP.
     """
     import math
+
+    from hipipe_spark.functions.rounding import round_norm
     two_pi = 2.0 * math.pi
     ts = F.col(ts_col)
     hour = F.hour(ts).cast("double")
@@ -639,8 +643,8 @@ def calendar_features(df: DataFrame, ts_col: str = "ts",
 
     def pair(angle, period, name):
         a = angle / period * two_pi
-        return [F.round(F.sin(a), ndigits).alias(f"{name}_sin"),
-                F.round(F.cos(a), ndigits).alias(f"{name}_cos")]
+        return [round_norm(F.sin(a), ndigits).alias(f"{name}_sin"),
+                round_norm(F.cos(a), ndigits).alias(f"{name}_cos")]
 
     return df.select(
         "*",

@@ -279,12 +279,16 @@ def cuped(df: DataFrame, group: str, metric: str, covariate: str,
         ((F.sum(ya * ya) - F.sum(ya) * F.sum(ya) / F.count(F.lit(1)))
          / (F.count(F.lit(1)) - 1)).alias("__va"),
     )
+    from hipipe_spark.functions.rounding import round_norm
+    # var_reduction_pct can round to zero from below when the
+    # adjustment is a wash -> round_norm keeps the sign bit identical
+    # to the oracle's `round(...) + 0.0` (functions/rounding.py).
     return out.select(
         group, "n", "mean_raw", "mean_cuped", "theta",
         F.round(F.col("__vr"), 2).alias("var_raw"),
         F.round(F.col("__va"), 2).alias("var_cuped"),
-        F.round(100 * (1 - F.col("__va") / F.col("__vr")), 2)
-         .alias("var_reduction_pct"),
+        round_norm(100 * (1 - F.col("__va") / F.col("__vr")), 2)
+        .alias("var_reduction_pct"),
     )
 
 

@@ -440,20 +440,24 @@ def leakage_audit(df: DataFrame, ts_col: str,
     if not src_ts_cols:
         raise ValueError("src_ts_cols must be non-empty")
 
-    from .temporal import ts_seconds
-
-    def _epoch_s(name: str) -> Column:
-        # ts_seconds handles TIMESTAMP/TIMESTAMP_NTZ (ANSI mode rejects
-        # a direct NTZ->double cast); numeric epoch-second ts columns
-        # pass through.
+    def _epoch_us(name: str) -> Column:
+        # Integer microseconds, NOT epoch-second doubles: the testdata
+        # timestamps carry microsecond components, and a double
+        # subtraction of two ~1.7e9-second epochs loses the tail that
+        # decides a tolerance_s=0 leak. unix_micros is exact; leads are
+        # integer-subtracted BEFORE the divide so both engines share
+        # the operation order (oracle twin: epoch_us(a) - epoch_us(b)).
+        # NTZ can't feed unix_micros directly; session tz is UTC so
+        # NTZ->TS is identity. Numeric epoch-second columns are scaled.
         if dict(df.dtypes)[name].startswith("timestamp"):
-            return ts_seconds(F.col(name))
-        return F.col(name).cast("double")
+            return F.unix_micros(F.col(name).cast("timestamp"))
+        return F.round(F.col(name).cast("double") * 1000000.0,
+                       0).cast("bigint")
 
-    obs = _epoch_s(ts_col)
+    obs = _epoch_us(ts_col)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(src_ts_cols):
-        lead = _epoch_s(c) - obs
+        lead = (_epoch_us(c) - obs) / F.lit(1000000.0)
         is_leak = F.col(c).isNotNull() & (lead > tolerance_s)
         aggs.append(F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
                     .cast("bigint").alias(f"__m{i}"))
