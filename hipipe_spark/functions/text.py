@@ -372,6 +372,36 @@ def compression_ratio(col: Column, level: int = 6) -> Column:
     return pandas_udf(_ratio_batch, "double")(col)
 
 
+def compressed_size(col: Column, level: int = 6) -> Column:
+    """zlib-compressed byte length of the UTF-8 text (bigint) — the
+    integer-exact companion to :func:`compression_ratio`, there so the
+    DEFLATE path can carry a VALUE-checked driver row: byte counts
+    compare bit-exactly across engines where the float ratio would
+    need rounding discipline. Same Arrow-vectorized batch shape, same
+    scan-local scale story. Null/empty text -> null."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    lv = int(level)
+
+    def _size_batch(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8", errors="replace")
+            if not b:
+                return None
+            return len(zlib.compress(b, lv))
+
+        return s.map(one)
+
+    _size_batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_size_batch, "long")(col)
+
+
 def readability(col: Column, round_to: int = 4) -> dict[str, Column]:
     """Classic readability indices as named columns — the quality-
     filtering companions to :func:`quality_score` (too-low grade level

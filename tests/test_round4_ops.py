@@ -206,6 +206,26 @@ def test_compression_ratio_matches_zlib(spark):
     assert out[0] < 0.1 < out[1]
 
 
+def test_compressed_size_matches_zlib(spark):
+    import zlib
+
+    from hipipe_spark.functions.text import compressed_size
+
+    texts = ["hello world " * 50,
+             "the quick brown fox jumps over the lazy dog",
+             "abc", "", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    out = {r["i"]: r["n"] for r in
+           df.select("i", compressed_size(F.col("t")).alias("n"))
+             .collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert out[i] is None
+        else:
+            assert out[i] == len(zlib.compress(t.encode(), 6))
+
+
 # -------------------------------------------------------------- HITS
 def test_hits_matches_numpy_power_iteration(spark):
     import numpy as np
