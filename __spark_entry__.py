@@ -6,6 +6,28 @@ oracle_sql()    — DuckDB-runnable ANSI SQL equivalents.
 
 Column names are aliased identically on both sides; floats are rounded
 identically on both sides (the driver hash-compares values).
+
+Oracle-author rules (learned the hard way; enforced by the
+driver-strength bitwise replica in tools/check_oracles.py):
+
+1. **Signed zero**: Spark ``round()`` (BigDecimal HALF_UP) returns
+   ``+0.0`` where DuckDB (libm) returns ``-0.0`` for a tiny negative.
+   Any rounded output that can reach zero from below (trig,
+   correlations, log-ratios, differences) must use
+   ``functions.rounding.round_norm`` on the Spark side and
+   ``round(expr, n) + 0.0`` in the SQL.
+2. **Timestamps are MICROSECONDS**: testdata ``ts`` carries µs
+   components. Never difference timestamps via ``epoch_ms`` (truncates)
+   or via epoch-second doubles (loses the tail); use
+   ``(epoch_us(a) - epoch_us(b)) / 1000000.0`` in SQL and
+   ``unix_micros`` integer subtraction before the divide in Spark so
+   the operation order matches.
+3. **No raw array/struct output columns**: the driver's canonicalizer
+   TypeErrors on them. ``to_json`` integer arrays directly; route
+   float arrays through ``functions.rounding.json_units`` (integer
+   micro-units — float JSON rendering differs between engines).
+4. **DuckDB integer sums are HUGEINT** (fetch as float64):
+   ``CAST(sum(...) AS BIGINT)`` every count-like aggregate.
 """
 
 from __future__ import annotations
