@@ -129,7 +129,7 @@ shutil.rmtree(out_dir, ignore_errors=True)
 # serial fraction. What THIS host gives any job at this core count.
 # FIXED partition count at both levels (identical total per-task
 # overhead; only the wave count changes) and legs sized to tens of
-# seconds — a first cut with 4s legs under-read the ceiling by ~25%
+# seconds — a first cut with 4s legs under-read the ceiling ~25 pct
 # from job-fixed overhead. Note this probe is arithmetic/memory-bound;
 # a mixed pipeline with different cache behavior can legitimately
 # score above it (pipeline_vs_ceiling > 1), so it is context, not a
